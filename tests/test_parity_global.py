@@ -1,0 +1,66 @@
+"""Golden-output parity: usearch_global vs the reference binary."""
+
+import subprocess
+
+import pytest
+
+from usearch12_tpu.cli import main as cli_main
+
+
+def run_ref(ref_bin, args):
+    subprocess.run([ref_bin] + args + ["-quiet", "-threads", "1"],
+                   check=True, capture_output=True)
+
+
+def run_mine(args):
+    assert cli_main(args + ["-quiet"]) == 0
+
+
+@pytest.mark.parametrize("extra", [
+    ["-id", "0.9"],
+    ["-id", "0.97", "-self", "-maxaccepts", "4"],
+])
+def test_blast6_parity_nt(ref_bin, amplicons_small_fa, tmp_path, extra):
+    golden = str(tmp_path / "golden.b6")
+    mine = str(tmp_path / "mine.b6")
+    base = ["-usearch_global", amplicons_small_fa, "-db", amplicons_small_fa,
+            "-strand", "plus"]
+    run_ref(ref_bin, base + extra + ["-blast6out", golden])
+    run_mine(base + extra + ["-blast6out", mine])
+    assert open(golden).read() == open(mine).read()
+
+
+def test_blast6_parity_aa(ref_bin, tmp_path):
+    test_fa = "/root/reference/tmp/test.fa"
+    golden = str(tmp_path / "golden.b6")
+    mine = str(tmp_path / "mine.b6")
+    base = ["-usearch_global", test_fa, "-db", test_fa, "-id", "0.9"]
+    run_ref(ref_bin, base + ["-blast6out", golden])
+    run_mine(base + ["-blast6out", mine])
+    assert open(golden).read() == open(mine).read()
+
+
+def test_udb_file_parity(ref_bin, amplicons_small_fa, tmp_path):
+    """Index build matches reference .udb bit-for-bit (sizes + postings)."""
+    import numpy as np
+    from usearch12_tpu.index.udbfile import read_udb, write_udb
+    from usearch12_tpu.io.seqdb import SeqDB
+    from usearch12_tpu.index.udb import UDBIndex
+
+    golden = str(tmp_path / "g.udb")
+    run_ref(ref_bin, ["-makeudb_usearch", amplicons_small_fa,
+                      "-output", golden])
+    ridx, rdb = read_udb(golden)
+    db = SeqDB.from_fastx(amplicons_small_fa)
+    db.mask()
+    midx = UDBIndex.from_seqdb(db)
+    assert np.array_equal(ridx.sizes, midx.sizes)
+    assert np.array_equal(ridx.postings.astype(np.int64),
+                          midx.postings.astype(np.int64))
+    assert rdb.labels == db.labels
+    # roundtrip through our writer
+    mine_udb = str(tmp_path / "m.udb")
+    write_udb(mine_udb, midx, db)
+    r2idx, r2db = read_udb(mine_udb)
+    assert np.array_equal(r2idx.sizes, midx.sizes)
+    assert r2db.labels == db.labels

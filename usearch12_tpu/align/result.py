@@ -1,0 +1,193 @@
+"""Alignment result statistics from a path string.
+
+Equivalent of AlignResult::FillLo and the per-field getters used by the
+accepter and the output writers (src/arscorer.cpp:201-296, 554-596;
+src/alignresult.h:151-170).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Optional
+
+import numpy as np
+
+from ..alpha import MATCH_MX_AMINO, MATCH_MX_NUCLEO, TO_UPPER
+
+
+@dataclass
+class AlignResult:
+    query_label: str
+    target_label: str
+    query_seq: np.ndarray
+    target_seq: np.ndarray
+    path: str
+    nucleo: bool
+    target_index: int = -1
+    query_revcomp: bool = False
+    local: bool = False
+    # local-only coords (HSP segment); global => full spans
+    loi: int = 0
+    loj: int = 0
+    raw_score: float = 0.0
+    evalue: Optional[float] = None
+    bit_score: Optional[float] = None
+
+    def __post_init__(self) -> None:
+        self._filled = False
+
+    @property
+    def la(self) -> int:
+        return len(self.query_seq)
+
+    @property
+    def lb(self) -> int:
+        return len(self.target_seq)
+
+    def _fill(self) -> None:
+        """FillLo (src/arscorer.cpp:201-296)."""
+        if self._filled:
+            return
+        path = self.path
+        first_m = last_m = -1
+        for col, c in enumerate(path):
+            if c == "M":
+                if first_m < 0:
+                    first_m = col
+                last_m = col
+        col_count = len(path)
+        assert first_m >= 0, "path with no M columns"
+
+        qpos = self.loi
+        tpos = self.loj
+        for c in path[:first_m]:
+            if c in "MD":
+                qpos += 1
+            if c in "MI":
+                tpos += 1
+        self.first_m_qpos = qpos
+        self.first_m_tpos = tpos
+
+        match_mx = MATCH_MX_NUCLEO if self.nucleo else MATCH_MX_AMINO
+        q = self.query_seq
+        t = self.target_seq
+        id_count = 0
+        mismatch = 0
+        diffs_a = 0
+        int_gaps = 0
+        for col in range(first_m, last_m + 1):
+            c = path[col]
+            if c == "M":
+                qc = q[qpos]
+                tc = t[tpos]
+                if TO_UPPER[qc] != TO_UPPER[tc]:
+                    diffs_a += 1
+                if match_mx[qc, tc]:
+                    id_count += 1
+                else:
+                    mismatch += 1
+                qpos += 1
+                tpos += 1
+            elif c == "D":
+                if col > first_m:
+                    int_gaps += 1
+                qpos += 1
+            else:
+                if col > first_m:
+                    int_gaps += 1
+                tpos += 1
+        self.last_m_qpos = qpos - 1
+        self.last_m_tpos = tpos - 1
+        self.first_m_col = first_m
+        self.last_m_col = last_m
+        self.id_count = id_count
+        self.mismatch_count = mismatch
+        self.diff_count_a = diffs_a
+        self.int_gap_count = int_gaps
+        self.aln_length = last_m - first_m + 1
+        self.term_gap_count = col_count - self.aln_length
+        self._filled = True
+
+    # -- getters (reference names) -------------------------------------------
+    def get_fract_id(self) -> float:
+        self._fill()
+        return 0.0 if self.aln_length == 0 else self.id_count / self.aln_length
+
+    def get_pct_id(self) -> float:
+        return 100.0 * self.get_fract_id()
+
+    def get_aln_length(self) -> int:
+        self._fill()
+        return self.aln_length
+
+    def get_mismatch_count(self) -> int:
+        self._fill()
+        return self.mismatch_count
+
+    def get_diff_count(self) -> int:
+        self._fill()
+        return self.mismatch_count + self.int_gap_count
+
+    def get_gap_count(self) -> int:
+        self._fill()
+        return self.int_gap_count
+
+    def get_gap_open_count(self) -> int:
+        """src/arscorer.cpp:554-569 (within FirstMCol..LastMCol)."""
+        self._fill()
+        n = 0
+        lastc = "M"
+        for col in range(self.first_m_col, self.last_m_col + 1):
+            c = self.path[col]
+            if c != "M" and lastc == "M":
+                n += 1
+            lastc = c
+        return n
+
+    def get_score(self) -> float:
+        """HitMgr sort key: raw score for local, fract-id for global
+        (src/arscorer.cpp:818-824), as float32."""
+        if self.local:
+            return float(np.float32(self.raw_score))
+        return float(np.float32(self.get_fract_id()))
+
+    # -- 1-based display coords ------------------------------------------------
+    def q_coords_1(self):
+        """(QLo6, QHi6): global => 1..LA; revcomp flips target, ORF flips
+        query (ORF not yet applied here)."""
+        if self.local:
+            lo, hi = self.loi + 1, self.loi + self.leni_local
+        else:
+            lo, hi = 1, self.la
+        return lo, hi
+
+    def t_coords_1(self):
+        if self.local:
+            lo, hi = self.loj + 1, self.loj + self.lenj_local
+        else:
+            lo, hi = 1, self.lb
+        if self.query_revcomp:
+            return hi, lo
+        return lo, hi
+
+    def compressed_path(self) -> str:
+        """CompressPath (src/comppath.cpp): run-length MDI, count omitted
+        when 1, e.g. 23M1D45M -> '23MD45M'? No: reference prints count always
+        except 1 (verified against outputs: '=' for perfect)."""
+        out = []
+        path = self.path
+        n = len(path)
+        i = 0
+        while i < n:
+            c = path[i]
+            j = i
+            while j < n and path[j] == c:
+                j += 1
+            cnt = j - i
+            if cnt == 1:
+                out.append(c)
+            else:
+                out.append(f"{cnt}{c}")
+            i = j
+        return "".join(out)

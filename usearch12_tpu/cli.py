@@ -1,0 +1,94 @@
+"""usearch-compatible command line driver.
+
+Invocation mirrors the reference (src/usearch_main.cpp, src/getcmd.cpp):
+    usearch12_tpu -usearch_global q.fa -db db.fa -id 0.97 -blast6out out.b6
+The first -flag that names a command selects it; all other -flag [value]
+pairs populate the option registry.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from .config import reset_options, options
+
+COMMANDS = [
+    "cluster_fast", "cluster_otus", "cluster_smallmem", "cluster_mt",
+    "closed_ref", "fastq_filter", "fastq_filter2", "fastq_join",
+    "fastq_mergepairs", "fastx_orient", "fastx_uniques", "fastx_truncate",
+    "fastx_get_sample_names", "makeudb_usearch", "sintax_summary",
+    "uchime3_denovo", "unoise3", "usearch_global", "usearch_local",
+    "sintax", "otutab", "search_16s", "udb2bitvec", "test", "version",
+]
+
+_FLAG_OPTS_NO_VALUE = {
+    "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
+    "top_hit_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
+    "sizeout", "xsize", "relabel_keep", "fastq_eeout", "fastq_nostagger",
+    "fastq_allowmergestagger", "interleaved", "uc_hits_only", "trunclabels",
+    "cluster_members", "wildcards_match_self", "sizeorder", "leftjust",
+    "rightjust", "tax_strip", "verbose", "no_progress", "version",
+    "use_device", "use_cpu_oracle",
+}
+
+
+def parse_argv(argv: List[str]):
+    """Returns (cmd, cmd_arg) and fills the option registry."""
+    opts = reset_options()
+    cmd = None
+    cmd_arg = None
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("-"):
+            raise SystemExit(f"Expected -flag, got '{tok}'")
+        name = tok.lstrip("-")
+        if name in COMMANDS:
+            if cmd is not None:
+                raise SystemExit(f"Two commands: {cmd}, {name}")
+            cmd = name
+            # command flag takes the input filename as its value (if any)
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                cmd_arg = argv[i + 1]
+                i += 1
+        elif name in _FLAG_OPTS_NO_VALUE:
+            opts.declare(name, "flag", False)
+            opts.set(name, True)
+        else:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"Command line error, missing value for '{name}'")
+            val = argv[i + 1]
+            opts.declare(name, "str")
+            opts.set(name, val)
+            i += 1
+        i += 1
+    return cmd, cmd_arg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    cmd, cmd_arg = parse_argv(argv)
+    if cmd is None:
+        print("No command given", file=sys.stderr)
+        return 1
+    if cmd == "version":
+        from . import __version__
+        print(f"usearch12_tpu v{__version__}")
+        return 0
+    from . import commands
+    fn = getattr(commands, f"cmd_{cmd}", None)
+    if fn is None:
+        print(f"Command -{cmd} not implemented yet", file=sys.stderr)
+        return 2
+    fn(cmd_arg)
+    unused = options().unused_filled()
+    if unused and not options().flag("quiet"):
+        for u in unused:
+            print(f"WARNING: Option -{u} not used", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,153 @@
+"""Top-level command implementations (cmd_* entry points).
+
+Each mirrors a reference pipeline (src/searchcmd.cpp, src/clusterfast.cpp,
+etc.), composed from the package's engine layers.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+from .config import options
+from .io.seqdb import SeqDB
+from .io.fastx import read_fastx
+from .out.blast6 import blast6_line, blast6_no_hits_line
+
+
+def _load_db(path: str) -> SeqDB:
+    db = SeqDB.from_fastx(path)
+    if len(db) == 0:
+        raise SystemExit("Database is empty")
+    db.mask()
+    return db
+
+
+def cmd_usearch_global(query_path: Optional[str]) -> None:
+    """usearch_global: UDB global search with USORT ranking
+    (src/searchcmd.cpp:6-50, src/search.cpp:89-141)."""
+    o = options()
+    if query_path is None:
+        query_path = o.str("query")
+    if not o.filled("id"):
+        raise SystemExit("--id not set")
+    db = _load_db(o.str("db"))
+
+    from .search.driver import search_file
+
+    f_b6 = open(o.str("blast6out"), "w") if o.filled("blast6out") else None
+    f_aln = open(o.str("alnout"), "w") if o.filled("alnout") else None
+    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
+    f_m = open(o.str("matched"), "w") if o.filled("matched") else None
+    f_nm = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
+    f_fp = open(o.str("fastapairs"), "w") if o.filled("fastapairs") else None
+    f_user = open(o.str("userout"), "w") if o.filled("userout") else None
+
+    from .out import uc as uc_mod
+    from .io.fastx import write_fasta
+
+    def on_query_done(label, seq, hits):
+        from .search.hitmgr import HitMgr
+        hm = HitMgr()
+        hm.hits = hits
+        ordered = hm.sorted_hits()
+        if f_b6:
+            for ar in ordered:
+                f_b6.write(blast6_line(ar))
+            if not ordered and o.flag("output_no_hits"):
+                f_b6.write(blast6_no_hits_line(label))
+        if f_uc:
+            if ordered:
+                for ar in ordered:
+                    f_uc.write(uc_mod.uc_hit_record(ar))
+            else:
+                f_uc.write(uc_mod.uc_no_hit_record(label, len(seq)))
+        if f_user:
+            from .out.userout import user_out_lines
+            for ar in ordered:
+                f_user.write(user_out_lines(ar))
+        if ordered:
+            if f_m:
+                write_fasta(f_m, label, seq, o.uns("fasta_cols"))
+            if f_fp:
+                from .out.alnout import fasta_pair
+                fasta_pair(f_fp, ordered[0])
+        else:
+            if f_nm:
+                write_fasta(f_nm, label, seq, o.uns("fasta_cols"))
+
+    search_file("usearch_global", query_path, db, on_query_done)
+
+    for f in (f_b6, f_aln, f_uc, f_m, f_nm, f_fp, f_user):
+        if f:
+            f.close()
+
+
+def cmd_cluster_fast(input_path: Optional[str]) -> None:
+    from .cluster.uclust import cluster_fast
+    cluster_fast(input_path)
+
+
+def cmd_cluster_smallmem(input_path: Optional[str]) -> None:
+    from .cluster.uclust import cluster_smallmem
+    cluster_smallmem(input_path)
+
+
+def cmd_fastx_uniques(input_path: Optional[str]) -> None:
+    from .cluster.derep import fastx_uniques
+    fastx_uniques(input_path)
+
+
+def cmd_unoise3(input_path: Optional[str]) -> None:
+    from .amplicon.unoise import unoise3
+    unoise3(input_path)
+
+
+def cmd_uchime3_denovo(input_path: Optional[str]) -> None:
+    from .amplicon.uchime import uchime3_denovo
+    uchime3_denovo(input_path)
+
+
+def cmd_sintax(input_path: Optional[str]) -> None:
+    from .amplicon.sintax import sintax
+    sintax(input_path)
+
+
+def cmd_otutab(input_path: Optional[str]) -> None:
+    from .amplicon.otutab import otutab
+    otutab(input_path)
+
+
+def cmd_closed_ref(input_path: Optional[str]) -> None:
+    from .amplicon.otutab import closed_ref
+    closed_ref(input_path)
+
+
+def cmd_fastq_filter(input_path: Optional[str]) -> None:
+    from .fastq.filter import fastq_filter
+    fastq_filter(input_path)
+
+
+def cmd_fastq_mergepairs(input_path: Optional[str]) -> None:
+    from .fastq.merge import fastq_mergepairs
+    fastq_mergepairs(input_path)
+
+
+def cmd_fastq_join(input_path: Optional[str]) -> None:
+    from .fastq.join import fastq_join
+    fastq_join(input_path)
+
+
+def cmd_fastx_orient(input_path: Optional[str]) -> None:
+    from .fastq.orient import fastx_orient
+    fastx_orient(input_path)
+
+
+def cmd_fastx_truncate(input_path: Optional[str]) -> None:
+    from .fastq.filter import fastx_truncate
+    fastx_truncate(input_path)
+
+
+def cmd_makeudb_usearch(input_path: Optional[str]) -> None:
+    from .index.udbfile import makeudb_usearch
+    makeudb_usearch(input_path)

@@ -1,0 +1,236 @@
+"""Typed global option registry with per-command dynamic defaults.
+
+Equivalent of the reference's X-macro option system (opts.h, o_*.h,
+o_defaults.inc): every option has a type (str/float/uns/flag), a global
+default, and may be overridden per command at runtime ("oset_*d" semantics:
+set a default only if the user did not supply the flag).  Reads anywhere via
+`opt(name)` / `filled(name)`.
+
+Reference: src/opts.h:17-37, src/o_defaults.inc:1-58, src/opts.cpp:206
+(unused-option warning).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+_FLT = "flt"
+_UNS = "uns"
+_STR = "str"
+_FLAG = "flag"
+
+
+@dataclass
+class _Opt:
+    name: str
+    kind: str
+    default: Any = None       # compile-time default (o_defaults.inc)
+    value: Any = None         # user-supplied value
+    filled: bool = False      # user supplied it on the command line
+    dyn_default: Any = None   # per-command default (oset_*d)
+    has_dyn: bool = False
+    used: bool = False
+
+
+# Defaults mirror src/o_defaults.inc exactly.  Options with no entry there
+# default to None (flt/uns/str) or False (flag) and are "unfilled".
+_FLT_DEFAULTS = {
+    "dn": 1.4, "ka_dbsize": 1e9, "lext": 1.0, "lopen": 10.0, "maj": 0.51,
+    "match": 1.0, "maxid": 1.0, "mindiv": 1.0, "minh": 0.35, "mismatch": -2.0,
+    "orient_strandx": 4.0, "orient_wordx": 8.0, "sintax_cutoff": 0.8,
+    "unoise_alpha": 2.0, "uparse_annot_maxdivqm": 1.0, "uparse_break": -3.0,
+    "uparse_match": 0.0, "uparse_mismatch": -1.0, "xa": 1.0, "xdrop_g": 32.0,
+    "xdrop_nw": 8.0, "xdrop_u": 16.0, "xn": 8.0,
+}
+_UNS_DEFAULTS = {
+    "band": 16, "big": 100000, "boots": 100, "bump": 50, "chunks": 4,
+    "fasta_cols": 80, "fastq_ascii": 33, "fastq_maxdiffs": 5,
+    "fastq_minovlen": 16, "fastq_pctid": 90, "fastq_qmax": 42,
+    "fastq_qmaxout": 42, "fastq_qmin": 0, "fastq_tail": 4,
+    "fastq_trunctail": 2, "flank": 8, "long_target": 50000,
+    "max_gene_length": 2000, "maxenddiffs": 4, "maxseqlength": 50000,
+    "maxstartdiffs": 4, "min_gene_length": 1200, "minchunk": 64,
+    "mincodons": 20, "chimera_mindiffs": 3, "mindqt": 1, "minhsp": 16,
+    "minseqlength": 8, "randseed": 1, "rowlen": 80, "self_words_drop": 4,
+    "stepwords": 8, "uparse_maxdball": 100, "uparse_maxdrop": 8,
+    "uparse_maxhot": 32,
+}
+
+# Options without a compile-time default, declared so `filled()` works.
+_FLT_OPTS = [
+    "id", "evalue", "query_cov", "max_query_cov", "target_cov",
+    "max_target_cov", "abskew", "termid", "termidd", "min_sizeratio",
+    "minqt", "maxqt", "minsl", "maxsl", "fastq_maxee", "fastq_maxee_rate",
+    "fastq_truncqual", "fastq_minqual", "fastq_maxns_pct", "sizeratio",
+    "fastq_minmergelen_pct", "min_otu_size_pct",
+]
+_UNS_OPTS = [
+    "maxaccepts", "maxrejects", "wordlength", "slots", "threads", "hspw",
+    "mincols", "maxgaps", "maxdiffs", "mindiffs", "fastq_trunclen",
+    "fastq_minlen", "fastq_maxns", "fastq_stripleft", "fastq_stripright",
+    "fastq_trunclen_keep", "minuniquesize", "maxuniquesize", "topn",
+    "maxhits", "dbaccel", "minsize", "maxsize", "sample_size",
+    "fastq_minqual_tail", "fastq_maxmergelen", "fastq_minmergelen",
+    "maxpending", "strand_boots",
+]
+_STR_OPTS = [
+    "output", "blast6out", "uc", "userout", "userfields", "alnout",
+    "matched", "notmatched", "matchedfq", "notmatchedfq", "fastaout",
+    "fastqout", "fastaout_notmerged_fwd", "fastaout_notmerged_rev",
+    "fastqout_notmerged_fwd", "fastqout_notmerged_rev", "centroids",
+    "clusters", "consout", "msaout", "db", "reverse", "uchimeout",
+    "chimeras", "nonchimeras", "zotus", "otus", "otutabout", "biomout",
+    "mothur_shared_out", "uparseout", "uparsealnout", "tabbedout",
+    "sintax_summary_out", "log", "dbmask", "qmask", "strand", "sort",
+    "sortedby", "relabel", "sample", "sizeout_str", "gapopen", "gapext",
+    "matrix", "tsegout", "qsegout", "fastapairs", "mergeout", "eetabbedout",
+    "report", "alndiffsout", "otu_radius_str", "label_suffix",
+    "sample_delim", "fastq_eeout_str", "constax_report", "clustout",
+    "biom_json",
+]
+_FLAG_OPTS = [
+    "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
+    "top_hit_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
+    "sizeout", "xsize", "relabel_keep", "fastq_eeout", "fastq_nostagger",
+    "fastq_allowmergestagger", "interleaved", "uc_hits_only", "trunclabels",
+    "centroid_types", "cluster_members", "wildcards_match_self", "sizeorder",
+    "leftjust", "rightjust", "strand_plus", "strand_both", "tax_strip",
+    "verbose", "no_progress", "use_device", "use_cpu_oracle",
+]
+
+
+class Options:
+    """One registry instance per run (thread-local current)."""
+
+    def __init__(self) -> None:
+        self._opts: Dict[str, _Opt] = {}
+        for n, v in _FLT_DEFAULTS.items():
+            self._opts[n] = _Opt(n, _FLT, default=v)
+        for n, v in _UNS_DEFAULTS.items():
+            self._opts[n] = _Opt(n, _UNS, default=v)
+        for n in _FLT_OPTS:
+            self._opts.setdefault(n, _Opt(n, _FLT))
+        for n in _UNS_OPTS:
+            self._opts.setdefault(n, _Opt(n, _UNS))
+        for n in _STR_OPTS:
+            self._opts.setdefault(n, _Opt(n, _STR))
+        for n in _FLAG_OPTS:
+            self._opts.setdefault(n, _Opt(n, _FLAG, default=False))
+
+    # -- declaration ------------------------------------------------------
+    def declare(self, name: str, kind: str, default: Any = None) -> None:
+        if name not in self._opts:
+            self._opts[name] = _Opt(name, kind, default=default)
+
+    def _get(self, name: str) -> _Opt:
+        o = self._opts.get(name)
+        if o is None:
+            raise KeyError(f"unknown option '{name}'")
+        return o
+
+    # -- user-set (command line) ------------------------------------------
+    def set(self, name: str, value: Any) -> None:
+        o = self._get(name)
+        if o.kind == _FLT:
+            value = float(value)
+        elif o.kind == _UNS:
+            value = int(value)
+        elif o.kind == _FLAG:
+            value = bool(value) if not isinstance(value, str) else True
+        o.value = value
+        o.filled = True
+
+    # -- dynamic per-command defaults (oset_*d) ----------------------------
+    def set_default(self, name: str, value: Any) -> None:
+        o = self._get(name)
+        if not o.filled:
+            o.dyn_default = value
+            o.has_dyn = True
+
+    # -- reads --------------------------------------------------------------
+    def filled(self, name: str) -> bool:
+        return self._get(name).filled
+
+    def get(self, name: str, default: Any = None) -> Any:
+        """oget_* semantics: user value, else dyn default, else static
+        default, else `default` arg (oget_fltd)."""
+        o = self._get(name)
+        o.used = True
+        if o.filled:
+            return o.value
+        if o.has_dyn:
+            return o.dyn_default
+        if o.default is not None:
+            return o.default
+        if default is not None:
+            return default
+        if o.kind == _FLAG:
+            return False
+        raise ValueError(f"option '{name}' not set and has no default")
+
+    def flt(self, name: str, default: Optional[float] = None) -> float:
+        return float(self.get(name, default))
+
+    def uns(self, name: str, default: Optional[int] = None) -> int:
+        return int(self.get(name, default))
+
+    def str(self, name: str, default: Optional[str] = None) -> str:
+        v = self.get(name, default if default is not None else "")
+        return "" if v is None else str(v)
+
+    def flag(self, name: str) -> bool:
+        return bool(self.get(name, False))
+
+    def unused_filled(self):
+        return [o.name for o in self._opts.values() if o.filled and not o.used]
+
+
+_tls = threading.local()
+
+
+def options() -> Options:
+    cur = getattr(_tls, "cur", None)
+    if cur is None:
+        cur = Options()
+        _tls.cur = cur
+    return cur
+
+
+def reset_options() -> Options:
+    _tls.cur = Options()
+    return _tls.cur
+
+
+def set_options(opts: Options) -> None:
+    _tls.cur = opts
+
+
+# convenience module-level accessors (mirror oget_* / ofilled)
+def oget_flt(name: str, default: Optional[float] = None) -> float:
+    return options().flt(name, default)
+
+
+def oget_uns(name: str, default: Optional[int] = None) -> int:
+    return options().uns(name, default)
+
+
+def oget_str(name: str, default: Optional[str] = None) -> str:
+    return options().str(name, default)
+
+
+def oget_flag(name: str) -> bool:
+    return options().flag(name)
+
+
+def ofilled(name: str) -> bool:
+    return options().filled(name)
+
+
+def oset(name: str, value: Any) -> None:
+    options().set(name, value)
+
+
+def oset_default(name: str, value: Any) -> None:
+    options().set_default(name, value)

@@ -1,0 +1,170 @@
+"""UDB k-mer inverted index.
+
+TPU-first redesign of the reference's UDBData (src/udbdata.{h,cpp},
+src/udbparams.{h,cpp}): instead of 4^w growable pointer rows, postings live
+in flat CSR-style numpy arrays that upload directly as device buffers for
+the word-counting kernel.  Incremental append (clustering grows the index,
+src/udbdata.h:55-60) is supported through per-word Python lists that are
+re-flattened lazily.
+
+Word extraction follows SeqToWordNoPattern (src/udbparams.cpp:540-556):
+lowercase (soft-masked) and non-alphabet characters yield no word
+(BAD_WORD); a word is valid only if all w characters are valid.
+
+Default word widths per SetDefaults_GlobalUSearch (src/udbparams.cpp:235-261):
+nt w=8 (4^8 = 65536 slots), aa w=5 (20^5 = 3.2M slots).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..alpha import CHAR_TO_LETTER_AMINO, CHAR_TO_LETTER_NUCLEO, IS_LOWER
+from ..io.seqdb import SeqDB
+
+BAD_WORD = -1
+
+
+@dataclass
+class UDBParams:
+    is_nucleo: bool
+    word_length: int
+    alpha_size: int
+    slot_count: int
+
+    @classmethod
+    def global_usearch(cls, nucleo: bool, word_length: Optional[int] = None
+                       ) -> "UDBParams":
+        if word_length is None:
+            word_length = 8 if nucleo else 5
+        alpha = 4 if nucleo else 20
+        return cls(is_nucleo=nucleo, word_length=word_length,
+                   alpha_size=alpha, slot_count=alpha ** word_length)
+
+    def seq_to_words(self, seq: np.ndarray) -> np.ndarray:
+        """All positions 0..L-w; invalid positions yield BAD_WORD (-1)."""
+        w = self.word_length
+        L = len(seq)
+        if L < w:
+            return np.zeros(0, dtype=np.int64)
+        table = (CHAR_TO_LETTER_NUCLEO if self.is_nucleo
+                 else CHAR_TO_LETTER_AMINO)
+        letters = table[seq].astype(np.int64)
+        invalid = (letters == 0xFF) | IS_LOWER[seq]
+        n = L - w + 1
+        words = np.zeros(n, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        for k in range(w):
+            words = words * self.alpha_size + letters[k:k + n]
+            bad |= invalid[k:k + n]
+        words[bad] = BAD_WORD
+        return words
+
+    def valid_words(self, seq: np.ndarray) -> np.ndarray:
+        """SetQueryWordsAllNoBad: in-order valid words (duplicates kept)."""
+        words = self.seq_to_words(seq)
+        return words[words != BAD_WORD]
+
+    def unique_words(self, seq: np.ndarray) -> np.ndarray:
+        """SetQueryUniqueWords: first-occurrence order dedup."""
+        words = self.valid_words(seq)
+        # np.unique sorts; need first-occurrence order (stable)
+        _, idx = np.unique(words, return_index=True)
+        return words[np.sort(idx)]
+
+
+class UDBIndex:
+    """Inverted index word -> target sequence indexes (plain coding,
+    SeqPosBits=0: one posting per (word occurrence, target), duplicates per
+    target allowed — counts are per word-occurrence in the target)."""
+
+    def __init__(self, params: UDBParams) -> None:
+        self.params = params
+        self.seq_count = 0
+        # build-side: per-word Python lists (append-friendly)
+        self._rows: List[List[int]] = [[] for _ in range(params.slot_count)]
+        # flattened CSR (lazily rebuilt)
+        self._flat_dirty = True
+        self._starts: Optional[np.ndarray] = None
+        self._sizes: Optional[np.ndarray] = None
+        self._postings: Optional[np.ndarray] = None
+
+    # -- build ---------------------------------------------------------------
+    def add_seq(self, seq_index: int, seq: np.ndarray) -> None:
+        """AddSeqNoncoded: index *unique* target words.
+
+        Reference: udbbuild.cpp indexes each target's unique words (via
+        SetTargetUniqueWords) so U counts shared unique words."""
+        words = self.params.unique_words(seq)
+        for w in words.tolist():
+            self._rows[w].append(seq_index)
+        self.seq_count = max(self.seq_count, seq_index + 1)
+        self._flat_dirty = True
+
+    @classmethod
+    def from_seqdb(cls, db: SeqDB, params: Optional[UDBParams] = None
+                   ) -> "UDBIndex":
+        if params is None:
+            params = UDBParams.global_usearch(db.get_is_nucleo())
+        idx = cls(params)
+        for i, seq in enumerate(db.seqs):
+            idx.add_seq(i, seq)
+        idx.seq_count = len(db)
+        return idx
+
+    # -- flat CSR view ---------------------------------------------------------
+    def _flatten(self) -> None:
+        if not self._flat_dirty:
+            return
+        sizes = np.array([len(r) for r in self._rows], dtype=np.int64)
+        starts = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        total = int(starts[-1])
+        postings = np.zeros(total, dtype=np.int32)
+        for w, row in enumerate(self._rows):
+            if row:
+                postings[starts[w]:starts[w] + len(row)] = row
+        self._starts = starts
+        self._sizes = sizes
+        self._postings = postings
+        self._flat_dirty = False
+
+    @property
+    def sizes(self) -> np.ndarray:
+        self._flatten()
+        return self._sizes
+
+    @property
+    def starts(self) -> np.ndarray:
+        self._flatten()
+        return self._starts
+
+    @property
+    def postings(self) -> np.ndarray:
+        self._flatten()
+        return self._postings
+
+    # -- candidate counting (SetU) ------------------------------------------------
+    def count_u(self, query_unique_words: np.ndarray, seq_count: Optional[int] = None
+                ) -> np.ndarray:
+        """U[target] = number of query unique words whose postings row
+        contains target (with multiplicity) — SetU_NonCoded
+        (src/udbusortedsearcher.cpp:375-410).  Host numpy path."""
+        if seq_count is None:
+            seq_count = self.seq_count
+        self._flatten()
+        if len(query_unique_words) == 0 or seq_count == 0:
+            return np.zeros(seq_count, dtype=np.uint32)
+        starts = self._starts
+        sizes = self._sizes
+        qw = query_unique_words
+        total = int(sizes[qw].sum())
+        if total == 0:
+            return np.zeros(seq_count, dtype=np.uint32)
+        # gather all postings for the query words and bincount
+        segs = [self._postings[starts[w]:starts[w] + sizes[w]] for w in qw.tolist()]
+        hits = np.concatenate(segs)
+        return np.bincount(hits, minlength=seq_count).astype(np.uint32)

@@ -1,0 +1,150 @@
+""".udb binary file format reader/writer (interop with the reference).
+
+Layout (src/udbfile.h:17-61, src/udbio.cpp:227-364, src/seqdbio.cpp):
+  UDBFileHdr (packed, 200 bytes):
+    u32 Magic1 ('UDBF'=0x55444246), u32 Hashed, u32 SeqIndexBits,
+    u32 SeqPosBits, u32 WordWidth, u32 DBStep, u32 DBAccelPct, u32 RFU1,
+    u32 RFU2, u32 UTaxData, u32 EndOfRow, u64 SlotCount(hashed only),
+    u64 SeqCount, byte StepPrefix[8], char AlphaStr[64], char PatternStr[64],
+    u32 Magic2 ('UDBf')
+  u32 Sizes[slot_count]
+  u32 Magic3 ('UDB3')
+  rows: for each slot with Size>0, u32 postings[Size]
+  u32 Magic4 ('UDB4')
+  SeqDB section:
+    SeqDBFileHdr (32 bytes w/ tail padding): u32 Magic1(0x5E0DB3),
+    u32 SeqCount, u64 SeqBytes, u32 LabelBytes, u32 SplitCount,
+    u32 Magic2(0x5E0DB4) [+4 pad]
+    u32 LabelOffsets[SeqCount]; char LabelBuffer[LabelBytes];
+    u32 SeqLengths[SeqCount]; bytes seqs (concatenated)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ..io.seqdb import SeqDB
+from .udb import UDBIndex, UDBParams
+
+MAGIC1 = 0x55444246  # 'UDBF'
+MAGIC2 = 0x55444266  # 'UDBf'
+MAGIC3 = 0x55444233  # 'UDB3'
+MAGIC4 = 0x55444234  # 'UDB4'
+SEQDB_MAGIC1 = 0x5E0DB3
+SEQDB_MAGIC2 = 0x5E0DB4
+
+_HDR_FMT = "<11I2Q8s64s64sI"
+_HDR_SIZE = struct.calcsize(_HDR_FMT)  # 200
+
+
+def _cstr(b: bytes) -> str:
+    return b.split(b"\0", 1)[0].decode("latin1")
+
+
+def read_udb(path: str):
+    """Returns (UDBIndex, SeqDB)."""
+    with open(path, "rb") as f:
+        hdr = struct.unpack(_HDR_FMT, f.read(_HDR_SIZE))
+        (magic1, hashed, seq_index_bits, seq_pos_bits, word_width, db_step,
+         accel_pct, _rfu1, _rfu2, _utax, end_of_row, slot_count_h,
+         seq_count_h, step_prefix, alpha_str, pattern_str, magic2) = hdr
+        if magic1 != MAGIC1 or magic2 != MAGIC2:
+            raise ValueError(f"Invalid .udb file: {path}")
+        alpha = _cstr(alpha_str)
+        nucleo = alpha == "nt"
+        if hashed or _cstr(pattern_str) or seq_pos_bits != 0:
+            raise NotImplementedError(
+                "hashed/spaced/coded .udb not supported yet")
+        params = UDBParams.global_usearch(nucleo, word_length=word_width)
+        slot_count = params.slot_count
+
+        sizes = np.fromfile(f, dtype=np.uint32, count=slot_count)
+        (m3,) = struct.unpack("<I", f.read(4))
+        if m3 != MAGIC3:
+            raise ValueError(".udb magic3 mismatch")
+        total = int(sizes.sum())
+        postings = np.fromfile(f, dtype=np.uint32, count=total)
+        (m4,) = struct.unpack("<I", f.read(4))
+        if m4 != MAGIC4:
+            raise ValueError(".udb magic4 mismatch")
+
+        # SeqDB section
+        raw = f.read(32)
+        s_magic1, s_seq_count, s_seq_bytes, s_label_bytes, _split, s_magic2 = \
+            struct.unpack("<IIQIII", raw[:28])
+        if s_magic1 != SEQDB_MAGIC1 or s_magic2 != SEQDB_MAGIC2:
+            raise ValueError(".udb seqdb magic mismatch")
+        label_offsets = np.fromfile(f, dtype=np.uint32, count=s_seq_count)
+        label_buf = f.read(s_label_bytes)
+        seq_lengths = np.fromfile(f, dtype=np.uint32, count=s_seq_count)
+        seq_buf = np.fromfile(f, dtype=np.uint8, count=int(s_seq_bytes))
+
+    db = SeqDB()
+    pos = 0
+    for i in range(s_seq_count):
+        off = int(label_offsets[i])
+        label = _cstr(label_buf[off:])
+        L = int(seq_lengths[i])
+        db.add(label, seq_buf[pos:pos + L].copy())
+        pos += L
+    db.set_is_nucleo(nucleo)
+
+    idx = UDBIndex(params)
+    idx.seq_count = s_seq_count
+    starts = np.zeros(slot_count + 1, dtype=np.int64)
+    np.cumsum(sizes.astype(np.int64), out=starts[1:])
+    idx._starts = starts
+    idx._sizes = sizes.astype(np.int64)
+    idx._postings = postings.astype(np.int32)
+    idx._flat_dirty = False
+    idx._rows = None  # flat-only; append requires rebuild
+    return idx, db
+
+
+def write_udb(path: str, idx: UDBIndex, db: SeqDB) -> None:
+    params = idx.params
+    sizes = idx.sizes.astype(np.uint32)
+    postings = idx.postings.astype(np.uint32)
+    alpha = b"nt" if params.is_nucleo else b"aa"
+    with open(path, "wb") as f:
+        hdr = struct.pack(
+            _HDR_FMT, MAGIC1, 0, 32, 0, params.word_length, 1, 100, 0, 0, 0,
+            0, 0, len(db), b"", alpha, b"", MAGIC2)
+        f.write(hdr)
+        sizes.tofile(f)
+        f.write(struct.pack("<I", MAGIC3))
+        postings.tofile(f)
+        f.write(struct.pack("<I", MAGIC4))
+        # SeqDB section
+        labels = [lbl.encode("latin1") + b"\0" for lbl in db.labels]
+        label_bytes = sum(len(b) for b in labels)
+        seq_bytes = db.letter_count()
+        f.write(struct.pack("<IIQIII", SEQDB_MAGIC1, len(db), seq_bytes,
+                            label_bytes, 0, SEQDB_MAGIC2))
+        f.write(b"\0\0\0\0")  # struct tail padding
+        offs = np.zeros(len(db), dtype=np.uint32)
+        off = 0
+        for i, b in enumerate(labels):
+            offs[i] = off
+            off += len(b)
+        offs.tofile(f)
+        f.write(b"".join(labels))
+        np.array([len(s) for s in db.seqs], dtype=np.uint32).tofile(f)
+        for s in db.seqs:
+            s.tofile(f)
+
+
+def makeudb_usearch(input_path: Optional[str]) -> None:
+    """cmd_makeudb_usearch (src/makeudb.cpp:27-60)."""
+    from ..config import options
+    o = options()
+    out = o.str("output")
+    if not input_path or not out:
+        raise SystemExit("Missing input or output filename")
+    db = SeqDB.from_fastx(input_path)
+    db.mask()
+    idx = UDBIndex.from_seqdb(db)
+    write_udb(out, idx, db)

@@ -1,0 +1,158 @@
+"""FASTA/FASTQ streaming readers and writers (+transparent gzip).
+
+Host-side I/O layer standing in for the reference's SeqSource/LineReader
+stack (src/seqsource.cpp, src/linereader.cpp, src/gzipfileio.cpp).  Python's
+gzip replaces the vendored zlib.  Readers yield (label, seq_bytes, qual_str)
+tuples; seq is np.uint8 ASCII.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+Record = Tuple[str, np.ndarray, Optional[str]]
+
+
+def open_maybe_gz(path: str, mode: str = "rb"):
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def sniff_format(path: str) -> str:
+    """'fasta' | 'fastq' | 'udb' | 'empty' by content (src/filetype.cpp)."""
+    with open_maybe_gz(path) as f:
+        head = f.read(16)
+    if not head:
+        return "empty"
+    if head[:1] == b">":
+        return "fasta"
+    if head[:1] == b"@":
+        return "fastq"
+    if head[:8] == UDB_MAGIC8:
+        return "udb"
+    raise ValueError(f"unrecognized file format: {path}")
+
+
+# .udb file magic (src/udbfile.h); checked here for dispatch only
+UDB_MAGIC8 = (0x55444246).to_bytes(4, "little") + (0x55444246).to_bytes(4, "little")
+
+
+def read_fasta(path: str) -> Iterator[Record]:
+    label = None
+    chunks = []
+    with open_maybe_gz(path) as f:
+        for raw in f:
+            line = raw.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if label is not None:
+                    yield label, _join_seq(chunks), None
+                label = line[1:].decode("latin1")
+                chunks = []
+            elif line:
+                chunks.append(line)
+        if label is not None:
+            yield label, _join_seq(chunks), None
+
+
+def read_fastq(path: str) -> Iterator[Record]:
+    with open_maybe_gz(path) as f:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            hdr = hdr.rstrip(b"\r\n")
+            if not hdr:
+                continue
+            if not hdr.startswith(b"@"):
+                raise ValueError(f"bad FASTQ record header: {hdr[:40]!r}")
+            seq = f.readline().rstrip(b"\r\n")
+            plus = f.readline()
+            if not plus.startswith(b"+"):
+                raise ValueError("bad FASTQ '+' line")
+            qual = f.readline().rstrip(b"\r\n")
+            if len(qual) != len(seq):
+                raise ValueError("FASTQ seq/qual length mismatch")
+            yield (hdr[1:].decode("latin1"),
+                   np.frombuffer(seq, dtype=np.uint8).copy(),
+                   qual.decode("latin1"))
+
+
+def read_fastx(path: str) -> Iterator[Record]:
+    fmt = sniff_format(path)
+    if fmt == "fasta":
+        return read_fasta(path)
+    if fmt == "fastq":
+        return read_fastq(path)
+    if fmt == "empty":
+        return iter(())
+    raise ValueError(f"cannot stream records from {fmt} file: {path}")
+
+
+def _join_seq(chunks) -> np.ndarray:
+    if not chunks:
+        return np.zeros(0, dtype=np.uint8)
+    return np.frombuffer(b"".join(chunks), dtype=np.uint8).copy()
+
+
+def write_fasta(f, label: str, seq: np.ndarray, cols: int = 80) -> None:
+    """SeqToFasta (src/fasta.cpp style): wrap at fasta_cols."""
+    f.write(f">{label}\n")
+    s = seq.tobytes().decode("latin1")
+    if cols <= 0:
+        f.write(s + "\n")
+        return
+    for i in range(0, len(s), cols):
+        f.write(s[i:i + cols] + "\n")
+    if len(s) == 0:
+        f.write("\n")
+
+
+def write_fastq(f, label: str, seq: np.ndarray, qual: str) -> None:
+    f.write(f"@{label}\n{seq.tobytes().decode('latin1')}\n+\n{qual}\n")
+
+
+def file_is_nucleo(path: str) -> bool:
+    """FastaFileIsNucleo (src/loaddb.cpp:10-53): first 1024 letters,
+    >90% [ACGTUNacgtun] => nucleotide."""
+    sample = 1024
+    letters = 0
+    nuc = 0
+    in_label = False
+    lastc = b"\n"
+    fmt = sniff_format(path)
+    is_fastq = fmt == "fastq"
+    with open_maybe_gz(path) as f:
+        if is_fastq:
+            # sample sequence lines only
+            for label, seq, _q in read_fastq(path):
+                for c in seq[: sample - letters]:
+                    letters += 1
+                    if chr(c) in "ACGTUNacgtun":
+                        nuc += 1
+                if letters >= sample:
+                    break
+            return letters > 0 and nuc / letters > 0.9
+        data = f.read(1 << 20)
+    for ci in data:
+        c = bytes([ci])
+        if c == b"\r":
+            continue
+        if c == b">" and lastc == b"\n":
+            in_label = True
+        elif in_label and c == b"\n":
+            in_label = False
+        elif not in_label and c.isalpha():
+            letters += 1
+            if c in b"ACGTUNacgtun":
+                nuc += 1
+            if letters >= sample:
+                break
+        lastc = c
+    return letters > 0 and nuc / letters > 0.9

@@ -1,0 +1,119 @@
+"""Search pipeline driver: SeqSource -> rank -> align -> accept/terminate ->
+sinks.  Equivalent of Search()/Thread()/Searcher::Search
+(src/search.cpp:51-141, src/searcher.cpp:122-161) with the alignment work
+organized so it can be dispatched to batched device kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..config import options
+from ..io.seqdb import SeqDB
+from ..io.fastx import read_fastx, file_is_nucleo
+from ..scoring import AlnParams, AlnHeuristics
+from ..index.udb import UDBIndex, UDBParams
+from ..align.hsp import HSPFinder
+from ..align.global_aligner import global_align
+from ..align.result import AlignResult
+from .accepter import Accepter
+from .terminator import Terminator
+from .hitmgr import HitMgr
+from .usorted import USortedRanker
+
+
+@dataclass
+class SearchContext:
+    """Everything MakeDBSearcher wires together (src/makedbsearcher.cpp)."""
+    cmd: str
+    db: SeqDB
+    index: UDBIndex
+    ap: AlnParams
+    ah: AlnHeuristics
+    accepter: Accepter
+    terminator: Terminator
+    hitmgr: HitMgr
+    ranker: USortedRanker
+    hf: HSPFinder
+    nucleo: bool
+    hole_kernel: Optional[Callable] = None
+
+    @classmethod
+    def build(cls, cmd: str, db: SeqDB, hole_kernel=None) -> "SearchContext":
+        nucleo = db.get_is_nucleo()
+        ap = AlnParams.from_cmdline(nucleo)
+        ah = AlnHeuristics.from_cmdline(ap)
+        index = UDBIndex.from_seqdb(db)
+        return cls(cmd=cmd, db=db, index=index, ap=ap, ah=ah,
+                   accepter=Accepter(is_global=True),
+                   terminator=Terminator(cmd),
+                   hitmgr=HitMgr(),
+                   ranker=USortedRanker(index),
+                   hf=HSPFinder(ap, ah),
+                   nucleo=nucleo,
+                   hole_kernel=hole_kernel)
+
+    # -- one query through the search loop --------------------------------
+    def search_query(self, q_label: str, q_seq: np.ndarray,
+                     revcomp: bool = False) -> List[AlignResult]:
+        """SearchImpl (src/udbusortedsearcher.cpp:122-152) for one strand.
+        Returns accepted hits (order of acceptance)."""
+        hm = self.hitmgr
+        hm.set_query(q_label)
+        self.terminator.on_new_query()
+        self._search_strand(q_label, q_seq, revcomp=False)
+        if revcomp:
+            from ..alpha import revcomp as rc
+            self.terminator.on_new_query()
+            self._search_strand(q_label, rc(q_seq), revcomp=True)
+        return hm.hits
+
+    def _search_strand(self, q_label: str, q_seq: np.ndarray,
+                       revcomp: bool) -> None:
+        tix_order, _counts = self.ranker.rank(q_seq)
+        if len(tix_order) == 0:
+            return
+        self.hf.set_a(q_seq)
+        db = self.db
+        for tix in tix_order.tolist():
+            t_label = db.labels[tix]
+            t_seq = db.seqs[tix]
+            if self.accepter.reject_pair(q_label, q_seq, t_label, t_seq):
+                continue  # not counted by terminator
+            self.hf.set_b(t_seq)
+            path = global_align(q_seq, t_seq, self.ap, self.ah, self.hf,
+                                full_dp_always=self.ah.full_dp_always,
+                                fail_if_no_hsps=not options().flag("gaforce"),
+                                hole_kernel=self.hole_kernel)
+            accept = False
+            if path is not None:
+                ar = AlignResult(query_label=q_label, target_label=t_label,
+                                 query_seq=q_seq, target_seq=t_seq,
+                                 path=path, nucleo=self.nucleo,
+                                 target_index=tix, query_revcomp=revcomp)
+                accept = self.accepter.is_accept(ar)
+                if accept:
+                    self.hitmgr.append_hit(ar)
+            if self.terminator.terminate(self.hitmgr, accept):
+                return
+
+
+def search_file(cmd: str, query_path: str, db: SeqDB,
+                on_query_done: Callable, hole_kernel=None) -> SearchContext:
+    """Stream queries from file through the search; call
+    on_query_done(label, seq, hits) per query in input order."""
+    ctx = SearchContext.build(cmd, db, hole_kernel=hole_kernel)
+    o = options()
+    strand_both = (ctx.nucleo and o.str("strand", "plus") == "both")
+    for label, seq, _qual in read_fastx(query_path):
+        if len(seq) < o.uns("minseqlength"):
+            continue
+        if len(seq) > o.uns("maxseqlength"):
+            continue
+        hits = ctx.search_query(label, seq, revcomp=strand_both)
+        on_query_done(label, seq, hits)
+        ctx.hitmgr.on_query_done(label, None)
+    return ctx
