@@ -84,8 +84,9 @@ class UDBIndex:
     def __init__(self, params: UDBParams) -> None:
         self.params = params
         self.seq_count = 0
-        # build-side: per-word Python lists (append-friendly)
-        self._rows: List[List[int]] = [[] for _ in range(params.slot_count)]
+        # pending (word, seq_index) pairs not yet merged into the CSR view
+        self._pending_words: List[np.ndarray] = []
+        self._pending_tix: List[np.ndarray] = []
         # flattened CSR (lazily rebuilt)
         self._flat_dirty = True
         self._starts: Optional[np.ndarray] = None
@@ -97,10 +98,12 @@ class UDBIndex:
         """AddSeqNoncoded: index *unique* target words.
 
         Reference: udbbuild.cpp indexes each target's unique words (via
-        SetTargetUniqueWords) so U counts shared unique words."""
+        SetTargetUniqueWords) so U counts shared unique words.  Postings per
+        word keep seq-index append order (stable merge)."""
         words = self.params.unique_words(seq)
-        for w in words.tolist():
-            self._rows[w].append(seq_index)
+        self._pending_words.append(words)
+        self._pending_tix.append(
+            np.full(len(words), seq_index, dtype=np.int32))
         self.seq_count = max(self.seq_count, seq_index + 1)
         self._flat_dirty = True
 
@@ -119,17 +122,36 @@ class UDBIndex:
     def _flatten(self) -> None:
         if not self._flat_dirty:
             return
-        sizes = np.array([len(r) for r in self._rows], dtype=np.int64)
-        starts = np.zeros(len(sizes) + 1, dtype=np.int64)
-        np.cumsum(sizes, out=starts[1:])
-        total = int(starts[-1])
-        postings = np.zeros(total, dtype=np.int32)
-        for w, row in enumerate(self._rows):
-            if row:
-                postings[starts[w]:starts[w] + len(row)] = row
-        self._starts = starts
-        self._sizes = sizes
-        self._postings = postings
+        slot_count = self.params.slot_count
+        if self._pending_words:
+            new_words = np.concatenate(self._pending_words)
+            new_tix = np.concatenate(self._pending_tix)
+            if self._postings is not None and len(self._postings):
+                # reconstruct (word, tix) pairs of the existing CSR and merge
+                old_words = np.repeat(
+                    np.arange(slot_count, dtype=np.int64),
+                    self._sizes.astype(np.int64))
+                words = np.concatenate([old_words, new_words])
+                tix = np.concatenate([self._postings.astype(np.int32),
+                                      new_tix])
+            else:
+                words, tix = new_words, new_tix
+            # stable sort by word keeps per-row seq-index append order
+            order = np.argsort(words, kind="stable")
+            words = words[order]
+            tix = tix[order]
+            sizes = np.bincount(words, minlength=slot_count).astype(np.int64)
+            starts = np.zeros(slot_count + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            self._sizes = sizes
+            self._starts = starts
+            self._postings = tix.astype(np.int32)
+            self._pending_words = []
+            self._pending_tix = []
+        elif self._postings is None:
+            self._sizes = np.zeros(slot_count, dtype=np.int64)
+            self._starts = np.zeros(slot_count + 1, dtype=np.int64)
+            self._postings = np.zeros(0, dtype=np.int32)
         self._flat_dirty = False
 
     @property
@@ -161,10 +183,15 @@ class UDBIndex:
         starts = self._starts
         sizes = self._sizes
         qw = query_unique_words
-        total = int(sizes[qw].sum())
+        seg_sizes = sizes[qw]
+        total = int(seg_sizes.sum())
         if total == 0:
             return np.zeros(seq_count, dtype=np.uint32)
-        # gather all postings for the query words and bincount
-        segs = [self._postings[starts[w]:starts[w] + sizes[w]] for w in qw.tolist()]
-        hits = np.concatenate(segs)
+        # vectorized multi-segment gather: absolute index = segment start
+        # repeated per element + within-segment offset
+        seg_starts = starts[qw]
+        rep_starts = np.repeat(seg_starts, seg_sizes)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(seg_sizes)[:-1])), seg_sizes)
+        hits = self._postings[rep_starts + within]
         return np.bincount(hits, minlength=seq_count).astype(np.uint32)

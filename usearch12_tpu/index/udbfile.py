@@ -100,7 +100,6 @@ def read_udb(path: str):
     idx._sizes = sizes.astype(np.int64)
     idx._postings = postings.astype(np.int32)
     idx._flat_dirty = False
-    idx._rows = None  # flat-only; append requires rebuild
     return idx, db
 
 

@@ -1,0 +1,163 @@
+"""ctypes bindings to the native host kernels (usearch_native.c).
+
+The shared library is compiled on first use with gcc -O2 (cached next to
+the source, keyed by source mtime).  Falls back to the pure-Python oracle
+when a compiler is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "usearch_native.c")
+_SO = os.path.join(_DIR, "_usearch_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+class GapParams(ctypes.Structure):
+    _fields_ = [
+        ("open_a", ctypes.c_float), ("open_b", ctypes.c_float),
+        ("ext_a", ctypes.c_float), ("ext_b", ctypes.c_float),
+        ("l_open_a", ctypes.c_float), ("l_open_b", ctypes.c_float),
+        ("r_open_a", ctypes.c_float), ("r_open_b", ctypes.c_float),
+        ("l_ext_a", ctypes.c_float), ("l_ext_b", ctypes.c_float),
+        ("r_ext_a", ctypes.c_float), ("r_ext_b", ctypes.c_float),
+    ]
+
+    @classmethod
+    def from_alnparams(cls, ap) -> "GapParams":
+        return cls(ap.open_a, ap.open_b, ap.ext_a, ap.ext_b,
+                   ap.l_open_a, ap.l_open_b, ap.r_open_a, ap.r_open_b,
+                   ap.l_ext_a, ap.l_ext_b, ap.r_ext_a, ap.r_ext_b)
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Returns the loaded ctypes library or None."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        so = _build()
+        if so is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C")
+        f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C")
+        lib.nw_band.restype = ctypes.c_int
+        lib.nw_band.argtypes = [
+            u8p, ctypes.c_uint32, u8p, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(GapParams),
+            f32p, u8p, f32p, f32p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.nw_full.restype = ctypes.c_int
+        lib.nw_full.argtypes = [
+            u8p, ctypes.c_uint32, u8p, ctypes.c_uint32,
+            ctypes.POINTER(GapParams), f32p, u8p, f32p, f32p,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+        lib.hsp_create.restype = ctypes.c_void_p
+        lib.hsp_create.argtypes = [ctypes.c_uint32, ctypes.c_uint32, f32p, u8p]
+        lib.hsp_destroy.argtypes = [ctypes.c_void_p]
+        lib.hsp_set_a.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint32]
+        lib.hsp_set_b.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint32]
+        lib.scratch_create.restype = ctypes.c_void_p
+        lib.scratch_destroy.argtypes = [ctypes.c_void_p]
+        lib.global_align_c.restype = ctypes.c_int
+        lib.global_align_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(GapParams),
+            u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+        _lib = lib
+        return _lib
+
+
+class NativeAligner:
+    """Per-thread native HSPFinder + scratch + global_align wrapper.
+    Drop-in replacement for the (HSPFinder, global_align) pair."""
+
+    def __init__(self, ap, ah) -> None:
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self.lib = lib
+        self.ap = ap
+        self.ah = ah
+        from ..alpha import (CHAR_TO_LETTER_AMINO, CHAR_TO_LETTER_NUCLEO,
+                             MATCH_MX_AMINO, MATCH_MX_NUCLEO)
+        self._mx = np.ascontiguousarray(ap.subst_mx, dtype=np.float32)
+        self._ctl = np.ascontiguousarray(
+            CHAR_TO_LETTER_NUCLEO if ap.nucleo else CHAR_TO_LETTER_AMINO)
+        self._match = np.ascontiguousarray(
+            (MATCH_MX_NUCLEO if ap.nucleo else MATCH_MX_AMINO)
+            .astype(np.uint8))
+        alpha_size = 4 if ap.nucleo else 20
+        self._hf = lib.hsp_create(ah.hsp_word_length, alpha_size,
+                                  self._mx, self._ctl)
+        self._scratch = lib.scratch_create()
+        self._gp = GapParams.from_alnparams(ap)
+        self._path_buf = ctypes.create_string_buffer(1 << 20)
+        self._a = None
+        self._la = 0
+
+    def __del__(self):
+        try:
+            self.lib.hsp_destroy(self._hf)
+            self.lib.scratch_destroy(self._scratch)
+        except Exception:
+            pass
+
+    def set_a(self, a: np.ndarray) -> None:
+        self._a = np.ascontiguousarray(a)
+        self._la = len(a)
+        self.lib.hsp_set_a(self._hf, self._a, self._la)
+
+    def set_b(self, b: np.ndarray) -> None:
+        self._b = np.ascontiguousarray(b)
+        self._lb = len(b)
+        self.lib.hsp_set_b(self._hf, self._b, self._lb)
+
+    def global_align(self, full_dp_always: bool = False,
+                     fail_if_no_hsps: bool = True) -> Optional[str]:
+        need = self._la + self._lb + 2
+        if need > len(self._path_buf):
+            self._path_buf = ctypes.create_string_buffer(2 * need)
+        fract = ctypes.c_float(0.0)
+        ah = self.ah
+        n = self.lib.global_align_c(
+            self._hf, self._scratch, ctypes.byref(self._gp), self._match,
+            ah.band_radius, ah.min_global_hsp_length,
+            ah.min_global_hsp_fract_id, ah.min_global_hsp_score,
+            ah.xdrop_global_hsp, int(full_dp_always), int(fail_if_no_hsps),
+            self._path_buf, ctypes.byref(fract))
+        if n == 0:
+            return None
+        if n < 0:
+            raise RuntimeError(f"global_align_c error {n}")
+        return self._path_buf.raw[:n].decode("ascii")

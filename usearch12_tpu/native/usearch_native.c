@@ -1,0 +1,916 @@
+/* Native host kernels for usearch12_tpu.
+ *
+ * Exact reimplementation of the hot per-pair alignment path documented in
+ * the Python oracle modules (align/oracle.py, align/hsp.py,
+ * align/global_aligner.py), against which this file is tested cell-for-cell:
+ *   - banded / full affine-gap global NW with 4-bit traceback
+ *     (semantics of usearch12 src/viterbifastbandmem.cpp:12-253,
+ *      src/viterbifastmem.cpp:9-170, src/tracebackbitmem.cpp:8-73)
+ *   - ungapped x-drop HSP finding with MaxReps=8 word dictionary
+ *     (src/ungappedblast.cpp:8-211, src/hspfinder.cpp:304-331)
+ *   - collinear chain sweep (src/chainer.cpp:352-500)
+ *   - HSP-anchored global alignment composition
+ *     (src/globalalignmem.cpp:25-236)
+ *
+ * Plain C, IEEE float arithmetic (no fast-math), deterministic.
+ * Exposed via ctypes; all buffers caller-allocated numpy arrays.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define TB_DM 0x01
+#define TB_IM 0x02
+#define TB_MD 0x04
+#define TB_MI 0x08
+
+#define NEG_INF (-9e9f)
+#define MAX_REPS 8
+
+typedef unsigned char byte;
+
+/* 12-penalty gap model, order matches Python AlnParams fields */
+typedef struct {
+    float open_a, open_b, ext_a, ext_b;
+    float l_open_a, l_open_b, r_open_a, r_open_b;
+    float l_ext_a, l_ext_b, r_ext_a, r_ext_b;
+} GapParams;
+
+/* ---------------- banded NW ---------------- */
+
+static void get_range_j(uint32_t la, uint32_t lb, uint32_t dlo, uint32_t dhi,
+                        uint32_t i, uint32_t *startj, uint32_t *endj)
+{
+    uint32_t s = (dlo + i >= la) ? dlo + i - la : 0;
+    if (s >= lb)
+        s = lb - 1;
+    uint32_t e = (dhi + i + 1 >= la) ? dhi + i + 1 - la : 0;
+    if (e > lb)
+        e = lb;
+    *startj = s;
+    *endj = e;
+}
+
+/* Scratch sized for (la+1) x (lb+1) traceback; caller passes workspace of
+ * at least (la+1)*(lb+1) bytes for tb and (lb+2)*2 floats. */
+int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
+            uint32_t dlo, uint32_t dhi, const GapParams *gp,
+            const float *mx /*256x256*/,
+            byte *tb /* (la+1)*(lb+1) */, float *mrow_buf /* lb+2 */,
+            float *drow /* lb+1 */, char *path_out /* la+lb+1 */,
+            float *score_out)
+{
+    if (la == 0 || lb == 0 || dlo > dhi)
+        return -1;
+    float *mrow = mrow_buf + 1; /* mrow[-1] valid */
+    uint32_t j, i;
+    mrow[-1] = NEG_INF;
+    for (j = 0; j <= lb; ++j) {
+        mrow[j] = NEG_INF;
+        drow[j] = NEG_INF;
+    }
+
+    float open_a = gp->l_open_a;
+    float ext_a = gp->l_ext_a;
+    uint32_t startj = 0, endj = 0;
+    size_t stride = (size_t)lb + 1;
+
+    for (i = 0; i < la; ++i) {
+        get_range_j(la, lb, dlo, dhi, i, &startj, &endj);
+        if (endj == 0)
+            continue;
+        float open_b = (startj == 0) ? gp->l_open_b : gp->open_b;
+        float ext_b = (startj == 0) ? gp->l_ext_b : gp->ext_b;
+
+        const float *mx_row = mx + 256 * (size_t)a[i];
+        float i0 = NEG_INF;
+        float m0;
+        if (i == 0)
+            m0 = 0.0f;
+        else
+            m0 = (startj == 0) ? NEG_INF : mrow[(int32_t)startj - 1];
+
+        byte *tbrow = tb + stride * i;
+        if (startj > 0)
+            tbrow[startj - 1] = TB_IM;
+
+        for (j = startj; j < endj; ++j) {
+            byte bb = b[j];
+            byte bits = 0;
+            float saved_m0 = m0;
+            /* MATCH */
+            float xm = m0;
+            if (drow[j] > xm) {
+                xm = drow[j];
+                bits = TB_DM;
+            }
+            if (i0 > xm) {
+                xm = i0;
+                bits = TB_IM;
+            }
+            m0 = mrow[j];
+            mrow[j] = xm + mx_row[bb];
+            /* DELETE */
+            {
+                float md = saved_m0 + open_b;
+                drow[j] += ext_b;
+                if (md >= drow[j]) {
+                    drow[j] = md;
+                    bits |= TB_MD;
+                }
+            }
+            /* INSERT */
+            {
+                float mi = saved_m0 + open_a;
+                i0 += ext_a;
+                if (mi >= i0) {
+                    i0 = mi;
+                    bits |= TB_MI;
+                }
+            }
+            open_b = gp->open_b;
+            ext_b = gp->ext_b;
+            tbrow[j] = bits;
+        }
+
+        /* special case for end of Drow (runs every row, M0 = DPM[i][endj]) */
+        tbrow[lb] = 0;
+        {
+            float md = m0 + gp->r_open_b;
+            drow[lb] += gp->r_ext_b;
+            if (md >= drow[lb]) {
+                drow[lb] = md;
+                tbrow[lb] = TB_MD;
+            }
+        }
+        m0 = NEG_INF;
+        open_a = gp->open_a;
+        ext_a = gp->ext_a;
+    }
+
+    /* last row of DPI */
+    get_range_j(la, lb, dlo, dhi, la - 1, &startj, &endj);
+    if (endj != lb)
+        return -2;
+    byte *tbrow = tb + stride * la;
+    float i1 = NEG_INF;
+    mrow[(int32_t)startj - 1] = NEG_INF;
+    for (j = startj; j < endj; ++j) {
+        tbrow[j] = 0;
+        float mi = mrow[(int32_t)j - 1] + gp->r_open_a;
+        i1 += gp->r_ext_a;
+        if (mi > i1) {
+            i1 = mi;
+            tbrow[j] = TB_MI;
+        }
+    }
+
+    float final_m = mrow[lb - 1];
+    float final_d = drow[lb];
+    float final_i = i1;
+    float score = final_m;
+    char state = 'M';
+    if (final_d > score) {
+        score = final_d;
+        state = 'D';
+    }
+    if (final_i > score) {
+        score = final_i;
+        state = 'I';
+    }
+    *score_out = score;
+
+    /* traceback */
+    {
+        size_t pos = 0;
+        uint32_t ii = la, jj = lb;
+        char *p = path_out;
+        while (!(ii == 0 && jj == 0)) {
+            p[pos++] = state;
+            if (state == 'M') {
+                if (ii == 0 || jj == 0)
+                    return -3;
+                byte t = tb[stride * (ii - 1) + (jj - 1)];
+                state = (t & TB_DM) ? 'D' : ((t & TB_IM) ? 'I' : 'M');
+                --ii;
+                --jj;
+            } else if (state == 'D') {
+                if (ii == 0)
+                    return -3;
+                byte t = tb[stride * (ii - 1) + jj];
+                state = (t & TB_MD) ? 'M' : 'D';
+                --ii;
+            } else {
+                if (jj == 0)
+                    return -3;
+                byte t = tb[stride * ii + (jj - 1)];
+                state = (t & TB_MI) ? 'M' : 'I';
+                --jj;
+            }
+        }
+        /* reverse in place */
+        for (size_t x = 0; x < pos / 2; ++x) {
+            char tmp = p[x];
+            p[x] = p[pos - 1 - x];
+            p[pos - 1 - x] = tmp;
+        }
+        p[pos] = 0;
+        return (int)pos;
+    }
+}
+
+/* Full-matrix NW (ViterbiFastMem): banded code except final DPI row starts
+ * at j=1 and rows always span [0, lb). */
+int nw_full(const byte *a, uint32_t la, const byte *b, uint32_t lb,
+            const GapParams *gp, const float *mx, byte *tb, float *mrow_buf,
+            float *drow, char *path_out, float *score_out)
+{
+    if (la == 0 || lb == 0)
+        return -1;
+    float *mrow = mrow_buf + 1;
+    uint32_t i, j;
+    mrow[-1] = NEG_INF;
+    for (j = 0; j <= lb; ++j) {
+        mrow[j] = NEG_INF;
+        drow[j] = NEG_INF;
+    }
+    size_t stride = (size_t)lb + 1;
+    float open_a = gp->l_open_a, ext_a = gp->l_ext_a;
+    float m0 = 0.0f;
+    for (i = 0; i < la; ++i) {
+        const float *mx_row = mx + 256 * (size_t)a[i];
+        float open_b = gp->l_open_b, ext_b = gp->l_ext_b;
+        float i0 = NEG_INF;
+        byte *tbrow = tb + stride * i;
+        for (j = 0; j < lb; ++j) {
+            byte bits = 0;
+            float saved_m0 = m0;
+            float xm = m0;
+            if (drow[j] > xm) {
+                xm = drow[j];
+                bits = TB_DM;
+            }
+            if (i0 > xm) {
+                xm = i0;
+                bits = TB_IM;
+            }
+            m0 = mrow[j];
+            mrow[j] = xm + mx_row[b[j]];
+            {
+                float md = saved_m0 + open_b;
+                drow[j] += ext_b;
+                if (md >= drow[j]) {
+                    drow[j] = md;
+                    bits |= TB_MD;
+                }
+            }
+            {
+                float mi = saved_m0 + open_a;
+                i0 += ext_a;
+                if (mi >= i0) {
+                    i0 = mi;
+                    bits |= TB_MI;
+                }
+            }
+            open_b = gp->open_b;
+            ext_b = gp->ext_b;
+            tbrow[j] = bits;
+        }
+        tbrow[lb] = 0;
+        {
+            float md = m0 + gp->r_open_b;
+            drow[lb] += gp->r_ext_b;
+            if (md >= drow[lb]) {
+                drow[lb] = md;
+                tbrow[lb] = TB_MD;
+            }
+        }
+        m0 = NEG_INF;
+        open_a = gp->open_a;
+        ext_a = gp->ext_a;
+    }
+    byte *tbrow = tb + stride * la;
+    float i1 = NEG_INF;
+    for (j = 1; j < lb; ++j) {
+        tbrow[j] = 0;
+        float mi = mrow[(int32_t)j - 1] + gp->r_open_a;
+        i1 += gp->r_ext_a;
+        if (mi > i1) {
+            i1 = mi;
+            tbrow[j] = TB_MI;
+        }
+    }
+    float final_m = mrow[lb - 1];
+    float final_d = drow[lb];
+    float final_i = i1;
+    float score = final_m;
+    char state = 'M';
+    if (final_d > score) {
+        score = final_d;
+        state = 'D';
+    }
+    if (final_i > score) {
+        score = final_i;
+        state = 'I';
+    }
+    *score_out = score;
+    {
+        size_t pos = 0;
+        uint32_t ii = la, jj = lb;
+        char *p = path_out;
+        while (!(ii == 0 && jj == 0)) {
+            p[pos++] = state;
+            if (state == 'M') {
+                if (ii == 0 || jj == 0)
+                    return -3;
+                byte t = tb[stride * (ii - 1) + (jj - 1)];
+                state = (t & TB_DM) ? 'D' : ((t & TB_IM) ? 'I' : 'M');
+                --ii;
+                --jj;
+            } else if (state == 'D') {
+                if (ii == 0)
+                    return -3;
+                byte t = tb[stride * (ii - 1) + jj];
+                state = (t & TB_MD) ? 'M' : 'D';
+                --ii;
+            } else {
+                if (jj == 0)
+                    return -3;
+                byte t = tb[stride * ii + (jj - 1)];
+                state = (t & TB_MI) ? 'M' : 'I';
+                --jj;
+            }
+        }
+        for (size_t x = 0; x < pos / 2; ++x) {
+            char tmp = p[x];
+            p[x] = p[pos - 1 - x];
+            p[pos - 1 - x] = tmp;
+        }
+        p[pos] = 0;
+        return (int)pos;
+    }
+}
+
+/* ---------------- HSP finder ---------------- */
+
+typedef struct {
+    uint32_t loi, loj, leni, lenj;
+    float score;
+} HSPc;
+
+typedef struct {
+    uint32_t word_length;
+    uint32_t alpha_size;
+    uint32_t word_count;
+    const float *mx;           /* 256x256 */
+    const byte *char_to_letter; /* 256 */
+    /* A-side dictionary */
+    uint32_t *word_counts_a;   /* word_count */
+    uint32_t *word_to_pos_a;   /* word_count * MAX_REPS */
+    uint32_t *words_a;         /* capacity */
+    uint32_t *words_b;
+    uint32_t cap_a, cap_b;
+    const byte *a;
+    const byte *b;
+    uint32_t la, lb;
+    uint32_t n_words_a, n_words_b;
+    /* touched words for sparse clearing */
+    uint32_t *touched;
+    uint32_t n_touched;
+} HSPFinderC;
+
+static uint32_t seq_to_hsp_words(const byte *seq, uint32_t L, uint32_t w,
+                                 uint32_t alpha_size,
+                                 const byte *char_to_letter, uint32_t *words)
+{
+    if (L < w)
+        return 0;
+    uint32_t n = L - w + 1;
+    uint32_t i;
+    uint64_t hi = 1;
+    for (i = 0; i < w - 1; ++i)
+        hi *= alpha_size;
+    uint32_t word = 0;
+    for (i = 0; i < w - 1; ++i) {
+        uint32_t let = char_to_letter[seq[i]];
+        if (let >= alpha_size)
+            let = 0;
+        word = word * alpha_size + let;
+    }
+    for (i = 0; i < n; ++i) {
+        uint32_t let = char_to_letter[seq[i + w - 1]];
+        if (let >= alpha_size)
+            let = 0;
+        word = word * alpha_size + let;
+        words[i] = word;
+        uint32_t back = char_to_letter[seq[i]];
+        if (back >= alpha_size)
+            back = 0;
+        word -= (uint32_t)(back * hi);
+    }
+    return n;
+}
+
+HSPFinderC *hsp_create(uint32_t word_length, uint32_t alpha_size,
+                       const float *mx, const byte *char_to_letter)
+{
+    HSPFinderC *hf = (HSPFinderC *)calloc(1, sizeof(HSPFinderC));
+    hf->word_length = word_length;
+    hf->alpha_size = alpha_size;
+    uint32_t wc = 1;
+    for (uint32_t i = 0; i < word_length; ++i)
+        wc *= alpha_size;
+    hf->word_count = wc;
+    hf->mx = mx;
+    hf->char_to_letter = char_to_letter;
+    hf->word_counts_a = (uint32_t *)calloc(wc, sizeof(uint32_t));
+    hf->word_to_pos_a = (uint32_t *)malloc((size_t)wc * MAX_REPS * sizeof(uint32_t));
+    hf->cap_a = hf->cap_b = 0;
+    hf->words_a = hf->words_b = NULL;
+    hf->touched = NULL;
+    hf->n_touched = 0;
+    return hf;
+}
+
+void hsp_destroy(HSPFinderC *hf)
+{
+    if (!hf)
+        return;
+    free(hf->word_counts_a);
+    free(hf->word_to_pos_a);
+    free(hf->words_a);
+    free(hf->words_b);
+    free(hf->touched);
+    free(hf);
+}
+
+void hsp_set_a(HSPFinderC *hf, const byte *a, uint32_t la)
+{
+    if (la + 1 > hf->cap_a) {
+        free(hf->words_a);
+        free(hf->touched);
+        hf->cap_a = la + 512;
+        hf->words_a = (uint32_t *)malloc(hf->cap_a * sizeof(uint32_t));
+        hf->touched = (uint32_t *)malloc(hf->cap_a * sizeof(uint32_t));
+    }
+    /* sparse clear of previous dictionary */
+    for (uint32_t i = 0; i < hf->n_touched; ++i)
+        hf->word_counts_a[hf->touched[i]] = 0;
+    hf->n_touched = 0;
+
+    hf->a = a;
+    hf->la = la;
+    hf->n_words_a = seq_to_hsp_words(a, la, hf->word_length, hf->alpha_size,
+                                     hf->char_to_letter, hf->words_a);
+    for (uint32_t pos = 0; pos < hf->n_words_a; ++pos) {
+        uint32_t w = hf->words_a[pos];
+        uint32_t n = hf->word_counts_a[w];
+        if (n == 0)
+            hf->touched[hf->n_touched++] = w;
+        if (n == MAX_REPS)
+            continue;
+        hf->word_to_pos_a[(size_t)w * MAX_REPS + n] = pos;
+        hf->word_counts_a[w] = n + 1;
+    }
+}
+
+void hsp_set_b(HSPFinderC *hf, const byte *b, uint32_t lb)
+{
+    if (lb + 1 > hf->cap_b) {
+        free(hf->words_b);
+        hf->cap_b = lb + 512;
+        hf->words_b = (uint32_t *)malloc(hf->cap_b * sizeof(uint32_t));
+    }
+    hf->b = b;
+    hf->lb = lb;
+    hf->n_words_b = seq_to_hsp_words(b, lb, hf->word_length, hf->alpha_size,
+                                     hf->char_to_letter, hf->words_b);
+}
+
+static int is_global_hsp(uint32_t alo, uint32_t blo, uint32_t length,
+                         uint32_t la, uint32_t lb)
+{
+    (void)length;
+    if (la <= lb) {
+        uint32_t max_gap = la / 4 + 1;
+        if (alo > blo && alo - blo > max_gap)
+            return 0;
+        uint32_t ar = la - alo, br = lb - blo;
+        if (ar > br && ar - br > max_gap)
+            return 0;
+    } else {
+        uint32_t max_gap = lb / 4 + 1;
+        if (blo > alo && blo - alo > max_gap)
+            return 0;
+        uint32_t ar = la - alo, br = lb - blo;
+        if (br > ar && br - ar > max_gap)
+            return 0;
+    }
+    return 1;
+}
+
+/* UngappedBlast; returns number of HSPs written to out (cap max_out). */
+uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
+                            uint32_t min_length, float min_score,
+                            HSPc *out, uint32_t max_out)
+{
+    uint32_t n_out = 0;
+    uint32_t w = hf->word_length;
+    const byte *a = hf->a, *b = hf->b;
+    uint32_t la = hf->la, lb = hf->lb;
+    if (lb < 2 * w)
+        return 0;
+    const float *mx = hf->mx;
+
+    uint32_t bpos = 0;
+    while (bpos < hf->n_words_b) {
+        uint32_t word = hf->words_b[bpos];
+        uint32_t na = hf->word_counts_a[word];
+        if (na == 0) {
+            ++bpos;
+            continue;
+        }
+        int found = 0;
+        for (uint32_t r = 0; r < na; ++r) {
+            uint32_t apos = hf->word_to_pos_a[(size_t)word * MAX_REPS + r];
+            uint32_t diag = la + bpos - apos;
+            uint32_t bpos2 = bpos + w - 1;
+            uint32_t apos2 = apos + w - 1;
+            if (apos2 >= la || bpos2 >= lb)
+                continue;
+            float score = 0.0f;
+            for (uint32_t jj = 0; jj < w; ++jj)
+                score += mx[256 * (size_t)a[apos + jj] + b[bpos + jj]];
+            float best_score = score;
+            uint32_t best_bpos2 = bpos2;
+            for (;;) {
+                ++bpos2;
+                if (bpos2 >= lb)
+                    break;
+                ++apos2;
+                if (apos2 >= la)
+                    break;
+                score += mx[256 * (size_t)a[apos2] + b[bpos2]];
+                if (score > best_score) {
+                    best_score = score;
+                    best_bpos2 = bpos2;
+                } else if (best_score - score > x)
+                    break;
+            }
+            uint32_t apos1 = apos, bpos1 = bpos;
+            uint32_t best_bpos1 = bpos1;
+            score = best_score;
+            for (;;) {
+                if (bpos1 == 0 || apos1 == 0)
+                    break;
+                --bpos1;
+                --apos1;
+                score += mx[256 * (size_t)a[apos1] + b[bpos1]];
+                if (score > best_score) {
+                    best_score = score;
+                    best_bpos1 = bpos1;
+                } else if (best_score - score > x)
+                    break;
+            }
+            uint32_t blo = best_bpos1, bhi = best_bpos2;
+            uint32_t length = bhi - blo + 1;
+            uint32_t alo = la + best_bpos1 - diag;
+            int ok = (length >= min_length && best_score >= min_score);
+            if (!stagger_ok)
+                ok = ok && is_global_hsp(alo, blo, length, la, lb);
+            if (ok) {
+                if (n_out < max_out) {
+                    out[n_out].loi = alo;
+                    out[n_out].loj = blo;
+                    out[n_out].leni = length;
+                    out[n_out].lenj = length;
+                    out[n_out].score = best_score;
+                    ++n_out;
+                }
+                bpos = bhi + 1;
+                found = 1;
+                break;
+            }
+        }
+        if (!found)
+            ++bpos;
+    }
+    return n_out;
+}
+
+/* Chainer sweep; writes chained HSP indexes into order_out, returns count. */
+uint32_t hsp_chain(const HSPc *hsps, uint32_t n, uint32_t *order_out)
+{
+    if (n == 0)
+        return 0;
+    /* bendpoints: (pos, is_hi, index), sort by (pos, lo-before-hi), stable */
+    typedef struct {
+        uint32_t pos;
+        uint32_t is_hi;
+        uint32_t idx;
+    } BP;
+    BP *bps = (BP *)malloc(2 * (size_t)n * sizeof(BP));
+    for (uint32_t i = 0; i < n; ++i) {
+        bps[2 * i].pos = hsps[i].loi;
+        bps[2 * i].is_hi = 0;
+        bps[2 * i].idx = i;
+        bps[2 * i + 1].pos = hsps[i].loi + hsps[i].leni - 1;
+        bps[2 * i + 1].is_hi = 1;
+        bps[2 * i + 1].idx = i;
+    }
+    /* insertion sort (stable), n is small */
+    for (uint32_t i = 1; i < 2 * n; ++i) {
+        BP key = bps[i];
+        int32_t j = (int32_t)i - 1;
+        while (j >= 0 && (bps[j].pos > key.pos ||
+                          (bps[j].pos == key.pos && bps[j].is_hi > key.is_hi))) {
+            bps[j + 1] = bps[j];
+            --j;
+        }
+        bps[j + 1] = key;
+    }
+
+    float *chain_score = (float *)malloc(n * sizeof(float));
+    int32_t *prev_idx = (int32_t *)malloc(n * sizeof(int32_t));
+    uint32_t *chains = (uint32_t *)malloc(n * sizeof(uint32_t));
+    uint32_t n_chains = 0;
+
+    for (uint32_t bi = 0; bi < 2 * n; ++bi) {
+        if (bps[bi].is_hi)
+            continue; /* delete-enclosed branch is a no-op in the reference */
+        uint32_t idx = bps[bi].idx;
+        uint32_t hloi = hsps[idx].loi, hloj = hsps[idx].loj;
+        int32_t best = -1;
+        float best_score = 0.0f;
+        for (uint32_t c = 0; c < n_chains; ++c) {
+            uint32_t ci = chains[c];
+            uint32_t chii = hsps[ci].loi + hsps[ci].leni - 1;
+            uint32_t chij = hsps[ci].loj + hsps[ci].lenj - 1;
+            if (chii < hloi && chij < hloj &&
+                (best == -1 || chain_score[ci] > best_score)) {
+                best = (int32_t)ci;
+                best_score = chain_score[ci];
+            }
+        }
+        chains[n_chains++] = idx;
+        prev_idx[idx] = best;
+        chain_score[idx] = (best == -1) ? hsps[idx].score
+                                        : chain_score[best] + hsps[idx].score;
+    }
+
+    uint32_t opt = 0;
+    float opt_score = chain_score[0];
+    for (uint32_t i = 1; i < n; ++i)
+        if (chain_score[i] > opt_score) {
+            opt = i;
+            opt_score = chain_score[i];
+        }
+    uint32_t len = 0;
+    for (int32_t i = (int32_t)opt; i != -1; i = prev_idx[i])
+        ++len;
+    uint32_t k = len;
+    for (int32_t i = (int32_t)opt; i != -1; i = prev_idx[i])
+        order_out[--k] = (uint32_t)i;
+
+    free(bps);
+    free(chain_score);
+    free(prev_idx);
+    free(chains);
+    return len;
+}
+
+/* ---------------- global alignment composition ---------------- */
+
+typedef struct {
+    /* scratch reused across calls */
+    byte *tb;
+    float *mrow;
+    float *drow;
+    size_t tb_cap;
+    size_t row_cap;
+    HSPc hsps[512];
+    uint32_t order[512];
+} AlignScratch;
+
+AlignScratch *scratch_create(void)
+{
+    return (AlignScratch *)calloc(1, sizeof(AlignScratch));
+}
+
+void scratch_destroy(AlignScratch *s)
+{
+    if (!s)
+        return;
+    free(s->tb);
+    free(s->mrow);
+    free(s->drow);
+    free(s);
+}
+
+static void scratch_alloc(AlignScratch *s, uint32_t la, uint32_t lb)
+{
+    size_t need_tb = ((size_t)la + 1) * ((size_t)lb + 1);
+    if (need_tb > s->tb_cap) {
+        free(s->tb);
+        s->tb_cap = need_tb + 4096;
+        s->tb = (byte *)malloc(s->tb_cap);
+    }
+    size_t need_row = (size_t)lb + 2;
+    if (need_row > s->row_cap) {
+        free(s->mrow);
+        free(s->drow);
+        s->row_cap = need_row + 1024;
+        s->mrow = (float *)malloc(s->row_cap * sizeof(float));
+        s->drow = (float *)malloc(s->row_cap * sizeof(float));
+    }
+}
+
+static uint32_t hsp_id_count(const byte *a, const byte *b, const HSPc *h,
+                             const byte *match_mx /* 256*256 bool */)
+{
+    uint32_t cnt = 0;
+    for (uint32_t k = 0; k < h->leni; ++k)
+        if (match_mx[256 * (size_t)a[h->loi + k] + b[h->loj + k]])
+            ++cnt;
+    return cnt;
+}
+
+static int hsp_is_staggered(const HSPc *h, uint32_t la, uint32_t lb)
+{
+    int32_t hii = (int32_t)(h->loi + h->leni - 1);
+    int32_t hij = (int32_t)(h->loj + h->lenj - 1);
+    int32_t tg_la = (int32_t)h->loi - (int32_t)h->loj;
+    int32_t tg_lb = (int32_t)h->loj - (int32_t)h->loi;
+    int32_t tg_ra = ((int32_t)la - hii - 1) - ((int32_t)lb - hij - 1);
+    int32_t tg_rb = ((int32_t)lb - hij - 1) - ((int32_t)la - hii - 1);
+    if (tg_la < 0)
+        tg_la = 0;
+    if (tg_lb < 0)
+        tg_lb = 0;
+    if (tg_rb < 0)
+        tg_rb = 0;
+    int32_t gap_a = tg_la + tg_ra;
+    int32_t gap_b = tg_lb + tg_rb;
+    if (gap_a == 0 || gap_b == 0)
+        return 0;
+    double r = (la < lb) ? (double)gap_a / la : (double)gap_b / lb;
+    return r > 0.5;
+}
+
+static void band_diag_range(uint32_t la, uint32_t lb, uint32_t band_radius,
+                            uint32_t *dlo, uint32_t *dhi)
+{
+    uint32_t lo = la < lb ? la : lb;
+    uint32_t hi = la > lb ? la : lb;
+    if (lo > band_radius)
+        lo -= band_radius;
+    else
+        lo = 1;
+    hi += band_radius;
+    uint32_t maxdiag = la + lb - 1;
+    if (hi > maxdiag)
+        hi = maxdiag;
+    *dlo = lo;
+    *dhi = hi;
+}
+
+/* hole DP with terminal-gap adjusted params (AlnParams::Init) */
+static int align_hole(AlignScratch *s, const byte *a, uint32_t la,
+                      const byte *b, uint32_t lb, uint32_t hloi, uint32_t hloj,
+                      uint32_t hleni, uint32_t hlenj, const GapParams *gp,
+                      const float *mx, uint32_t band_radius, char *path_out)
+{
+    if (hleni == 0) {
+        memset(path_out, 'I', hlenj);
+        path_out[hlenj] = 0;
+        return (int)hlenj;
+    }
+    if (hlenj == 0) {
+        memset(path_out, 'D', hleni);
+        path_out[hleni] = 0;
+        return (int)hleni;
+    }
+    GapParams lp;
+    lp.open_a = gp->open_a;
+    lp.open_b = gp->open_b;
+    lp.ext_a = gp->ext_a;
+    lp.ext_b = gp->ext_b;
+    int left_a = hloi == 0, left_b = hloj == 0;
+    int right_a = hloi + hleni == la, right_b = hloj + hlenj == lb;
+    lp.l_open_a = left_a ? gp->l_open_a : gp->open_a;
+    lp.l_ext_a = left_a ? gp->l_ext_a : gp->ext_a;
+    lp.l_open_b = left_b ? gp->l_open_b : gp->open_b;
+    lp.l_ext_b = left_b ? gp->l_ext_b : gp->ext_b;
+    lp.r_open_a = right_a ? gp->r_open_a : gp->open_a;
+    lp.r_ext_a = right_a ? gp->r_ext_a : gp->ext_a;
+    lp.r_open_b = right_b ? gp->r_open_b : gp->open_b;
+    lp.r_ext_b = right_b ? gp->r_ext_b : gp->ext_b;
+
+    scratch_alloc(s, hleni, hlenj);
+    float score;
+    if (band_radius == 0)
+        return nw_full(a + hloi, hleni, b + hloj, hlenj, &lp, mx, s->tb,
+                       s->mrow, s->drow, path_out, &score);
+    uint32_t dlo, dhi;
+    band_diag_range(hleni, hlenj, band_radius, &dlo, &dhi);
+    return nw_band(a + hloi, hleni, b + hloj, hlenj, dlo, dhi, &lp, mx,
+                   s->tb, s->mrow, s->drow, path_out, &score);
+}
+
+/* GlobalAlign_AllOpts. Returns path length (>0), 0 = not aligned,
+ * <0 = error.  hf must have set_a/set_b applied. */
+int global_align_c(HSPFinderC *hf, AlignScratch *s, const GapParams *gp,
+                   const byte *match_mx, uint32_t band_radius,
+                   uint32_t min_global_hsp_length, float min_hsp_fract_id,
+                   float min_hsp_score, float xdrop_g, int full_dp_always,
+                   int fail_if_no_hsps, char *path_out, float *hsp_fract_id)
+{
+    const byte *a = hf->a, *b = hf->b;
+    uint32_t la = hf->la, lb = hf->lb;
+    float score;
+
+    if (full_dp_always) {
+        scratch_alloc(s, la, lb);
+        return nw_full(a, la, b, lb, gp, hf->mx, s->tb, s->mrow, s->drow,
+                       path_out, &score);
+    }
+
+    uint32_t min_len = min_global_hsp_length == 0 ? 32 : min_global_hsp_length;
+    if (min_len > la / 4)
+        min_len = la / 4;
+    if (min_len < 16)
+        min_len = 16;
+
+    uint32_t n_hsps = hsp_ungapped_blast(hf, xdrop_g, 0, min_len,
+                                         min_hsp_score, s->hsps, 512);
+    uint32_t n_chain = hsp_chain(s->hsps, n_hsps, s->order);
+    /* staggered filter */
+    for (uint32_t i = 0; i < n_chain; ++i)
+        if (hsp_is_staggered(&s->hsps[s->order[i]], la, lb)) {
+            n_chain = 0;
+            break;
+        }
+    uint32_t total_len = 0, total_same = 0;
+    for (uint32_t i = 0; i < n_chain; ++i) {
+        const HSPc *h = &s->hsps[s->order[i]];
+        total_len += h->leni;
+        total_same += hsp_id_count(a, b, h, match_mx);
+    }
+    float fract = total_len == 0 ? 0.0f : (float)total_same / total_len;
+    *hsp_fract_id = fract;
+    if (fract < min_hsp_fract_id && fail_if_no_hsps)
+        return 0;
+    if (n_chain == 0) {
+        if (min_global_hsp_length > 0 && la > 64 && fail_if_no_hsps)
+            return 0;
+        scratch_alloc(s, la, lb);
+        if (band_radius == 0)
+            return nw_full(a, la, b, lb, gp, hf->mx, s->tb, s->mrow, s->drow,
+                           path_out, &score);
+        uint32_t dlo, dhi;
+        band_diag_range(la, lb, band_radius, &dlo, &dhi);
+        return nw_band(a, la, b, lb, dlo, dhi, gp, hf->mx, s->tb, s->mrow,
+                       s->drow, path_out, &score);
+    }
+
+    char *p = path_out;
+    uint32_t prev_hii = 0, prev_hij = 0;
+    int have_prev = 0;
+    for (uint32_t i = 0; i < n_chain; ++i) {
+        const HSPc *h = &s->hsps[s->order[i]];
+        uint32_t hloi, hloj, hleni, hlenj;
+        if (!have_prev) {
+            hloi = 0;
+            hloj = 0;
+            hleni = h->loi;
+            hlenj = h->loj;
+        } else {
+            hloi = prev_hii + 1;
+            hloj = prev_hij + 1;
+            hleni = h->loi - prev_hii - 1;
+            hlenj = h->loj - prev_hij - 1;
+        }
+        int n = align_hole(s, a, la, b, lb, hloi, hloj, hleni, hlenj, gp,
+                           hf->mx, band_radius, p);
+        if (n < 0)
+            return n;
+        p += n;
+        memset(p, 'M', h->leni);
+        p += h->leni;
+        prev_hii = h->loi + h->leni - 1;
+        prev_hij = h->loj + h->lenj - 1;
+        have_prev = 1;
+    }
+    {
+        uint32_t hloi = prev_hii + 1;
+        uint32_t hloj = prev_hij + 1;
+        int n = align_hole(s, a, la, b, lb, hloi, hloj, la - hloi, lb - hloj,
+                           gp, hf->mx, band_radius, p);
+        if (n < 0)
+            return n;
+        p += n;
+    }
+    *p = 0;
+    return (int)(p - path_out);
+}

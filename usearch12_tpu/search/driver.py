@@ -40,13 +40,23 @@ class SearchContext:
     hf: HSPFinder
     nucleo: bool
     hole_kernel: Optional[Callable] = None
+    native: Optional[object] = None
 
     @classmethod
-    def build(cls, cmd: str, db: SeqDB, hole_kernel=None) -> "SearchContext":
+    def build(cls, cmd: str, db: SeqDB, hole_kernel=None,
+              index: Optional[UDBIndex] = None) -> "SearchContext":
         nucleo = db.get_is_nucleo()
         ap = AlnParams.from_cmdline(nucleo)
         ah = AlnHeuristics.from_cmdline(ap)
-        index = UDBIndex.from_seqdb(db)
+        if index is None:
+            index = UDBIndex.from_seqdb(db)
+        native = None
+        if hole_kernel is None and not options().flag("use_cpu_oracle"):
+            try:
+                from ..native import NativeAligner
+                native = NativeAligner(ap, ah)
+            except Exception:
+                native = None
         return cls(cmd=cmd, db=db, index=index, ap=ap, ah=ah,
                    accepter=Accepter(is_global=True),
                    terminator=Terminator(cmd),
@@ -54,7 +64,8 @@ class SearchContext:
                    ranker=USortedRanker(index),
                    hf=HSPFinder(ap, ah),
                    nucleo=nucleo,
-                   hole_kernel=hole_kernel)
+                   hole_kernel=hole_kernel,
+                   native=native)
 
     # -- one query through the search loop --------------------------------
     def search_query(self, q_label: str, q_seq: np.ndarray,
@@ -76,18 +87,25 @@ class SearchContext:
         tix_order, _counts = self.ranker.rank(q_seq)
         if len(tix_order) == 0:
             return
-        self.hf.set_a(q_seq)
+        aligner = self.native if self.native is not None else self.hf
+        aligner.set_a(q_seq)
         db = self.db
+        fail_if_no_hsps = not options().flag("gaforce")
         for tix in tix_order.tolist():
             t_label = db.labels[tix]
             t_seq = db.seqs[tix]
             if self.accepter.reject_pair(q_label, q_seq, t_label, t_seq):
                 continue  # not counted by terminator
-            self.hf.set_b(t_seq)
-            path = global_align(q_seq, t_seq, self.ap, self.ah, self.hf,
-                                full_dp_always=self.ah.full_dp_always,
-                                fail_if_no_hsps=not options().flag("gaforce"),
-                                hole_kernel=self.hole_kernel)
+            aligner.set_b(t_seq)
+            if self.native is not None:
+                path = self.native.global_align(
+                    full_dp_always=self.ah.full_dp_always,
+                    fail_if_no_hsps=fail_if_no_hsps)
+            else:
+                path = global_align(q_seq, t_seq, self.ap, self.ah, self.hf,
+                                    full_dp_always=self.ah.full_dp_always,
+                                    fail_if_no_hsps=fail_if_no_hsps,
+                                    hole_kernel=self.hole_kernel)
             accept = False
             if path is not None:
                 ar = AlignResult(query_label=q_label, target_label=t_label,
