@@ -1,0 +1,83 @@
+"""Pallas banded NW kernel vs the Python oracle.
+
+Runs in interpret mode on CPU (conftest forces JAX_PLATFORMS=cpu); sizes are
+kept small so interpretation stays fast.  On real TPU hardware the same
+assertions are exercised at scale by the driver/bench.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from usearch12_tpu.scoring import AlnParams, nuc_mx
+from usearch12_tpu.align.oracle import banded_nw_main_diag
+
+# Interpret-mode kernel runs cost ~1 min each; run them only when requested
+# (USEARCH_SLOW_TESTS=1) or when a real TPU backend is available.
+def _have_tpu():
+    if os.environ.get("USEARCH_SLOW_TESTS") == "1":
+        return True
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _have_tpu(), reason="interpret-mode kernel tests are slow; "
+    "set USEARCH_SLOW_TESTS=1")
+
+
+def make_ap():
+    ap = AlnParams(nucleo=True, subst_mx=nuc_mx(1.0, -2.0))
+    ap.init4(-10.0, -1.0, -0.5, -0.5)
+    return ap
+
+
+def rand_pairs(rng, n, lmin=40, lmax=100):
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(lmin, lmax))
+        a = np.frombuffer(
+            "".join("ACGT"[i] for i in rng.integers(0, 4, L)).encode(),
+            dtype=np.uint8).copy()
+        b = list(a)
+        for _ in range(int(rng.integers(0, 8))):
+            b[int(rng.integers(0, len(b)))] = ord(
+                "ACGT"[int(rng.integers(0, 4))])
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, len(b)))
+            if rng.integers(0, 2) == 0 and len(b) > 30:
+                del b[p]
+            else:
+                b.insert(p, ord("ACGT"[int(rng.integers(0, 4))]))
+        out.append((a, np.array(b, dtype=np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_kernel_matches_oracle(seed):
+    from usearch12_tpu.ops.banded_nw import BandedNWDevice
+    ap = make_ap()
+    rng = np.random.default_rng(seed)
+    pairs = rand_pairs(rng, 4)
+    dev = BandedNWDevice(ap, pb=8)
+    scores, paths = dev.align(pairs, band_radius=16)
+    for k, (a, b) in enumerate(pairs):
+        s_o, p_o = banded_nw_main_diag(a, b, 16, ap)
+        assert np.float32(s_o) == np.float32(scores[k])
+        assert p_o == paths[k]
+
+
+def test_device_traceback_matches_host():
+    from usearch12_tpu.ops.banded_nw import BandedNWDevice
+    ap = make_ap()
+    rng = np.random.default_rng(5)
+    pairs = rand_pairs(rng, 4)
+    dev = BandedNWDevice(ap, pb=8)
+    s1, p1 = dev.align(pairs, band_radius=16)
+    s2, p2 = dev.align_device(pairs, band_radius=16)
+    assert list(p1) == list(p2)
+    assert np.allclose(s1, s2)

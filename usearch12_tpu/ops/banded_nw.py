@@ -111,6 +111,25 @@ def pack_pairs(pairs, nucleo: bool, band_radius: int,
 
 def _make_kernel(amax: int, pb: int, match: float, mismatch: float,
                  with_traceback: bool):
+    """Rotating-frame formulation: at global row i, vector lane L holds band
+    offset k = (L - i) mod 128.  Consequences:
+      - M state stays with its k        -> m_next = roll(m_out, +1)
+      - D state's k+1 -> k inter-row shift is the identity (free)
+      - the row's B window is a static two-chunk select (no dynamic rolls):
+        lanes L >= r read bs[c*128+L], lanes L < r read bs[c*128+128+L]
+        (storage index m = k + i; with k = (L-r) mod 128 and i = 128c + r,
+        m = 128c + L for L >= r, else 128c + 128 + L)
+      - the I prefix scan runs circularly starting at lane r: doubling steps
+        mask contributions that crossed the k=0 boundary via rk < s, where
+        rk = (L - r) mod 128 is each lane's k
+      - the Drow[LB] right-edge cell sits at the FIXED lane
+        (la+lb-dlo) mod 128 in this frame (k_lb decreases by one per row
+        while the frame rotates by one), so its update is pure elementwise
+        work on that lane -- no per-row cross-lane reduce.
+    All per-pair scalars are pre-broadcast to (pb, 128) outside the row loop
+    so the row body is pure elementwise VPU work plus 8 static lane-rolls.
+    The final DPI row and score extraction run in XLA after the kernel.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -122,56 +141,59 @@ def _make_kernel(amax: int, pb: int, match: float, mismatch: float,
     def kernel(*refs):
         if with_traceback:
             (a_ref, bs_ref, la_ref, lb_ref, dlo_ref, bw_ref, gp_ref,
-             tb_ref, tblast_ref, finals_ref) = refs
+             tb_ref, mlast_ref, dlb_ref,
+             m_s, d_s, dlb_s, mlast_s) = refs
         else:
             (a_ref, bs_ref, la_ref, lb_ref, dlo_ref, bw_ref, gp_ref,
-             finals_ref) = refs
+             mlast_ref, dlb_ref,
+             m_s, d_s, dlb_s, mlast_s) = refs
+        cc = pl.program_id(1)
+        n_cc = pl.num_programs(1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (pb, LANES), 1)
-        la = la_ref[:, 0:1]
-        lb = lb_ref[:, 0:1]
-        dlo = dlo_ref[:, 0:1]
-        bw = bw_ref[:, 0:1]
+        ones = jnp.ones((pb, 1), dtype=jnp.int32)
+        la = la_ref[:, 0:1] * jnp.ones((pb, LANES), jnp.int32)
+        lb = lb_ref[:, 0:1] * jnp.ones((pb, LANES), jnp.int32)
+        dlo = dlo_ref[:, 0:1] * jnp.ones((pb, LANES), jnp.int32)
+        bw = bw_ref[:, 0:1] * jnp.ones((pb, LANES), jnp.int32)
+        u = dlo - la                     # j = u + rk + i
+        klb = la + lb - dlo              # k_lb(i) = klb - i
+        lb_lane = jnp.equal(lane, klb % LANES)
         g_open_a = gp_ref[0, 0]
         g_open_b = gp_ref[0, 1]
         g_ext_a = gp_ref[0, 2]
         g_ext_b = gp_ref[0, 3]
         g_l_open_a = gp_ref[0, 4]
         g_l_open_b = gp_ref[0, 5]
-        g_r_open_a = gp_ref[0, 6]
         g_r_open_b = gp_ref[0, 7]
         g_l_ext_a = gp_ref[0, 8]
         g_l_ext_b = gp_ref[0, 9]
-        g_r_ext_a = gp_ref[0, 10]
         g_r_ext_b = gp_ref[0, 11]
 
         neg = jnp.full((pb, LANES), NEG, dtype=f32)
 
-        def shift_r(x, s, fill):
-            y = pltpu.roll(x, s, 1)
-            return jnp.where(lane < s, fill, y)
-
-        def iscan(c, ext):
-            """entering[k] = max_{t<=k-1}(c[t] + (k-1-t)*ext); lane0=NEG."""
-            x = shift_r(c, 1, NEG)
+        def iscan_rot(c, ext, rk):
+            x = pltpu.roll(c, 1, 1)
+            x = jnp.where(rk < 1, NEG, x)
             s = 1
             while s < LANES:
-                x = jnp.maximum(x, shift_r(x, s, NEG) + f32(s) * ext)
+                y = pltpu.roll(x, s, 1)
+                y = jnp.where(rk < s, NEG, y + f32(s) * ext)
+                x = jnp.maximum(x, y)
                 s *= 2
             return x
 
-        def row_body(i, carry, a_chunk, bs_chunk0, bs_chunk1, r):
-            m_in, d_in, d_lb, fin_m, fin_d, fin_i, tblast_bits = carry
+        def row_body(i, r, carry, a_chunk, bs0, bs1):
+            (m_in, d_in, d_lb, m_last) = carry
             active = i < la
-            j = dlo + lane + i - la
-            valid = (j >= 0) & (j < lb) & (lane < bw) & active
+            rk = lane - r
+            rk = jnp.where(rk < 0, rk + LANES, rk)
+            j = u + (rk + i)
+            valid = (j >= 0) & (j < lb) & (rk < bw) & active
 
-            # a_i: extract lane r of the chunk; window bs[i:i+128] stitched
-            # from the two aligned chunks with a dynamic rotate
-            aw = jnp.sum(jnp.where(lane == r, a_chunk, 0), axis=1,
+            aw = jnp.max(jnp.where(lane == r, a_chunk, 0), axis=1,
                          keepdims=True)
-            roll0 = pltpu.roll(bs_chunk0, LANES - r, 1)
-            roll1 = pltpu.roll(bs_chunk1, LANES - r, 1)
-            bw_win = jnp.where(lane < LANES - r, roll0, roll1)
+            bw_win = jnp.where(lane >= r, bs0, bs1)
+
             sub = jnp.where((aw < 4) & (bw_win < 4),
                             jnp.where(aw == bw_win, f32(match),
                                       f32(mismatch)),
@@ -184,17 +206,14 @@ def _make_kernel(amax: int, pb: int, match: float, mismatch: float,
 
             # INSERT entering values DPI[i][j]
             c = m_in + open_a
-            i_before = iscan(c, ext_a)
+            i_before = iscan_rot(c, ext_a, rk)
 
             # MATCH (priority M >= D >= I)
             xm = m_in
-            bits = jnp.zeros((pb, LANES), dtype=jnp.int32)
             take_d = d_in > xm
             xm = jnp.where(take_d, d_in, xm)
-            bits = jnp.where(take_d, TB_DM, bits)
             take_i = i_before > xm
             xm = jnp.where(take_i, i_before, xm)
-            bits = jnp.where(take_i, TB_IM, bits)
             m_out = jnp.where(valid, xm + sub, neg)
 
             # DELETE (>= favours open)
@@ -202,92 +221,72 @@ def _make_kernel(amax: int, pb: int, match: float, mismatch: float,
             de = d_in + ext_b
             take_open = md >= de
             d_out = jnp.where(valid, jnp.where(take_open, md, de), neg)
-            bits = bits + jnp.where(valid & take_open, TB_MD, 0)
 
-            # INSERT bit (>= favours open)
-            take_iopen = c >= (i_before + ext_a)
-            bits = bits + jnp.where(valid & take_iopen, TB_MI, 0)
-
-            # Drow[LB] right-edge column
-            k_lb = la + lb - dlo - i
-            is_end = lane == k_lb
-            m_end = jnp.max(jnp.where(is_end, m_in, neg), axis=1,
-                            keepdims=True)
-            d_lb_ext = d_lb + g_r_ext_b
+            # Drow[LB]: fixed lane in this frame; alias-guard k_lb < 128
+            m_end = jnp.where(klb - i < LANES, m_in, neg)
             md_lb = m_end + g_r_open_b
-            lb_open = md_lb >= d_lb_ext
-            d_lb_new = jnp.where(active,
-                                 jnp.where(lb_open, md_lb, d_lb_ext), d_lb)
-            lb_bit = jnp.where(active & lb_open, TB_MD, 0)
+            de_lb = d_lb + g_r_ext_b
+            take_lb = md_lb >= de_lb
+            upd = lb_lane & active
+            d_lb_new = jnp.where(upd, jnp.where(take_lb, md_lb, de_lb), d_lb)
 
             if with_traceback:
-                row_bits = jnp.where(lane == LB_LANE, lb_bit, bits)
-                row_bits = jnp.where(active, row_bits, 0)
-                tb_ref[:, pl.ds(i, 1), :] = row_bits.reshape(pb, 1, LANES)
+                bits = jnp.where(take_d, TB_DM, 0)
+                bits = jnp.where(take_i, TB_IM, bits)
+                bits = bits + jnp.where(take_open, TB_MD, 0)
+                take_iopen = c >= (i_before + ext_a)
+                bits = bits + jnp.where(take_iopen, TB_MI, 0)
+                bits = jnp.where(valid, bits, 0)
+                # Drow[LB] bit overwrites its lane (that lane's band cell is
+                # j == LB, which is never valid) unless k_lb aliases >= 128
+                lb_bits = jnp.where(take_lb, TB_MD, 0)
+                bits = jnp.where(upd & (klb - i < LANES), lb_bits, bits)
             else:
-                row_bits = None
+                bits = None
 
-            # final DPI row (meaningful when i == la-1): scan cells k with
-            # j = dlo-1+k; mi(k) = DPM[LA][dlo-1+k] + ROpenA = c2[k-1],
-            # mi(0) = NEG (clobbered Mrow[startj-1]); strict > (ext wins).
+            # capture M of each pair's last row (still rotated by la-1)
             is_last = i == (la - 1)
-            c2 = m_out + g_r_open_a
-            mi_cell = shift_r(c2, 1, NEG)
-            i1_entering = iscan(mi_cell, g_r_ext_a)
-            i1_ext = i1_entering + g_r_ext_a
-            take_last = mi_cell > i1_ext
-            i1_after = jnp.maximum(mi_cell, i1_ext)
-            j2 = dlo + lane - 1
-            startj2 = jnp.maximum(dlo - 1, 0)
-            valid2 = (j2 >= startj2) & (j2 < lb) & (lane < BAND_LANES)
-            last_bits = jnp.where(valid2 & take_last, TB_MI, 0)
-            tblast_bits = jnp.where(is_last, last_bits, tblast_bits)
+            m_last = jnp.where(is_last, m_out, m_last)
 
-            k_last = lb - dlo
-            i1_fin = jnp.max(jnp.where(lane == k_last, i1_after, neg),
-                             axis=1, keepdims=True)
-            fm = jnp.max(jnp.where(lane == k_last, m_out, neg), axis=1,
-                         keepdims=True)
-            fin_m = jnp.where(is_last, fm, fin_m)
-            fin_d = jnp.where(is_last, d_lb_new, fin_d)
-            fin_i = jnp.where(is_last, i1_fin, fin_i)
+            m_next = jnp.where(active, pltpu.roll(m_out, 1, 1), m_in)
+            d_next = jnp.where(active, d_out, d_in)
+            return (m_next, d_next, d_lb_new, m_last), bits
 
-            # next-row state: D shifts left one lane (roll by LANES-1 wraps
-            # lane0 into lane LANES-1, which we overwrite with NEG)
-            d_next = pltpu.roll(d_out, LANES - 1, 1)
-            d_next = jnp.where(lane == LANES - 1, NEG, d_next)
-            m_next = jnp.where(active, m_out, m_in)
-            d_next = jnp.where(active, d_next, d_in)
-            return (m_next, d_next, d_lb_new, fin_m, fin_d, fin_i,
-                    tblast_bits)
+        # carry state lives in VMEM scratch across row-chunk grid steps
+        @pl.when(cc == 0)
+        def _init():
+            j0 = u + lane
+            m_s[:, :] = jnp.where(j0 == 0, f32(0), neg)
+            d_s[:, :] = neg
+            dlb_s[:, :] = neg
+            mlast_s[:, :] = neg
 
-        j0 = dlo + lane - la
-        m0 = jnp.where(j0 == 0, f32(0), neg)
-        d0 = neg
-        d_lb0 = jnp.full((pb, 1), NEG, dtype=f32)
-        fin0 = jnp.full((pb, 1), NEG, dtype=f32)
-        tbl0 = jnp.zeros((pb, LANES), dtype=jnp.int32)
+        base = pl.multiple_of(cc * LANES, LANES)
+        a_chunk = a_ref[:, :]
+        bs0 = bs_ref[:, pl.ds(base, LANES)]
+        bs1 = bs_ref[:, pl.ds(base + LANES, LANES)]
+        carry0 = (m_s[:, :], d_s[:, :], dlb_s[:, :], mlast_s[:, :])
 
-        def chunk_body(c, carry):
-            base = c * LANES
-            a_chunk = a_ref[:, pl.ds(base, LANES)]
-            bs_chunk0 = bs_ref[:, pl.ds(base, LANES)]
-            bs_chunk1 = bs_ref[:, pl.ds(base + LANES, LANES)]
+        def sub8(m8, cr):
+            bits_rows = []
+            for rr in range(8):
+                r = m8 * 8 + rr
+                cr, bits = row_body(base + r, r, cr, a_chunk, bs0, bs1)
+                if with_traceback:
+                    bits_rows.append(bits.reshape(pb, 1, LANES))
+            if with_traceback:
+                row0 = pl.multiple_of(m8 * 8, 8)
+                tb_ref[:, pl.ds(row0, 8), :] = jnp.concatenate(
+                    bits_rows, axis=1)
+            return cr
 
-            def inner(r, cr):
-                return row_body(base + r, cr, a_chunk, bs_chunk0,
-                                bs_chunk1, r)
-            return jax.lax.fori_loop(0, LANES, inner, carry)
+        carry = jax.lax.fori_loop(0, LANES // 8, sub8, carry0)
+        m_s[:, :], d_s[:, :], dlb_s[:, :], mlast_s[:, :] = carry
 
-        carry = jax.lax.fori_loop(
-            0, amax // LANES, chunk_body,
-            (m0, d0, d_lb0, fin0, fin0, fin0, tbl0))
-        _m, _d, _dlb, fin_m, fin_d, fin_i, tblast_bits = carry
-        if with_traceback:
-            tblast_ref[:, :] = tblast_bits
-        finals_ref[:, :] = jnp.concatenate(
-            [fin_m, fin_d, fin_i,
-             jnp.full((pb, LANES - 3), NEG, dtype=f32)], axis=1)
+        @pl.when(cc == n_cc - 1)
+        def _emit():
+            mlast_ref[:, :] = mlast_s[:, :]
+            dlb_ref[:, :] = dlb_s[:, :]
 
     return kernel
 
@@ -301,39 +300,98 @@ def _compiled(amax: int, pb: int, match: float, mismatch: float,
 
     kernel = _make_kernel(amax, pb, match, mismatch, with_traceback)
     smax = amax + 128
+    LANES = 128
+    f32 = jnp.float32
 
     def run(a_cls, bs_cls, la, lb, dlo, bw, gp):
         P = a_cls.shape[0]
-        grid = (P // pb,)
+        from jax.experimental.pallas import tpu as pltpu
+        n_cc = amax // LANES
+        grid = (P // pb, n_cc)
         in_specs = [
-            pl.BlockSpec((pb, amax), lambda g: (g, 0)),
-            pl.BlockSpec((pb, smax), lambda g: (g, 0)),
-            pl.BlockSpec((pb, 1), lambda g: (g, 0)),
-            pl.BlockSpec((pb, 1), lambda g: (g, 0)),
-            pl.BlockSpec((pb, 1), lambda g: (g, 0)),
-            pl.BlockSpec((pb, 1), lambda g: (g, 0)),
-            pl.BlockSpec((1, 16), lambda g: (0, 0)),
+            pl.BlockSpec((pb, LANES), lambda g, c: (g, c)),
+            pl.BlockSpec((pb, smax), lambda g, c: (g, 0)),
+            pl.BlockSpec((pb, 1), lambda g, c: (g, 0)),
+            pl.BlockSpec((pb, 1), lambda g, c: (g, 0)),
+            pl.BlockSpec((pb, 1), lambda g, c: (g, 0)),
+            pl.BlockSpec((pb, 1), lambda g, c: (g, 0)),
+            pl.BlockSpec((1, 16), lambda g, c: (0, 0)),
         ]
+        scratch = [pltpu.VMEM((pb, 128), jnp.float32) for _ in range(4)]
         if with_traceback:
             out_shape = (
-                jax.ShapeDtypeStruct((P, amax + 1, 128), jnp.int32),
-                jax.ShapeDtypeStruct((P, 128), jnp.int32),
+                jax.ShapeDtypeStruct((P, amax, 128), jnp.int32),
+                jax.ShapeDtypeStruct((P, 128), jnp.float32),
                 jax.ShapeDtypeStruct((P, 128), jnp.float32),
             )
             out_specs = (
-                pl.BlockSpec((pb, amax + 1, 128), lambda g: (g, 0, 0)),
-                pl.BlockSpec((pb, 128), lambda g: (g, 0)),
-                pl.BlockSpec((pb, 128), lambda g: (g, 0)),
+                pl.BlockSpec((pb, LANES, 128), lambda g, c: (g, c, 0)),
+                pl.BlockSpec((pb, 128), lambda g, c: (g, 0)),
+                pl.BlockSpec((pb, 128), lambda g, c: (g, 0)),
             )
         else:
-            out_shape = jax.ShapeDtypeStruct((P, 128), jnp.float32)
-            out_specs = pl.BlockSpec((pb, 128), lambda g: (g, 0))
-        return pl.pallas_call(
+            out_shape = (
+                jax.ShapeDtypeStruct((P, 128), jnp.float32),
+                jax.ShapeDtypeStruct((P, 128), jnp.float32),
+            )
+            out_specs = (
+                pl.BlockSpec((pb, 128), lambda g, c: (g, 0)),
+                pl.BlockSpec((pb, 128), lambda g, c: (g, 0)),
+            )
+        outs = pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
-            out_shape=out_shape, interpret=interpret,
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret,
         )(a_cls, bs_cls, la, lb, dlo, bw, gp)
+        if with_traceback:
+            tb, m_last_rot, d_lb = outs
+        else:
+            m_last_rot, d_lb = outs
+            tb = None
+
+        # ---- XLA post-processing: un-rotate, final DPI row, finals ----
+        la1 = la[:, 0]
+        lb1 = lb[:, 0]
+        dlo1 = dlo[:, 0]
+        r_open_a = gp[0, 6]
+        r_ext_a = gp[0, 10]
+        kk = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+        rot = (kk + (la1 - 1)[:, None]) % LANES
+        m_last = jnp.take_along_axis(m_last_rot, rot, axis=1)
+        fin_d = jnp.take_along_axis(
+            d_lb, ((la1 + lb1 - dlo1) % LANES)[:, None], axis=1)[:, 0]
+
+        # final DPI row: cells k with j = dlo-1+k; mi(k) = c2[k-1], mi(0)=NEG
+        c2 = m_last + r_open_a
+        mi = jnp.concatenate(
+            [jnp.full((c2.shape[0], 1), NEG, f32), c2[:, :-1]], axis=1)
+        x = mi
+        s = 1
+        while s < LANES:
+            y = jnp.concatenate(
+                [jnp.full((x.shape[0], s), NEG, f32),
+                 x[:, :-s] + np.float32(s) * r_ext_a], axis=1)
+            x = jnp.maximum(x, y)
+            s *= 2
+        # x[k] = value after cell k including own mi; entering(k) excludes
+        # own mi: entering = max over t<k -> shift x by one with NEG
+        i1_entering = jnp.concatenate(
+            [jnp.full((x.shape[0], 1), NEG, f32), x[:, :-1]], axis=1)
+        i1_ext = i1_entering + r_ext_a
+        i1_after = jnp.maximum(mi, i1_ext)
+        k_last = (lb1 - dlo1)[:, None]
+        fin_i = jnp.take_along_axis(i1_after, k_last, axis=1)[:, 0]
+        fin_m = jnp.take_along_axis(m_last, k_last, axis=1)[:, 0]
+        j2 = dlo1[:, None] + kk - 1
+        startj2 = jnp.maximum(dlo1 - 1, 0)[:, None]
+        valid2 = (j2 >= startj2) & (j2 < lb1[:, None]) & (kk < BAND_LANES)
+        tblast = jnp.where(valid2 & (mi > i1_ext), TB_MI, 0
+                           ).astype(jnp.int32)
+        finals = jnp.stack([fin_m, fin_d, fin_i], axis=1)
+        return tb, tblast, finals
 
     return jax.jit(run)
+
 
 
 class BandedNWDevice:
@@ -377,13 +435,10 @@ class BandedNWDevice:
                 jnp.asarray(la.reshape(-1, 1)), jnp.asarray(lb.reshape(-1, 1)),
                 jnp.asarray(dlo.reshape(-1, 1)), jnp.asarray(bw.reshape(-1, 1)),
                 jnp.asarray(self.gp))
+        tb, tblast, finals = fn(*args)
         if with_traceback:
-            tb, tblast, finals = fn(*args)
             tb = np.asarray(tb)[:P]
             tblast = np.asarray(tblast)[:P]
-        else:
-            finals = fn(*args)
-            tb = tblast = None
         finals = np.asarray(finals)[:P, :3]
         scores = finals[:, 0].copy()
         states = np.full(P, "M", dtype="U1")
@@ -400,7 +455,7 @@ class BandedNWDevice:
         for p in range(len(batch.la)):
             paths.append(_traceback_one(
                 int(batch.la[p]), int(batch.lb[p]), int(batch.dlo[p]),
-                states[p], tb[p], tblast[p]))
+                int(batch.bw[p]), states[p], tb[p], tblast[p]))
         return paths
 
     def align(self, pairs, band_radius: int, nucleo: bool = True):
@@ -409,10 +464,48 @@ class BandedNWDevice:
         paths = self.traceback(batch, states, tb, tblast)
         return scores, paths
 
+    def align_device(self, pairs, band_radius: int, nucleo: bool = True):
+        """Fully device-resident path: DP kernel + vectorized traceback on
+        the TPU; only 2-bit packed path opcodes and final scores transfer
+        to the host."""
+        import jax.numpy as jnp
+        batch = pack_pairs(pairs, nucleo, band_radius)
+        a_cls, bs_cls, la, lb, dlo, bw, P = self._pad(batch)
+        fn = _compiled(batch.amax, self.pb, self.match, self.mismatch,
+                       self.interpret, True)
+        la_j = jnp.asarray(la.reshape(-1, 1))
+        lb_j = jnp.asarray(lb.reshape(-1, 1))
+        dlo_j = jnp.asarray(dlo.reshape(-1, 1))
+        bw_j = jnp.asarray(bw.reshape(-1, 1))
+        tb, tblast, finals = fn(
+            jnp.asarray(a_cls), jnp.asarray(bs_cls), la_j, lb_j, dlo_j,
+            bw_j, jnp.asarray(self.gp))
+        scores_d = finals[:, 0]
+        st0 = jnp.zeros(finals.shape[0], dtype=jnp.int32)
+        better_d = finals[:, 1] > scores_d
+        scores_d = jnp.where(better_d, finals[:, 1], scores_d)
+        st0 = jnp.where(better_d, OP_D, st0)
+        better_i = finals[:, 2] > scores_d
+        scores_d = jnp.where(better_i, finals[:, 2], scores_d)
+        st0 = jnp.where(better_i, OP_I, st0)
+        steps = ((2 * batch.amax + 256 + 3) // 4) * 4
+        tb_fn = _traceback_compiled(batch.amax, steps)
+        packed = tb_fn(tb, tblast, st0, la_j[:, 0], lb_j[:, 0],
+                       dlo_j[:, 0], bw_j[:, 0])
+        paths = decode_packed_ops(np.asarray(packed), P)
+        return np.asarray(scores_d)[:P], paths
 
-def _traceback_one(la: int, lb: int, dlo: int, state: str,
+
+def _traceback_one(la: int, lb: int, dlo: int, bw: int, state: str,
                    tb: np.ndarray, tblast: np.ndarray) -> str:
-    """TraceBackBitMem over the lane-encoded bit tensor."""
+    """TraceBackBitMem over the lane-encoded bit tensor.  Rows 0..la-1 are
+    stored in the rotating frame: k lives at lane (k + i) mod 128.  The
+    Drow[LB] column bit sits at the fixed lane (la+lb-dlo) mod 128 for rows
+    with k_lb < 128; earlier rows' bit is always MD (both operands are the
+    absorbed -9e9 and >= takes the open).  The final DPI row (tblast) is
+    un-rotated (cell k has j = dlo-1+k)."""
+    lb_lane = (la + lb - dlo) % 128
+
     def bits(i, j):
         if i == la:
             k = j - dlo + 1
@@ -420,12 +513,14 @@ def _traceback_one(la: int, lb: int, dlo: int, state: str,
                 return int(tblast[k])
             return 0
         if j == lb:
-            return int(tb[i, LB_LANE])
+            if la + lb - dlo - i >= 128:
+                return TB_MD
+            return int(tb[i, lb_lane])
         k = j - (dlo + i - la)
         if k == -1:
             return TB_IM  # reference's out-of-band marker TB[i][startj-1]
-        if 0 <= k < BAND_LANES:
-            return int(tb[i, k])
+        if 0 <= k < bw:
+            return int(tb[i, (k + i) % 128])
         return 0
 
     i, j = la, lb
@@ -449,3 +544,103 @@ def _traceback_one(la: int, lb: int, dlo: int, state: str,
             state = "M" if (t & TB_MI) else "I"
             j -= 1
     return "".join(reversed(out))
+
+
+# ---------------------------------------------------------------------------
+# device-side traceback: vectorized pointer-chase across pairs (XLA), so the
+# full traceback bit tensor never leaves the device — only 2-bit packed path
+# opcodes (and per-pair stats) transfer to the host.
+# ---------------------------------------------------------------------------
+
+OP_M, OP_D, OP_I, OP_PAD = 0, 1, 2, 3
+
+
+@functools.lru_cache(maxsize=32)
+def _traceback_compiled(amax: int, steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    LANES = 128
+
+    def run(tb, tblast, st0, la, lb, dlo, bw):
+        P = tb.shape[0]
+        tb_flat = tb.reshape(P, amax * LANES)
+        pidx = jnp.arange(P)
+
+        def bits_at(i, j):
+            """Reference TB read semantics over the rotated bit tensor."""
+            # final DPI row (i == la)
+            k2 = j - dlo + 1
+            k2c = jnp.clip(k2, 0, LANES - 1)
+            tbl = jnp.take_along_axis(tblast, k2c[:, None], axis=1)[:, 0]
+            tbl = jnp.where((k2 >= 0) & (k2 < BAND_LANES), tbl, 0)
+            # Drow[LB] column (j == lb)
+            lblane = (la + lb - dlo) % LANES
+            ic = jnp.clip(i, 0, amax - 1)
+            lb_read = jnp.take_along_axis(
+                tb_flat, (ic * LANES + lblane)[:, None], axis=1)[:, 0]
+            lb_bits = jnp.where(la + lb - dlo - i >= LANES, TB_MD, lb_read)
+            # band cell
+            k = j - (dlo + i - la)
+            lane = (jnp.clip(k, 0, LANES - 1) + ic) % LANES
+            band_read = jnp.take_along_axis(
+                tb_flat, (ic * LANES + lane)[:, None], axis=1)[:, 0]
+            band_bits = jnp.where((k >= 0) & (k < bw), band_read, 0)
+            band_bits = jnp.where(k == -1, TB_IM, band_bits)
+            return jnp.where(i == la, tbl,
+                             jnp.where(j == lb, lb_bits, band_bits))
+
+        def step_fn(step, carry):
+            i, j, st, ops = carry
+            done = (i == 0) & (j == 0)
+            ri = jnp.where(st == OP_I, i, i - 1)
+            rj = jnp.where(st == OP_D, j, j - 1)
+            t = bits_at(ri, rj)
+            st_m = jnp.where(t & TB_DM, OP_D,
+                             jnp.where(t & TB_IM, OP_I, OP_M))
+            st_d = jnp.where(t & TB_MD, OP_M, OP_D)
+            st_i = jnp.where(t & TB_MI, OP_M, OP_I)
+            st_new = jnp.where(st == OP_M, st_m,
+                               jnp.where(st == OP_D, st_d, st_i))
+            di = jnp.where(st == OP_I, 0, 1)
+            dj = jnp.where(st == OP_D, 0, 1)
+            op = jnp.where(done, OP_PAD, st)
+            ops = jax.lax.dynamic_update_slice(
+                ops, op.astype(jnp.int8)[:, None], (0, step))
+            i = jnp.where(done, i, i - di)
+            j = jnp.where(done, j, j - dj)
+            st = jnp.where(done, st, st_new)
+            return (i, j, st, ops)
+
+        ops0 = jnp.full((P, steps), OP_PAD, dtype=jnp.int8)
+        i0 = la
+        j0 = lb
+        _i, _j, _st, ops = jax.lax.fori_loop(
+            0, steps, step_fn, (i0, j0, st0, ops0))
+        # pack 4 ops per byte (2 bits each, little-endian within the byte)
+        o = ops.reshape(P, steps // 4, 4).astype(jnp.uint8)
+        packed = (o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4)
+                  | (o[:, :, 3] << 6))
+        return packed
+
+    return jax.jit(run)
+
+
+_OPS_LUT = np.array(["M", "D", "I", ""], dtype=object)
+
+
+def decode_packed_ops(packed: np.ndarray, n_pairs: int):
+    """(P, steps/4) uint8 -> list of reversed path strings."""
+    P, nb = packed.shape
+    ops = np.zeros((P, nb * 4), dtype=np.uint8)
+    ops[:, 0::4] = packed & 3
+    ops[:, 1::4] = (packed >> 2) & 3
+    ops[:, 2::4] = (packed >> 4) & 3
+    ops[:, 3::4] = (packed >> 6) & 3
+    paths = []
+    for p in range(n_pairs):
+        row = ops[p]
+        n = int(np.argmax(row == OP_PAD)) if (row == OP_PAD).any() else len(row)
+        # ops are emitted end-to-start; reverse for the path
+        paths.append("".join(_OPS_LUT[c] for c in row[:n][::-1]))
+    return paths
