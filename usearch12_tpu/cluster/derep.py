@@ -1,0 +1,139 @@
+"""Full-length exact dereplication (src/derepfull.cpp, src/derepresult.cpp).
+
+Case-insensitive exact-sequence dedup preserving input order: uniques in
+first-occurrence order, members per unique in input order (the reference's
+single-thread hash-probe behaviour; its multi-thread merge reproduces the
+same order).  Optional both-strand matching (SeqEqRC).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..alpha import TO_UPPER, revcomp
+from ..config import options
+from ..io.seqdb import SeqDB, size_from_label, strip_size
+
+
+@dataclass
+class DerepResult:
+    input_db: SeqDB = None
+    unique_seq_indexes: List[int] = field(default_factory=list)
+    # per unique (by unique order): input seq indexes, unique itself first
+    members: List[List[int]] = field(default_factory=list)
+    # per member: True = plus strand match
+    strands: List[List[bool]] = field(default_factory=list)
+    # input seq index -> unique index
+    cluster_of_input: Dict[int, int] = field(default_factory=dict)
+
+    @property
+    def cluster_count(self) -> int:
+        return len(self.unique_seq_indexes)
+
+    def member_count(self, unique_index: int) -> int:
+        return len(self.members[unique_index])
+
+    def seq_index(self, unique_index: int, member_index: int) -> int:
+        return self.members[unique_index][member_index]
+
+    def sum_size_in(self, unique_index: int) -> int:
+        """GetSumSizeIn: sum of size= annotations over members
+        (src/derepresult.cpp:211)."""
+        total = 0
+        for si in self.members[unique_index]:
+            total += size_from_label(self.input_db.labels[si], 1)
+        return total
+
+    def to_seqdb(self) -> SeqDB:
+        db = SeqDB()
+        for ui, si in enumerate(self.unique_seq_indexes):
+            db.add(self.input_db.labels[si], self.input_db.seqs[si],
+                   self.input_db.quals[si])
+        db.set_is_nucleo(self.input_db.get_is_nucleo())
+        return db
+
+
+def derep_full(input_db: SeqDB, revcomp_ok: bool = False) -> DerepResult:
+    dr = DerepResult(input_db=input_db)
+    seen: Dict[bytes, int] = {}
+    for si, seq in enumerate(input_db.seqs):
+        key = TO_UPPER[seq].tobytes()
+        ui = seen.get(key)
+        plus = True
+        if ui is None and revcomp_ok:
+            rc_key = TO_UPPER[revcomp(seq)].tobytes()
+            ui = seen.get(rc_key)
+            plus = ui is None
+        if ui is None:
+            ui = len(dr.unique_seq_indexes)
+            seen[key] = ui
+            dr.unique_seq_indexes.append(si)
+            dr.members.append([si])
+            dr.strands.append([True])
+        else:
+            dr.members[ui].append(si)
+            dr.strands[ui].append(plus)
+        dr.cluster_of_input[si] = ui
+    return dr
+
+
+def fastx_uniques(input_path: Optional[str]) -> None:
+    """cmd_fastx_uniques: derep + sorted-by-size output
+    (src/derepfull.cpp:233, src/derepresult.cpp Write/ToFastx)."""
+    from ..config import options
+    from ..io.fastx import write_fasta
+    from ..io.seqdb import relabel_with_size
+    from ..search.hitmgr import quick_sort_order
+
+    o = options()
+    db = SeqDB.from_fastx(input_path)
+    strand_both = o.str("strand", "plus") == "both"
+    dr = derep_full(db, revcomp_ok=strand_both)
+
+    member_counts = [dr.member_count(u) for u in range(dr.cluster_count)]
+    order = quick_sort_order(member_counts, desc=True)
+
+    relabel = o.str("relabel", "")
+    if o.filled("fastaout"):
+        with open(o.str("fastaout"), "w") as f:
+            n_out = 0
+            for u in order:
+                size = member_counts[u]
+                if size < o.uns("minuniquesize", 0):
+                    break  # order is descending; reference breaks here
+                if o.filled("topn") and n_out >= o.uns("topn"):
+                    break
+                si = dr.unique_seq_indexes[u]
+                label = db.labels[si]
+                if relabel:
+                    n_out += 1
+                    label = f"{relabel}{n_out}"
+                if o.flag("sizeout"):
+                    label = strip_size(label)
+                    size_out = dr.sum_size_in(u) if o.flag("sizein") else size
+                    label = relabel_with_size(label, size_out)
+                if not relabel:
+                    n_out += 1
+                write_fasta(f, label, db.seqs[si], o.uns("fasta_cols"))
+    if o.filled("tabbedout"):
+        with open(o.str("tabbedout"), "w") as f:
+            for u in range(dr.cluster_count):
+                si = dr.unique_seq_indexes[u]
+                for mi in dr.members[u]:
+                    f.write(f"{db.labels[mi]}\t{db.labels[si]}\n")
+    if o.filled("uc"):
+        with open(o.str("uc"), "w") as f:
+            for u in range(dr.cluster_count):
+                si = dr.unique_seq_indexes[u]
+                L = len(db.seqs[si])
+                f.write(f"S\t{u}\t{L}\t*\t*\t*\t*\t*\t{db.labels[si]}\t*\n")
+                for mi in dr.members[u][1:]:
+                    f.write(f"H\t{u}\t{L}\t100.0\t*\t*\t*\t*\t"
+                            f"{db.labels[mi]}\t{db.labels[si]}\n")
+            for u in range(dr.cluster_count):
+                si = dr.unique_seq_indexes[u]
+                f.write(f"C\t{u}\t{dr.member_count(u)}\t*\t*\t*\t*\t*\t"
+                        f"{db.labels[si]}\t*\n")

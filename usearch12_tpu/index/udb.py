@@ -174,10 +174,37 @@ class UDBIndex:
                 ) -> np.ndarray:
         """U[target] = number of query unique words whose postings row
         contains target (with multiplicity) — SetU_NonCoded
-        (src/udbusortedsearcher.cpp:375-410).  Host numpy path."""
+        (src/udbusortedsearcher.cpp:375-410).  Host numpy path.
+
+        Incremental appends (growing centroid DB during clustering) are
+        counted from the pending per-seq word lists without re-flattening;
+        pending is folded into the CSR once it grows past a threshold."""
         if seq_count is None:
             seq_count = self.seq_count
-        self._flatten()
+        pending_u = None
+        if self._pending_words:
+            if sum(len(w) for w in self._pending_words) > 262144:
+                self._flatten()
+            else:
+                pending_u = np.zeros(seq_count, dtype=np.uint32)
+                qset = query_unique_words
+                for words, tix in zip(self._pending_words,
+                                      self._pending_tix):
+                    if len(words) and len(tix) and tix[0] < seq_count:
+                        n = int(np.isin(words, qset,
+                                        assume_unique=True).sum())
+                        if n:
+                            pending_u[tix[0]] += n
+                if self._postings is None:
+                    return pending_u
+                base = self._count_u_base(query_unique_words, seq_count)
+                return base + pending_u
+        if self._postings is None:
+            self._flatten()
+        return self._count_u_base(query_unique_words, seq_count)
+
+    def _count_u_base(self, query_unique_words: np.ndarray, seq_count: int
+                      ) -> np.ndarray:
         if len(query_unique_words) == 0 or seq_count == 0:
             return np.zeros(seq_count, dtype=np.uint32)
         starts = self._starts
