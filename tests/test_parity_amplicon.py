@@ -1,0 +1,65 @@
+"""Golden-output parity: unoise3 / uchime3_denovo vs the reference binary."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from usearch12_tpu.cli import main as cli_main
+
+
+def run_ref(ref_bin, args):
+    subprocess.run([ref_bin] + args + ["-quiet", "-threads", "1"],
+                   check=True, capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def chimera_fa(tmp_path_factory):
+    """Size-sorted uniques with synthetic bimeras."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from genseqs import rand_seq, mutate
+    rng = np.random.default_rng(42)
+    tpls = [rand_seq(rng, 230) for _ in range(8)]
+    recs = []
+    k = 0
+    for ti, t in enumerate(tpls):
+        recs.append((f"tpl{ti}", t, int(rng.integers(300, 800))))
+        for _ in range(15):
+            recs.append((f"r{k}", mutate(rng, t, int(rng.integers(0, 4)),
+                                         int(rng.integers(0, 2))), 1))
+            k += 1
+    for i in range(12):
+        a, b = rng.choice(8, 2, replace=False)
+        cut = int(rng.integers(60, 170))
+        recs.append((f"chim{i}", tpls[a][:cut] + tpls[b][cut:],
+                     int(rng.integers(2, 8))))
+    recs.sort(key=lambda r: -r[2])
+    path = str(tmp_path_factory.mktemp("chim") / "chim.fa")
+    with open(path, "w") as f:
+        for n, s, sz in recs:
+            f.write(f">{n};size={sz};\n{s}\n")
+    return path
+
+
+def test_uchime3_denovo_parity(ref_bin, chimera_fa, tmp_path):
+    g = {k: str(tmp_path / f"g_{k}") for k in ("ch", "non", "tab")}
+    m = {k: str(tmp_path / f"m_{k}") for k in ("ch", "non", "tab")}
+    run_ref(ref_bin, ["-uchime3_denovo", chimera_fa, "-chimeras", g["ch"],
+                      "-nonchimeras", g["non"], "-uchimeout", g["tab"]])
+    assert cli_main(["-uchime3_denovo", chimera_fa, "-chimeras", m["ch"],
+                     "-nonchimeras", m["non"], "-uchimeout", m["tab"],
+                     "-quiet"]) == 0
+    for k in g:
+        assert open(g[k]).read() == open(m[k]).read(), k
+
+
+def test_unoise3_parity(ref_bin, chimera_fa, tmp_path):
+    g_z, g_t = str(tmp_path / "g_z.fa"), str(tmp_path / "g_t.tab")
+    m_z, m_t = str(tmp_path / "m_z.fa"), str(tmp_path / "m_t.tab")
+    run_ref(ref_bin, ["-unoise3", chimera_fa, "-zotus", g_z,
+                      "-tabbedout", g_t])
+    assert cli_main(["-unoise3", chimera_fa, "-zotus", m_z,
+                     "-tabbedout", m_t, "-quiet"]) == 0
+    assert open(g_z).read() == open(m_z).read()
+    assert open(g_t).read() == open(m_t).read()

@@ -1,0 +1,191 @@
+"""UNOISE3 amplicon denoising (src/unoise3.cpp).
+
+Greedy: for each size-sorted unique read, GetHot finds the top-8 centroids
+by shared words (max word-count drop 8), each is globally aligned, and the
+read is absorbed as a "bad/shifted" child if skew >= 2^(alpha*d + 1)
+(mismatch diffs d); otherwise it founds a new centroid.  Amplicons are then
+chimera-filtered with Uchime2DeNovo and surviving ZOTUs written.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..config import options
+from ..io.seqdb import SeqDB, size_from_label
+from ..io.fastx import write_fasta
+from ..scoring import AlnParams, AlnHeuristics
+from ..index.udb import UDBIndex, UDBParams
+from ..search.usorted import USortedRanker
+from ..align.result import AlignResult
+from .uchime import uchime2_denovo, acc_from_label
+
+MAX_HOT = 8
+MAX_DROP = 8
+
+
+def _is_accept(ar: AlignResult, alpha: float) -> bool:
+    """IsAccept (src/unoise3.cpp:24-60): skew >= 2^(alpha*d + 1)."""
+    diffs = ar.get_mismatch_count()
+    if diffs == 0:
+        return True
+    qsize = size_from_label(ar.query_label, 0xFFFFFFFF)
+    tsize = size_from_label(ar.target_label, 0xFFFFFFFF)
+    skew = tsize / qsize
+    min_skew = math.pow(2.0, diffs * alpha + 1.0)
+    return skew >= min_skew
+
+
+def unoise3(input_path: Optional[str]) -> None:
+    o = options()
+    if o.filled("fastaout"):
+        raise SystemExit("-fastaout not supported, use -zotus")
+    o.set_default("abskew", 16.0)
+
+    f_tab = open(o.str("tabbedout"), "w") if o.filled("tabbedout") else None
+
+    input_db = SeqDB.from_fastx(input_path)
+    input_db.set_is_nucleo(True)
+    nucleo = True
+    ap = AlnParams.from_cmdline(nucleo)
+    ah = AlnHeuristics.from_cmdline(ap)
+    alpha = o.flt("unoise_alpha")
+    max_accepts = o.uns("maxaccepts", 1)
+
+    native = None
+    try:
+        from ..native import NativeAligner
+        native = NativeAligner(ap, ah)
+    except Exception:
+        from ..align.hsp import HSPFinder
+        from ..align.global_aligner import global_align as _ga
+        hf = HSPFinder(ap, ah)
+
+    def align(q_seq, t_seq):
+        # GlobalAligner with m_FailIfNoHSPs = true (src/unoise3.cpp:145)
+        if native is not None:
+            native.set_b(t_seq)
+            return native.global_align(fail_if_no_hsps=True)
+        hf.set_a(q_seq)
+        hf.set_b(t_seq)
+        return _ga(q_seq, t_seq, ap, ah, hf, fail_if_no_hsps=True)
+
+    params = UDBParams.global_usearch(True)
+    index = UDBIndex(params)
+    ranker = USortedRanker(index)
+
+    min_amp_size = o.uns("minsize") if o.filled("minsize") else 8
+    n_input = len(input_db)
+    uniq_count = n_input
+    for i in range(n_input):
+        if size_from_label(input_db.labels[i], 0xFFFFFFFF) < min_amp_size:
+            uniq_count = i
+            break
+
+    centroid_labels = []
+    centroid_seqs = []
+
+    def search_denoise(q_label, q_seq):
+        """SearchDenoise (src/unoise3.cpp:72-118)."""
+        hot = ranker.get_hot(q_seq, MAX_HOT, MAX_DROP)
+        if len(hot) == 0:
+            return 0xFFFFFFFF, 0xFFFFFFFF
+        if native is not None:
+            native.set_a(q_seq)
+        best_t = 0xFFFFFFFF
+        best_diffs = 0xFFFFFFFF
+        accept_count = 0
+        for ti in hot.tolist():
+            path = align(q_seq, centroid_seqs[ti])
+            if path is not None:
+                ar = AlignResult(query_label=q_label,
+                                 target_label=centroid_labels[ti],
+                                 query_seq=q_seq,
+                                 target_seq=centroid_seqs[ti],
+                                 path=path, nucleo=True, target_index=ti)
+                if _is_accept(ar, alpha):
+                    accept_count += 1
+                    diffs = ar.get_mismatch_count()
+                    if diffs < best_diffs:
+                        best_t = ti
+                        best_diffs = diffs
+            if best_diffs <= 1:
+                break
+            if accept_count >= max_accepts:
+                break
+        return best_t, best_diffs
+
+    shifted_warned = False
+    for seq_index in range(uniq_count):
+        q_label = input_db.labels[seq_index]
+        q_seq = input_db.seqs[seq_index]
+        qsize = size_from_label(q_label, 0xFFFFFFFF)
+        assert qsize >= min_amp_size
+        ti, diffs = search_denoise(q_label, q_seq)
+        if ti != 0xFFFFFFFF:
+            if f_tab:
+                top_acc = acc_from_label(centroid_labels[ti])
+                kind = "shifted" if diffs == 0 else "bad"
+                f_tab.write(f"{q_label}\tdenoise\t{kind}\t"
+                            f"dqt={diffs};top={top_acc};\n")
+        else:
+            ti = len(centroid_labels)
+            centroid_labels.append(q_label)
+            centroid_seqs.append(q_seq)
+            index.add_seq(ti, q_seq)
+            index.seq_count = ti + 1
+            if f_tab:
+                f_tab.write(f"{q_label}\tdenoise\tamp{ti + 1}\n")
+
+    # relabel Amp%u and chimera-filter (src/unoise3.cpp:237-265)
+    amp_db = SeqDB()
+    amp_db.set_is_nucleo(True)
+    last_size = 0xFFFFFFFF
+    for amp_index, (label, seq) in enumerate(zip(centroid_labels,
+                                                 centroid_seqs)):
+        size = size_from_label(label, 0xFFFFFFFF)
+        assert size <= last_size, "amplicons not sorted by size"
+        last_size = size
+        acc = acc_from_label(label)
+        amp_db.add(f"Amp{amp_index + 1};uniq={acc};size={size};", seq)
+
+    is_chimera_vec, info_strs = uchime2_denovo(amp_db)
+
+    f_amp = open(o.str("ampout"), "w") if o.filled("ampout") else None
+    otu_count = 0
+    amp_to_otu = []
+    for amp_index in range(len(amp_db)):
+        # ORIGINAL centroid label here, not the Amp relabel
+        # (src/unoise3.cpp:294-307 reads from the centroid DB)
+        label = centroid_labels[amp_index]
+        if is_chimera_vec[amp_index]:
+            amp_to_otu.append(0xFFFFFFFF)
+            amp_type = "amptype=chimera;" + info_strs[amp_index]
+        else:
+            amp_to_otu.append(otu_count)
+            otu_count += 1
+            amp_type = "amptype=otu;"
+        if f_amp:
+            write_fasta(f_amp, label + amp_type, centroid_seqs[amp_index],
+                        o.uns("fasta_cols"))
+        if f_tab:
+            if is_chimera_vec[amp_index]:
+                f_tab.write(f"{label}\tchfilter\tchimera\t"
+                            f"{info_strs[amp_index]}\n")
+            else:
+                f_tab.write(f"{label}\tchfilter\tzotu\n")
+    if f_amp:
+        f_amp.close()
+
+    if o.filled("zotus"):
+        with open(o.str("zotus"), "w") as f:
+            for amp_index in range(len(amp_db)):
+                if is_chimera_vec[amp_index]:
+                    continue
+                write_fasta(f, f"Zotu{amp_to_otu[amp_index] + 1}",
+                            amp_db.seqs[amp_index], o.uns("fasta_cols"))
+    if f_tab:
+        f_tab.close()

@@ -84,6 +84,7 @@ _STR_OPTS = [
     "chimeras", "nonchimeras", "zotus", "otus", "otutabout", "biomout",
     "mothur_shared_out", "uparseout", "uparsealnout", "tabbedout",
     "sintax_summary_out", "log", "dbmask", "qmask", "strand", "sort",
+    "ampout", "uchimealnout", "query", "output2", "db2",
     "sortedby", "relabel", "sample", "sizeout_str", "gapopen", "gapext",
     "matrix", "tsegout", "qsegout", "fastapairs", "mergeout", "eetabbedout",
     "report", "alndiffsout", "otu_radius_str", "label_suffix",

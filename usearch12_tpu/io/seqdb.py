@@ -15,7 +15,8 @@ import numpy as np
 from ..alpha import IS_ACGTU
 from ..mask import mask_seq, db_mask_type
 
-_SIZE_RE = re.compile(r"(?:^|;)size=(\d+)")
+# reference semantics: strstr(";size=") — the annotation must follow a ';'
+_SIZE_RE = re.compile(r";size=(\d+)")
 
 
 def size_from_label(label: str, default: int = 1) -> int:
