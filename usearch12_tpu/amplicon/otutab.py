@@ -1,0 +1,168 @@
+"""OTU table construction (src/otutabsink.cpp, src/otutab.cpp).
+
+-otutab: global search of reads vs OTU reference; each read's top hit adds
+its size to cell (OTU name of target, sample name of query).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from ..config import options
+from ..io.seqdb import SeqDB, size_from_label
+
+
+def get_str_field(label: str, name_eq: str) -> str:
+    for field in label.split(";"):
+        if field.startswith(name_eq):
+            return field[len(name_eq):]
+    return ""
+
+
+def otu_name_from_label(label: str) -> str:
+    """GetOTUNameFromLabel (src/label.cpp:193-202)."""
+    from .uchime import acc_from_label
+    name = get_str_field(label, "otu=")
+    if name:
+        return name
+    name = acc_from_label(label)
+    if not name:
+        raise SystemExit(f"Empty OTU name in label >{label}")
+    return name
+
+
+def sample_name_from_label(label: str) -> str:
+    """GetSampleNameFromLabel (src/label.cpp:204-233)."""
+    o = options()
+    name = get_str_field(label, "sample=")
+    if name:
+        return name
+    name = get_str_field(label, "barcodelabel=")
+    if name:
+        return name
+    if o.filled("sample_delim"):
+        d = o.str("sample_delim")
+        n = label.find(d)
+        if n < 0:
+            raise SystemExit(f"delim '{d}' not found in >{label}")
+        return label[:n]
+    out = []
+    for c in label:
+        if not (c.isalpha() or c.isdigit() or c == "_"):
+            break
+        out.append(c)
+    return "".join(out)
+
+
+class OTUTable:
+    def __init__(self) -> None:
+        self.otu_names: List[str] = []
+        self.sample_names: List[str] = []
+        self._otu_idx: Dict[str, int] = {}
+        self._sample_idx: Dict[str, int] = {}
+        self.counts: Dict[tuple, int] = {}
+
+    def inc(self, otu: str, sample: str, size: int) -> None:
+        oi = self._otu_idx.setdefault(otu, len(self.otu_names))
+        if oi == len(self.otu_names):
+            self.otu_names.append(otu)
+        si = self._sample_idx.setdefault(sample, len(self.sample_names))
+        if si == len(self.sample_names):
+            self.sample_names.append(sample)
+        self.counts[(oi, si)] = self.counts.get((oi, si), 0) + size
+
+    def to_tabbed(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write("#OTU ID")
+            for s in self.sample_names:
+                f.write("\t" + s)
+            f.write("\n")
+            for oi, otu in enumerate(self.otu_names):
+                f.write(otu)
+                for si in range(len(self.sample_names)):
+                    f.write(f"\t{self.counts.get((oi, si), 0)}")
+                f.write("\n")
+
+
+def otutab(query_path: Optional[str]) -> None:
+    from ..search.driver import search_file
+    from ..search.hitmgr import HitMgr
+    o = options()
+    db = SeqDB.from_fastx(o.str("db"))
+    db.mask()
+    table = OTUTable()
+    f_map = open(o.str("mapout"), "w") if o.filled("mapout") else None
+
+    def on_query_done(label, seq, hits):
+        if not hits:
+            return
+        hm = HitMgr()
+        hm.hits = hits
+        top = hm.top_hit()
+        otu = otu_name_from_label(top.target_label)
+        sample = sample_name_from_label(label)
+        size = size_from_label(label, 1)
+        table.inc(otu, sample, size)
+        if f_map:
+            f_map.write(f"{label}\t{otu}\n")
+
+    search_file("otutab", query_path, db, on_query_done)
+    if f_map:
+        f_map.close()
+    if o.filled("otutabout"):
+        table.to_tabbed(o.str("otutabout"))
+    if o.filled("biomout"):
+        _to_biom(table, o.str("biomout"))
+
+
+def _to_biom(table: OTUTable, path: str) -> None:
+    """Minimal BIOM (JSON) output (src/otutab.cpp ToJsonFile)."""
+    import json
+    rows = [{"id": n, "metadata": None} for n in table.otu_names]
+    cols = [{"id": n, "metadata": None} for n in table.sample_names]
+    data = [[oi, si, c] for (oi, si), c in sorted(table.counts.items())]
+    doc = {
+        "id": None, "format": "Biological Observation Matrix 1.0.0",
+        "format_url": "http://biom-format.org",
+        "type": "OTU table", "generated_by": "usearch12_tpu",
+        "matrix_type": "sparse", "matrix_element_type": "int",
+        "shape": [len(rows), len(cols)],
+        "rows": rows, "columns": cols, "data": data,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def closed_ref(query_path: Optional[str]) -> None:
+    """closed_ref: like otutab but emits matched-OTU centroids and table
+    (src/closedrefsink.cpp).  Minimal implementation: otutab semantics with
+    CMD closed_ref terminator defaults."""
+    from ..search.driver import search_file
+    from ..search.hitmgr import HitMgr
+    from ..io.fastx import write_fasta
+    o = options()
+    db = SeqDB.from_fastx(o.str("db"))
+    db.mask()
+    table = OTUTable()
+    matched_targets = {}
+
+    def on_query_done(label, seq, hits):
+        if not hits:
+            return
+        hm = HitMgr()
+        hm.hits = hits
+        top = hm.top_hit()
+        otu = otu_name_from_label(top.target_label)
+        sample = sample_name_from_label(label)
+        size = size_from_label(label, 1)
+        table.inc(otu, sample, size)
+        matched_targets.setdefault(top.target_index, top.target_label)
+
+    search_file("closed_ref", query_path, db, on_query_done)
+    if o.filled("otutabout"):
+        table.to_tabbed(o.str("otutabout"))
+    if o.filled("otus"):
+        with open(o.str("otus"), "w") as f:
+            for tix in sorted(matched_targets):
+                write_fasta(f, db.labels[tix], db.seqs[tix],
+                            o.uns("fasta_cols"))

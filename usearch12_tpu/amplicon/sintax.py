@@ -1,0 +1,227 @@
+"""SINTAX k-mer bootstrap taxonomy classifier (src/sintaxsearcher.cpp).
+
+100 bootstrap iterations; each samples 32 query unique words (private LCG,
+Numerical-Recipes constants, seeded from -randseed per query) and
+scatter-adds their UDB postings rows; the arg-max target (ties broken with
+the reference's global lagged-MWC RNG) votes for its taxonomy string.
+Per-rank confidence = cumulative-product bootstrap fraction.
+
+TPU note: a device path would vmap the 100 boots x segment-sum over the
+postings (ops/wordcount); the host path here is kept for bit parity with
+the reference's RNG-driven tie-breaking.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import options
+from ..io.seqdb import SeqDB
+from ..index.udb import UDBIndex, UDBParams
+
+M32 = 0xFFFFFFFF
+
+
+class GlobalRand:
+    """The reference's global RNG (src/myutils.cpp:1757-1838): lagged
+    multiply-with-carry seeded from a small LCG."""
+
+    def __init__(self, seed: int) -> None:
+        state = seed & M32
+        for _ in range(10):
+            state = (state * 214013 + 2531011) & M32
+        x = []
+        for _ in range(5):
+            state = (state * 214013 + 2531011) & M32
+            x.append(state)
+        self.x = x
+        for _ in range(100):
+            self._inc()
+
+    def _inc(self) -> None:
+        x = self.x
+        s = (2111111111 * x[3] + 1492 * x[2] + 1776 * x[1]
+             + 5115 * x[0] + x[4])
+        x[3] = x[2]
+        x[2] = x[1]
+        x[1] = x[0]
+        x[4] = (s >> 32) & M32
+        x[0] = s & M32
+
+    def randu32(self) -> int:
+        self._inc()
+        return self.x[0]
+
+
+def _next_rand(r: int) -> int:
+    """Per-query boot LCG (src/sintaxsearcher.cpp:77-82)."""
+    return (1664525 * r + 1013904223) & M32
+
+
+def get_tax_str(label: str) -> str:
+    for field in label.split(";"):
+        if field.startswith("tax="):
+            return field[4:]
+    return ""
+
+
+def tax_names(tax_str: str) -> List[str]:
+    names = [n for n in tax_str.split(",")]
+    for n in names:
+        if len(n) < 3 or n[1] != ":":
+            raise SystemExit(f"Missing x: in tax={tax_str}")
+    return names
+
+
+def name_in_tax_str(tax_str: str, name: str) -> bool:
+    """NameIsInTaxStr (src/tax.cpp:299-308): substring match terminated by
+    ',' or end."""
+    n = tax_str.find(name)
+    if n < 0:
+        return False
+    rest = tax_str[n + len(name):]
+    return rest == "" or rest[0] == ","
+
+
+class SintaxClassifier:
+    def __init__(self, db: SeqDB, index: UDBIndex, grand: GlobalRand) -> None:
+        self.db = db
+        self.index = index
+        self.grand = grand
+        self.tax_strs = [get_tax_str(l) for l in db.labels]
+        o = options()
+        self.boots = o.uns("boots")
+        self.cutoff = o.flt("sintax_cutoff")
+        self.randseed = o.uns("randseed")
+        s = o.str("boot_subset", "") if o.filled("boot_subset") else "32"
+        if not s:
+            s = "32"
+        if s.startswith("/"):
+            self.boot_subset_divide = True
+            self.boot_subset = int(s[1:])
+        else:
+            self.boot_subset_divide = False
+            self.boot_subset = int(s)
+        # flatten postings for the shuffle counting
+        self.index._flatten()
+
+    def classify(self, q_seq: np.ndarray):
+        """Returns (pred names, Ps, top_word_count)."""
+        params = self.index.params
+        uw = params.unique_words(q_seq)
+        nuw = len(uw)
+        if nuw < 8:
+            return [], [], 0
+
+        seq_count = self.index.seq_count
+        starts = self.index._starts
+        sizes = self.index._sizes
+        postings = self.index._postings
+        m = (nuw // self.boot_subset if self.boot_subset_divide
+             else self.boot_subset)
+
+        tax_to_count = {}
+        r = self.randseed
+        top_word_count = 0
+        for _boot in range(self.boots):
+            u = np.zeros(seq_count, dtype=np.uint32)
+            for _k in range(m):
+                r = _next_rand(r)
+                w = int(uw[r % nuw])
+                row = postings[starts[w]:starts[w] + sizes[w]]
+                np.add.at(u, row, 1)
+            top_u = int(u.max()) if seq_count else 0
+            if top_u == 0:
+                # all-zero: every index ties at 0 -> reference pushes all
+                tops = np.arange(seq_count, dtype=np.int64)
+            else:
+                tops = np.nonzero(u == top_u)[0]
+            n_top = len(tops)
+            if n_top == 0:
+                continue
+            rr = self.grand.randu32() % n_top
+            top_ti = int(tops[rr])
+            if top_u > top_word_count:
+                top_word_count = top_u
+            ts = self.tax_strs[top_ti]
+            tax_to_count[ts] = tax_to_count.get(ts, 0) + 1
+
+        # CountMapToVecs: map (lexicographic) order, then quicksort desc
+        from ..search.hitmgr import quick_sort_order
+        keys = sorted(tax_to_count.keys())
+        counts = [tax_to_count[k] for k in keys]
+        order = quick_sort_order(counts, desc=True)
+        tax_strs = [keys[i] for i in order]
+        counts = [counts[i] for i in order]
+
+        top_tax = tax_strs[0]
+        top_count = counts[0]
+        pred = tax_names(top_tax)
+        ps = []
+        prod_p = 1.0
+        for name in pred:
+            cnt = top_count
+            for j in range(1, len(tax_strs)):
+                if name_in_tax_str(tax_strs[j], name):
+                    cnt += counts[j]
+            p = cnt / self.boots
+            prod_p *= p
+            ps.append(prod_p)
+        return pred, ps, top_word_count
+
+
+def sintax(query_path: Optional[str]) -> None:
+    from ..alpha import revcomp
+    o = options()
+    db_path = o.str("db")
+    db = SeqDB.from_fastx(db_path)
+    if not db.get_is_nucleo():
+        raise SystemExit("sintax supports nucleotide DBs only (for now)")
+    db.mask()
+    index = UDBIndex.from_seqdb(db)
+
+    strand = o.str("strand", "")
+    if not strand:
+        raise SystemExit("Must specify -strand plus or both with nt db")
+    both = strand == "both"
+
+    grand = GlobalRand(o.uns("randseed"))
+    cls = SintaxClassifier(db, index, grand)
+    cutoff = o.flt("sintax_cutoff")
+
+    f = open(o.str("tabbedout"), "w") if o.filled("tabbedout") else None
+    from ..io.fastx import read_fastx
+    for label, seq, _q in read_fastx(query_path):
+        if len(seq) == 0:
+            continue
+        pred_f, ps_f, twc_f = cls.classify(seq)
+        if both:
+            pred_r, ps_r, twc_r = cls.classify(revcomp(seq))
+        else:
+            pred_r, ps_r, twc_r = [], [], 0
+        if twc_f >= twc_r:
+            c_strand, pred, ps, twc = "+", pred_f, ps_f, twc_f
+        else:
+            c_strand, pred, ps, twc = "-", pred_r, ps_r, twc_r
+        if f is None:
+            continue
+        f.write(label)
+        if twc == 0:
+            f.write("\t*\t*\t*\n")
+            continue
+        f.write("\t")
+        f.write(",".join(f"{n}({p:.4f})" for n, p in zip(pred, ps)))
+        f.write(f"\t{c_strand}\t")
+        out = []
+        for i, (n, p) in enumerate(zip(pred, ps)):
+            if p < cutoff:
+                if i == 0:
+                    out.append("*")
+                break
+            out.append(n)
+        f.write(",".join(out) if out != ["*"] else "*")
+        f.write("\n")
+    if f:
+        f.close()

@@ -84,7 +84,7 @@ _STR_OPTS = [
     "chimeras", "nonchimeras", "zotus", "otus", "otutabout", "biomout",
     "mothur_shared_out", "uparseout", "uparsealnout", "tabbedout",
     "sintax_summary_out", "log", "dbmask", "qmask", "strand", "sort",
-    "ampout", "uchimealnout", "query", "output2", "db2",
+    "ampout", "uchimealnout", "query", "output2", "db2", "boot_subset",
     "sortedby", "relabel", "sample", "sizeout_str", "gapopen", "gapext",
     "matrix", "tsegout", "qsegout", "fastapairs", "mergeout", "eetabbedout",
     "report", "alndiffsout", "otu_radius_str", "label_suffix",
@@ -152,7 +152,8 @@ class Options:
 
     # -- reads --------------------------------------------------------------
     def filled(self, name: str) -> bool:
-        return self._get(name).filled
+        o = self._opts.get(name)
+        return o.filled if o is not None else False
 
     def get(self, name: str, default: Any = None) -> Any:
         """oget_* semantics: user value, else dyn default, else static
