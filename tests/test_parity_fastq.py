@@ -1,0 +1,104 @@
+"""Golden-output parity: FASTQ preprocessing vs the reference binary."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from usearch12_tpu.cli import main as cli_main
+
+
+def run_ref(ref_bin, args):
+    subprocess.run([ref_bin] + args + ["-quiet", "-threads", "1"],
+                   check=True, capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def paired_fq(tmp_path_factory):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(11)
+    bases = "ACGT"
+    d = tmp_path_factory.mktemp("fq")
+    r1p, r2p = str(d / "R1.fq"), str(d / "R2.fq")
+
+    def rq(L, mean=35):
+        return "".join(chr(33 + int(min(41, max(2, rng.normal(mean, 6)))))
+                       for _ in range(L))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    with open(r1p, "w") as f1, open(r2p, "w") as f2:
+        for k in range(100):
+            L = int(rng.integers(180, 300))
+            tpl = "".join(bases[i] for i in rng.integers(0, 4, L))
+            r1len = int(rng.integers(100, 151))
+            r2len = int(rng.integers(100, 151))
+            r1 = list(tpl[:r1len])
+            r2 = [comp[c] for c in reversed(tpl[-r2len:])]
+            for _ in range(int(rng.integers(0, 3))):
+                r1[int(rng.integers(0, r1len))] = bases[int(rng.integers(0, 4))]
+            q1, q2 = rq(r1len), rq(r2len)
+            if rng.integers(0, 3) == 0:
+                q1 = q1[:-6] + "##$###"
+            f1.write(f"@pair{k} 1:N:0\n{''.join(r1)}\n+\n{q1}\n")
+            f2.write(f"@pair{k} 2:N:0\n{''.join(r2)}\n+\n{q2}\n")
+    return r1p, r2p
+
+
+def test_fastq_filter_parity(ref_bin, paired_fq, tmp_path):
+    r1, _ = paired_fq
+    g = str(tmp_path / "g.fq")
+    m = str(tmp_path / "m.fq")
+    args = ["-fastq_filter", r1, "-fastq_maxee", "1.0", "-fastq_trunclen",
+            "120", "-relabel", "Filt"]
+    run_ref(ref_bin, args + ["-fastqout", g])
+    assert cli_main(args + ["-fastqout", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+
+
+def test_fastq_mergepairs_parity(ref_bin, paired_fq, tmp_path):
+    r1, r2 = paired_fq
+    g = str(tmp_path / "g.fq")
+    m = str(tmp_path / "m.fq")
+    gn = str(tmp_path / "gn.fq")
+    mn = str(tmp_path / "mn.fq")
+    args = ["-fastq_mergepairs", r1, "-reverse", r2]
+    run_ref(ref_bin, args + ["-fastqout", g, "-fastqout_notmerged_fwd", gn])
+    assert cli_main(args + ["-fastqout", m, "-fastqout_notmerged_fwd", mn,
+                            "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+    assert open(gn).read() == open(mn).read()
+
+
+def test_fastq_join_parity(ref_bin, paired_fq, tmp_path):
+    r1, r2 = paired_fq
+    g = str(tmp_path / "g.fq")
+    m = str(tmp_path / "m.fq")
+    args = ["-fastq_join", r1, "-reverse", r2]
+    run_ref(ref_bin, args + ["-fastqout", g])
+    assert cli_main(args + ["-fastqout", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+
+
+def test_fastx_orient_parity(ref_bin, amplicons_small_fa, tmp_path):
+    import numpy as np
+    from usearch12_tpu.alpha import revcomp, to_bytes, to_str
+    q = str(tmp_path / "q.fa")
+    recs = []
+    cur = None
+    for line in open(amplicons_small_fa):
+        if line.startswith(">"):
+            cur = [line.strip()[1:], ""]
+            recs.append(cur)
+        else:
+            cur[1] += line.strip()
+    with open(q, "w") as f:
+        for i, (l, s) in enumerate(recs[:40]):
+            if i % 3 == 0:
+                s = to_str(revcomp(to_bytes(s)))
+            f.write(f">{l}\n{s}\n")
+    g = str(tmp_path / "g.tab")
+    m = str(tmp_path / "m.tab")
+    args = ["-fastx_orient", q, "-db", amplicons_small_fa]
+    run_ref(ref_bin, args + ["-tabbedout", g])
+    assert cli_main(args + ["-tabbedout", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()

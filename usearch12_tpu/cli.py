@@ -29,7 +29,8 @@ _FLAG_OPTS_NO_VALUE = {
     "fastq_allowmergestagger", "interleaved", "uc_hits_only", "trunclabels",
     "cluster_members", "wildcards_match_self", "sizeorder", "leftjust",
     "rightjust", "tax_strip", "verbose", "no_progress", "version",
-    "use_device", "use_cpu_oracle",
+    "use_device", "use_cpu_oracle", "notrunclabels",
+    "ignore_label_mismatches", "fastq_forceq", "fastq_noguess",
 }
 
 

@@ -63,7 +63,7 @@ _FLT_OPTS = [
     "id", "evalue", "query_cov", "max_query_cov", "target_cov",
     "max_target_cov", "abskew", "termid", "termidd", "min_sizeratio",
     "minqt", "maxqt", "minsl", "maxsl", "fastq_maxee", "fastq_maxee_rate",
-    "fastq_truncqual", "fastq_minqual", "fastq_maxns_pct", "sizeratio",
+    "fastq_maxns_pct", "sizeratio",
     "fastq_minmergelen_pct", "min_otu_size_pct",
 ]
 _UNS_OPTS = [
@@ -73,7 +73,8 @@ _UNS_OPTS = [
     "fastq_trunclen_keep", "minuniquesize", "maxuniquesize", "topn",
     "maxhits", "dbaccel", "minsize", "maxsize", "sample_size",
     "fastq_minqual_tail", "fastq_maxmergelen", "fastq_minmergelen",
-    "maxpending", "strand_boots",
+    "maxpending", "strand_boots", "stripleft", "stripright", "trunclen",
+    "padlen", "fastq_truncqual", "fastq_minqual",
 ]
 _STR_OPTS = [
     "output", "blast6out", "uc", "userout", "userfields", "alnout",
@@ -85,6 +86,9 @@ _STR_OPTS = [
     "mothur_shared_out", "uparseout", "uparsealnout", "tabbedout",
     "sintax_summary_out", "log", "dbmask", "qmask", "strand", "sort",
     "ampout", "uchimealnout", "query", "output2", "db2", "boot_subset",
+    "fastaout_discarded", "fastqout_discarded", "mapout", "join_padgap",
+    "join_padgapq", "fastqout_overlap_fwd", "fastqout_overlap_rev",
+    "fastaout_overlap_fwd", "fastaout_overlap_rev", "padq",
     "sortedby", "relabel", "sample", "sizeout_str", "gapopen", "gapext",
     "matrix", "tsegout", "qsegout", "fastapairs", "mergeout", "eetabbedout",
     "report", "alndiffsout", "otu_radius_str", "label_suffix",
@@ -99,6 +103,8 @@ _FLAG_OPTS = [
     "centroid_types", "cluster_members", "wildcards_match_self", "sizeorder",
     "leftjust", "rightjust", "strand_plus", "strand_both", "tax_strip",
     "verbose", "no_progress", "use_device", "use_cpu_oracle",
+    "ignore_label_mismatches", "notrunclabels", "fastq_forceq",
+    "fastq_noguess",
 ]
 
 

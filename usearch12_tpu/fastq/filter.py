@@ -1,0 +1,210 @@
+"""fastq_filter / fastx_truncate (src/fastqfilter.cpp, src/fastxtruncate.cpp).
+
+Per-read trimming pipeline applied in the reference's exact order:
+truncqual, trunctail, stripleft, stripright, maxns, minlen, trunclen,
+minqual, maxee/maxee_rate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import options
+from ..io.fastx import read_fastx, write_fasta, write_fastq
+from .qual import get_fastq
+
+FF_GOOD, FF_SHORT, FF_HIGH_ERR, FF_MINQ, FF_MAXNS = range(5)
+
+
+def _filter_one(seq: np.ndarray, qual: str, fq) -> Tuple[int, np.ndarray, str]:
+    o = options()
+    L = len(seq)
+    if L == 0:
+        return FF_SHORT, seq, qual
+
+    if o.filled("fastq_truncqual"):
+        tq = o.uns("fastq_truncqual")
+        for i, q in enumerate(qual):
+            if fq.char_to_int(ord(q)) <= tq:
+                seq, qual = seq[:i], qual[:i]
+                break
+
+    if o.filled("fastq_trunctail"):
+        tt = o.uns("fastq_trunctail")
+        tail = 0
+        for k in range(len(seq)):
+            if fq.char_to_int(ord(qual[len(seq) - k - 1])) <= tt:
+                tail += 1
+            else:
+                break
+        if tail > 0 and tail > o.uns("fastq_tail"):
+            seq, qual = seq[:len(seq) - tail], qual[:len(seq) - tail]
+
+    if o.filled("fastq_stripleft"):
+        n = o.uns("fastq_stripleft")
+        if len(seq) <= n:
+            return FF_SHORT, seq, qual
+        seq, qual = seq[n:], qual[n:]
+
+    if o.filled("fastq_stripright"):
+        n = o.uns("fastq_stripright")
+        if len(seq) <= n:
+            return FF_SHORT, seq, qual
+        seq, qual = seq[:len(seq) - n], qual[:len(seq) - n]
+
+    if o.filled("fastq_maxns"):
+        ncount = int((seq == ord("N")).sum() + (seq == ord("n")).sum())
+        if ncount > o.uns("fastq_maxns"):
+            return FF_MAXNS, seq, qual
+
+    L = len(seq)
+    if L == 0:
+        return FF_SHORT, seq, qual
+    if o.filled("fastq_minlen") and L < o.uns("fastq_minlen"):
+        return FF_SHORT, seq, qual
+    if o.filled("fastq_trunclen"):
+        tl = o.uns("fastq_trunclen")
+        if L < tl:
+            return FF_SHORT, seq, qual
+        seq, qual = seq[:tl], qual[:tl]
+    if o.filled("fastq_minqual"):
+        minq = min(fq.char_to_int(ord(q)) for q in qual) if qual else 0
+        if minq < o.uns("fastq_minqual"):
+            return FF_MINQ, seq, qual
+    if o.filled("fastq_maxee") or o.filled("fastq_maxee_rate"):
+        ee = fq.get_ee(qual)
+        if o.filled("fastq_maxee") and ee > o.flt("fastq_maxee"):
+            return FF_HIGH_ERR, seq, qual
+        if o.filled("fastq_maxee_rate") and \
+                ee > o.flt("fastq_maxee_rate") * len(seq):
+            return FF_HIGH_ERR, seq, qual
+    return FF_GOOD, seq, qual
+
+
+class Relabeler:
+    """InitFastqRelabel/FastqRelabel (src/mergethread.cpp)."""
+
+    def __init__(self) -> None:
+        o = options()
+        self.prefix = o.str("relabel", "")
+        if self.prefix == "-":
+            self.prefix = ""
+        self.sample = o.str("sample", "") if o.filled("sample") else ""
+        self.suffix = o.str("label_suffix", "")
+        self.counter = 0
+
+    def relabel(self, label: str, ee: Optional[float] = None) -> str:
+        self.counter += 1
+        if self.prefix:
+            label = f"{self.prefix}{self.counter}"
+        o = options()
+        if o.filled("sample"):
+            if not label.endswith(";"):
+                label += ";"
+            label += f"sample={self.sample};"
+        if o.flag("fastq_eeout") and ee is not None:
+            if not label.endswith(";"):
+                label += ";"
+            label += "ee=%.2g;" % ee
+        if self.suffix:
+            label += self.suffix
+        return label
+
+
+def fastq_filter(input_path: Optional[str]) -> None:
+    o = options()
+    if not input_path:
+        raise SystemExit("Missing input")
+    fq = get_fastq()
+    rl = Relabeler()
+
+    f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
+    f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None
+    f_disc_fa = open(o.str("fastaout_discarded"), "w") \
+        if o.filled("fastaout_discarded") else None
+    f_disc_fq = open(o.str("fastqout_discarded"), "w") \
+        if o.filled("fastqout_discarded") else None
+    f_ee = open(o.str("eetabbedout"), "w") if o.filled("eetabbedout") \
+        else None
+
+    for label, seq, qual in read_fastx(input_path):
+        if qual is None:
+            raise SystemExit("fastq_filter requires FASTQ input")
+        ff, seq2, qual2 = _filter_one(seq, qual, fq)
+        if ff == FF_GOOD:
+            ee = fq.get_ee(qual2) if (o.flag("fastq_eeout") or f_ee) else None
+            new_label = rl.relabel(label, ee)
+            if f_ee:
+                f_ee.write("%s\t%.2g\n" % (label, ee))
+            if f_fq:
+                write_fastq(f_fq, new_label, seq2, qual2)
+            if f_fa:
+                write_fasta(f_fa, new_label, seq2, o.uns("fasta_cols"))
+        else:
+            if f_disc_fq:
+                write_fastq(f_disc_fq, label, seq2, qual2)
+            if f_disc_fa:
+                write_fasta(f_disc_fa, label, seq2, o.uns("fasta_cols"))
+
+    for f in (f_fq, f_fa, f_disc_fa, f_disc_fq, f_ee):
+        if f:
+            f.close()
+
+
+def fastx_truncate(input_path: Optional[str]) -> None:
+    """cmd_fastx_truncate (src/fastxtruncate.cpp): -trunclen/-stripleft/
+    -stripright + -padlen."""
+    o = options()
+    f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None
+    f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
+    relabel = o.str("relabel", "")
+    n_out = 0
+    for label, seq, qual in read_fastx(input_path):
+        if o.filled("stripleft"):
+            n = o.uns("stripleft")
+            if len(seq) <= n:
+                continue
+            seq = seq[n:]
+            qual = qual[n:] if qual else qual
+        if o.filled("stripright"):
+            n = o.uns("stripright")
+            if len(seq) <= n:
+                continue
+            seq = seq[:len(seq) - n]
+            qual = qual[:len(seq)] if qual else qual
+        if o.filled("padlen"):
+            pl = o.uns("padlen")
+            padq = o.str("padq") if o.filled("padq") else "I"
+            if len(seq) < pl:
+                pad = pl - len(seq)
+                seq = np.concatenate(
+                    [seq, np.full(pad, ord("N"), dtype=np.uint8)])
+                if qual:
+                    qual = qual + padq * pad
+        if o.filled("trunclen"):
+            tl = o.uns("trunclen")
+            if len(seq) < tl:
+                continue
+            seq = seq[:tl]
+            qual = qual[:tl] if qual else qual
+        if o.filled("minseqlength") and len(seq) < o.uns("minseqlength"):
+            continue
+        if o.filled("maxseqlength") and len(seq) > o.uns("maxseqlength"):
+            continue
+        n_out += 1
+        if relabel:
+            if relabel.startswith("+"):
+                label = f"{label}{relabel}{n_out}"
+            else:
+                label = f"{relabel}{n_out}"
+        elif o.filled("label_suffix"):
+            label += o.str("label_suffix")
+        if f_fa:
+            write_fasta(f_fa, label, seq, o.uns("fasta_cols"))
+        if f_fq and qual is not None:
+            write_fastq(f_fq, label, seq, qual)
+    for f in (f_fa, f_fq):
+        if f:
+            f.close()

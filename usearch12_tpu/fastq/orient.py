@@ -1,0 +1,74 @@
+"""fastx_orient (src/orient.cpp): orient reads vs a reference UDB by
+comparing per-word postings-row sizes for forward vs reverse-complement
+words (word vote x8, strand vote x4)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..alpha import revcomp
+from ..config import options
+from ..io.seqdb import SeqDB
+from ..io.fastx import read_fastx, write_fasta, write_fastq
+from ..index.udb import UDBIndex, UDBParams
+
+
+def fastx_orient(query_path: Optional[str]) -> None:
+    o = options()
+    db = SeqDB.from_fastx(o.str("db"))
+    db.mask()
+    # SetDefaults_Orient -> SetUTax(12): nt words of length 12
+    params = UDBParams.global_usearch(True, word_length=12)
+    index = UDBIndex.from_seqdb(db, params)
+    sizes = index.sizes
+
+    word_x = o.flt("orient_wordx")
+    strand_x = o.flt("orient_strandx")
+
+    f_out = open(o.str("tabbedout"), "w") if o.filled("tabbedout") else None
+    f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None
+    f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
+    f_not = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
+
+    for label, seq, qual in read_fastx(query_path):
+        if len(seq) == 0:
+            continue
+        rc = revcomp(seq)
+        words = params.valid_words(seq)
+        words_rc = params.valid_words(rc)
+        n = len(words)
+        plus_count = minus_count = 0
+        if n == len(words_rc):
+            sz = sizes[words].astype(np.float32)
+            sz_rc = sizes[words_rc[::-1]].astype(np.float32)
+            plus_count = int((sz > sz_rc * word_x).sum())
+            minus_count = int((sz_rc > sz * word_x).sum())
+        plus = plus_count > minus_count * strand_x
+        minus = minus_count > plus_count * strand_x
+        if plus:
+            c = "+"
+            if f_fa:
+                write_fasta(f_fa, label, seq, o.uns("fasta_cols"))
+            if f_fq and qual is not None:
+                write_fastq(f_fq, label, seq, qual)
+        elif minus:
+            c = "-"
+            if f_fa:
+                write_fasta(f_fa, label, rc, o.uns("fasta_cols"))
+            if f_fq and qual is not None:
+                write_fastq(f_fq, label, rc, qual[::-1])
+        else:
+            c = "?"
+            if f_not:
+                if qual is None:
+                    write_fasta(f_not, label, seq, o.uns("fasta_cols"))
+                else:
+                    write_fastq(f_not, label, seq, qual)
+        if f_out:
+            f_out.write(f"{label}\t{c}\t{plus_count}\t{minus_count}\n")
+
+    for f in (f_out, f_fa, f_fq, f_not):
+        if f:
+            f.close()
