@@ -307,3 +307,125 @@ def _write_clusters(prefix: str, state: ClusterState,
                 else:
                     write_fasta(f, unique_db.labels[ui], unique_db.seqs[ui],
                                 o.uns("fasta_cols"))
+
+
+def cluster_mt(input_path: Optional[str]) -> None:
+    """cluster_mt (src/clustermt.cpp): batch-synchronous greedy clustering.
+
+    Queries stream against the frozen centroid set; misses buffer as
+    "pending" until maxpending (128), then are re-searched serially with
+    admissions applied in order.  This is the schedule that makes greedy
+    clustering batchable on TPU: the search phase is embarrassingly
+    parallel over the pending window, admissions are serialized."""
+    o = options()
+    if not o.filled("id"):
+        raise SystemExit("Must set -id")
+    max_pending = o.uns("maxpending") if o.filled("maxpending") else 128
+
+    input_db = SeqDB.from_fastx(input_path)
+    nucleo = input_db.get_is_nucleo()
+    ap = AlnParams.from_cmdline(nucleo)
+    ah = AlnHeuristics.from_cmdline(ap)
+    params = UDBParams.global_usearch(nucleo)
+    index = UDBIndex(params)
+    ranker = USortedRanker(index)
+    accepter = Accepter(is_global=True)
+    terminator = Terminator("cluster_mt")
+
+    native = None
+    if not o.flag("use_cpu_oracle"):
+        try:
+            from ..native import NativeAligner
+            native = NativeAligner(ap, ah)
+        except Exception:
+            native = None
+    from ..align.hsp import HSPFinder
+    from ..align.global_aligner import global_align
+    hf = HSPFinder(ap, ah)
+
+    centroid_labels: List[str] = []
+    centroid_seqs: List[np.ndarray] = []
+    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
+    fail = not o.flag("gaforce")
+
+    def search_one(q_label, q_seq):
+        """Search vs current centroids; returns top hit AR or None."""
+        hm = HitMgr()
+        terminator.on_new_query()
+        tix_order, _c = ranker.rank(q_seq)
+        if len(tix_order):
+            if native is not None:
+                native.set_a(q_seq)
+            else:
+                hf.set_a(q_seq)
+            for tix in tix_order.tolist():
+                t_label = centroid_labels[tix]
+                t_seq = centroid_seqs[tix]
+                if accepter.reject_pair(q_label, q_seq, t_label, t_seq):
+                    continue
+                if native is not None:
+                    native.set_b(t_seq)
+                    path = native.global_align(fail_if_no_hsps=fail)
+                else:
+                    hf.set_b(t_seq)
+                    path = global_align(q_seq, t_seq, ap, ah, hf,
+                                        fail_if_no_hsps=fail)
+                accept = False
+                if path is not None:
+                    ar = AlignResult(query_label=q_label,
+                                     target_label=t_label,
+                                     query_seq=q_seq, target_seq=t_seq,
+                                     path=path, nucleo=nucleo,
+                                     target_index=tix)
+                    accept = accepter.is_accept(ar)
+                    if accept:
+                        hm.append_hit(ar)
+                if terminator.terminate(hm, accept):
+                    break
+        return hm.top_hit()
+
+    def admit(q_label, q_seq) -> int:
+        ci = len(centroid_labels)
+        centroid_labels.append(q_label)
+        centroid_seqs.append(q_seq)
+        index.add_seq(ci, q_seq)
+        index.seq_count = ci + 1
+        return ci
+
+    from ..io.fastx import read_fastx
+    pending = []
+    for label, seq, _qual in read_fastx(input_path):
+        if len(seq) == 0:
+            continue
+        top = search_one(label, seq)
+        if top is None:
+            pending.append((label, seq))
+            if len(pending) >= max_pending:
+                _process_pending(pending, search_one, admit, f_uc)
+        else:
+            if f_uc:
+                f_uc.write(_uc_hit_line(top, label))
+    _process_pending(pending, search_one, admit, f_uc)
+
+    if f_uc:
+        f_uc.close()
+    if o.filled("centroids"):
+        from ..io.fastx import write_fasta
+        with open(o.str("centroids"), "w") as f:
+            for lbl, s in zip(centroid_labels, centroid_seqs):
+                write_fasta(f, lbl, s, o.uns("fasta_cols"))
+
+
+def _process_pending(pending, search_one, admit, f_uc) -> None:
+    """ProcessPending (src/clustermt.cpp:46-78): serial re-search of
+    buffered misses against the (growing) centroid set."""
+    for label, seq in pending:
+        top = search_one(label, seq)
+        if top is None:
+            ci = admit(label, seq)
+            if f_uc:
+                f_uc.write(f"S\t{ci}\t{len(seq)}\t*\t.\t*\t*\t*\t{label}\t*\n")
+        else:
+            if f_uc:
+                f_uc.write(_uc_hit_line(top, label))
+    pending.clear()

@@ -151,3 +151,42 @@ def cmd_fastx_truncate(input_path: Optional[str]) -> None:
 def cmd_makeudb_usearch(input_path: Optional[str]) -> None:
     from .index.udbfile import makeudb_usearch
     makeudb_usearch(input_path)
+
+
+def cmd_fastx_get_sample_names(input_path: Optional[str]) -> None:
+    from .amplicon.summary import fastx_get_sample_names
+    fastx_get_sample_names(input_path)
+
+
+def cmd_sintax_summary(input_path: Optional[str]) -> None:
+    from .amplicon.summary import sintax_summary
+    sintax_summary(input_path)
+
+
+def cmd_fastq_filter2(input_path: Optional[str]) -> None:
+    from .fastq.filter import fastq_filter2
+    fastq_filter2(input_path)
+
+
+def cmd_cluster_mt(input_path: Optional[str]) -> None:
+    from .cluster.uclust import cluster_mt
+    cluster_mt(input_path)
+
+
+def cmd_test(_input_path: Optional[str]) -> None:
+    """-test: x-drop alignment smoke test (src/xdropalignmem.cpp:336-364)."""
+    import numpy as np
+    from .alpha import to_bytes
+    from .scoring import AlnParams, AlnHeuristics
+    from .align.hsp import HSPFinder
+    from .align.global_aligner import global_align
+    a = to_bytes("SEQVENCE")
+    b = to_bytes("SEQVECE")
+    from .config import oset
+    ap = AlnParams.from_cmdline(False)
+    ah = AlnHeuristics.from_cmdline(ap)
+    hf = HSPFinder(ap, ah)
+    hf.set_a(a)
+    hf.set_b(b)
+    path = global_align(a, b, ap, ah, hf, fail_if_no_hsps=False)
+    print(f"test: {path}")

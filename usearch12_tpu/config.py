@@ -88,7 +88,8 @@ _STR_OPTS = [
     "ampout", "uchimealnout", "query", "output2", "db2", "boot_subset",
     "fastaout_discarded", "fastqout_discarded", "mapout", "join_padgap",
     "join_padgapq", "fastqout_overlap_fwd", "fastqout_overlap_rev",
-    "fastaout_overlap_fwd", "fastaout_overlap_rev", "padq",
+    "fastaout_overlap_fwd", "fastaout_overlap_rev", "padq", "rank",
+    "otutabin",
     "sortedby", "relabel", "sample", "sizeout_str", "gapopen", "gapext",
     "matrix", "tsegout", "qsegout", "fastapairs", "mergeout", "eetabbedout",
     "report", "alndiffsout", "otu_radius_str", "label_suffix",

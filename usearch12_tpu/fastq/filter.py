@@ -208,3 +208,36 @@ def fastx_truncate(input_path: Optional[str]) -> None:
     for f in (f_fa, f_fq):
         if f:
             f.close()
+
+
+def fastq_filter2(input_path: Optional[str]) -> None:
+    """fastq_filter2 (src/fastqfilter2.cpp): paired EE + zero-N filter
+    keeping R1/R2 in sync."""
+    from .qual import get_fastq
+    from ..io.fastx import read_fastq
+    o = options()
+    rev_path = o.str("reverse")
+    if not input_path or not rev_path:
+        raise SystemExit("Missing input")
+    max_ee = o.flt("fastq_maxee") if o.filled("fastq_maxee") else 1.0
+    fq = get_fastq()
+    f1 = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
+    f2 = None
+    if f1 is not None:
+        if not o.filled("output2"):
+            raise SystemExit("-output2 required with -fastqout")
+        f2 = open(o.str("output2"), "w")
+    for (l1, s1, q1), (l2, s2, q2) in zip(read_fastq(input_path),
+                                          read_fastq(rev_path)):
+        ee1 = fq.get_ee(q1)
+        ee2 = fq.get_ee(q2)
+        n1 = int((s1 == ord("N")).sum() + (s1 == ord("n")).sum())
+        n2 = int((s2 == ord("N")).sum() + (s2 == ord("n")).sum())
+        if ee1 <= max_ee and ee2 <= max_ee and n1 == 0 and n2 == 0:
+            if f1:
+                write_fastq(f1, l1, s1, q1)
+            if f2:
+                write_fastq(f2, l2, s2, q2)
+    for f in (f1, f2):
+        if f:
+            f.close()
