@@ -154,10 +154,16 @@ class AlignResult:
 
     # -- 1-based display coords ------------------------------------------------
     def q_coords_1(self):
-        """(QLo6, QHi6): global => 1..LA; revcomp flips target, ORF flips
-        query (ORF not yet applied here)."""
+        """(QLo6, QHi6): global => 1..LA.  For a revcomp query the reference
+        maps query coords back to the plus strand (GetIQLo/GetIQHi,
+        src/arscorer.cpp:688-745: IQLo = LA-Hii-1, IQHi = LA-Loi-1); the
+        query is never flipped in blast6 unless ORF frame<0."""
         if self.local:
-            lo, hi = self.loi + 1, self.loi + self.leni_local
+            if self.query_revcomp:
+                hii = self.loi + self.leni_local - 1
+                lo, hi = self.la - hii, self.la - self.loi
+            else:
+                lo, hi = self.loi + 1, self.loi + self.leni_local
         else:
             lo, hi = 1, self.la
         return lo, hi

@@ -83,6 +83,56 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             f.close()
 
 
+def cmd_usearch_local(query_path: Optional[str]) -> None:
+    """usearch_local: gapped local search with Karlin-Altschul E-values
+    (src/searchcmd.cpp:42-45, src/makedbsearcher.cpp:87-127).  -evalue is
+    required (oget_flt dies when unset); -id is optional for local."""
+    o = options()
+    if query_path is None:
+        query_path = o.str("query")
+    if not o.filled("evalue"):
+        raise SystemExit("-evalue required for local search")
+    db = _load_db(o.str("db"))
+
+    from .search.driver import search_file
+    from .io.fastx import write_fasta
+
+    f_b6 = open(o.str("blast6out"), "w") if o.filled("blast6out") else None
+    f_m = open(o.str("matched"), "w") if o.filled("matched") else None
+    f_nm = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
+    f_user = open(o.str("userout"), "w") if o.filled("userout") else None
+
+    def on_query_done(label, seq, hits):
+        from .search.hitmgr import HitMgr
+        hm = HitMgr()
+        hm.hits = hits
+        ordered = hm.sorted_hits()
+        maxhits = o.uns("maxhits") if o.filled("maxhits") else 0
+        if maxhits > 0:
+            ordered = ordered[:maxhits]
+        if f_b6:
+            for ar in ordered:
+                f_b6.write(blast6_line(ar))
+            if not ordered and o.flag("output_no_hits"):
+                f_b6.write(blast6_no_hits_line(label))
+        if f_user:
+            from .out.userout import user_out_lines
+            for ar in ordered:
+                f_user.write(user_out_lines(ar))
+        if ordered:
+            if f_m:
+                write_fasta(f_m, label, seq, o.uns("fasta_cols"))
+        else:
+            if f_nm:
+                write_fasta(f_nm, label, seq, o.uns("fasta_cols"))
+
+    search_file("usearch_local", query_path, db, on_query_done)
+
+    for f in (f_b6, f_m, f_nm, f_user):
+        if f:
+            f.close()
+
+
 def cmd_cluster_fast(input_path: Optional[str]) -> None:
     from .cluster.uclust import cluster_fast
     cluster_fast(input_path)

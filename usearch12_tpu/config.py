@@ -27,10 +27,11 @@ class _Opt:
     name: str
     kind: str
     default: Any = None       # compile-time default (o_defaults.inc)
-    value: Any = None         # user-supplied value
-    filled: bool = False      # user supplied it on the command line
-    dyn_default: Any = None   # per-command default (oset_*d)
-    has_dyn: bool = False
+    value: Any = None         # current value (default or user)
+    filled: bool = False      # opt_filled: set by o_defaults.inc (compile-
+                              # time defaults), oset_*d AND the command line
+                              # (src/opts.cpp:120-190) — NOT only user-set
+    cmdline: bool = False     # opt_cmdline: user typed it (src/opts.cpp:222)
     used: bool = False
 
 
@@ -65,6 +66,7 @@ _FLT_OPTS = [
     "minqt", "maxqt", "minsl", "maxsl", "fastq_maxee", "fastq_maxee_rate",
     "fastq_maxns_pct", "sizeratio",
     "fastq_minmergelen_pct", "min_otu_size_pct",
+    "ka_gapped_k", "ka_gapped_lambda", "ka_ungapped_k", "ka_ungapped_lambda",
 ]
 _UNS_OPTS = [
     "maxaccepts", "maxrejects", "wordlength", "slots", "threads", "hspw",
@@ -113,11 +115,16 @@ class Options:
     """One registry instance per run (thread-local current)."""
 
     def __init__(self) -> None:
+        import numpy as _np
         self._opts: Dict[str, _Opt] = {}
+        # oset_*_default (src/opts.cpp:180-193) sets opt_filled=true, so
+        # ofilled() is TRUE for every option in o_defaults.inc; flt values
+        # are stored as float (f32 cast).
         for n, v in _FLT_DEFAULTS.items():
-            self._opts[n] = _Opt(n, _FLT, default=v)
+            v32 = float(_np.float32(v))
+            self._opts[n] = _Opt(n, _FLT, default=v32, value=v32, filled=True)
         for n, v in _UNS_DEFAULTS.items():
-            self._opts[n] = _Opt(n, _UNS, default=v)
+            self._opts[n] = _Opt(n, _UNS, default=v, value=v, filled=True)
         for n in _FLT_OPTS:
             self._opts.setdefault(n, _Opt(n, _FLT))
         for n in _UNS_OPTS:
@@ -140,22 +147,32 @@ class Options:
 
     # -- user-set (command line) ------------------------------------------
     def set(self, name: str, value: Any) -> None:
+        import numpy as _np
         o = self._get(name)
         if o.kind == _FLT:
-            value = float(value)
+            # flt_opts is a float array in the reference: user values are
+            # f32-rounded (e.g. -id 0.97 -> 0.97000003) (src/opts.cpp).
+            value = float(_np.float32(float(value)))
         elif o.kind == _UNS:
             value = int(value)
         elif o.kind == _FLAG:
             value = bool(value) if not isinstance(value, str) else True
         o.value = value
         o.filled = True
+        o.cmdline = True
 
     # -- dynamic per-command defaults (oset_*d) ----------------------------
     def set_default(self, name: str, value: Any) -> None:
+        """oset_fltd/unsd/strd (src/opts.cpp:127-155): applies ONLY if not
+        already filled — a no-op for options with o_defaults.inc defaults —
+        and sets opt_filled=true."""
+        import numpy as _np
         o = self._get(name)
         if not o.filled:
-            o.dyn_default = value
-            o.has_dyn = True
+            if o.kind == _FLT:
+                value = float(_np.float32(float(value)))
+            o.value = value
+            o.filled = True
 
     # -- reads --------------------------------------------------------------
     def filled(self, name: str) -> bool:
@@ -163,16 +180,12 @@ class Options:
         return o.filled if o is not None else False
 
     def get(self, name: str, default: Any = None) -> Any:
-        """oget_* semantics: user value, else dyn default, else static
-        default, else `default` arg (oget_fltd)."""
+        """oget_* semantics: filled value (defaults fill at startup), else
+        `default` arg (oget_fltd/oget_unsd)."""
         o = self._get(name)
         o.used = True
         if o.filled:
             return o.value
-        if o.has_dyn:
-            return o.dyn_default
-        if o.default is not None:
-            return o.default
         if default is not None:
             return default
         if o.kind == _FLAG:
@@ -193,7 +206,10 @@ class Options:
         return bool(self.get(name, False))
 
     def unused_filled(self):
-        return [o.name for o in self._opts.values() if o.filled and not o.used]
+        """CheckUsedOpts (src/opts.cpp:222): warn only for options the user
+        actually typed (opt_cmdline), not for filled defaults."""
+        return [o.name for o in self._opts.values()
+                if o.cmdline and not o.used]
 
 
 _tls = threading.local()

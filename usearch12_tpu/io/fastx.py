@@ -18,8 +18,11 @@ Record = Tuple[str, np.ndarray, Optional[str]]
 
 
 def open_maybe_gz(path: str, mode: str = "rb"):
-    with open(path, "rb") as f:
-        magic = f.read(2)
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+    except OSError as e:
+        raise SystemExit(f"Cannot open {path}: {e.strerror}")
     if magic == b"\x1f\x8b":
         return gzip.open(path, mode)
     return open(path, mode)

@@ -19,6 +19,7 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <math.h>
 
 #define TB_DM 0x01
 #define TB_IM 0x02
@@ -913,4 +914,563 @@ int global_align_c(HSPFinderC *hf, AlignScratch *s, const GapParams *gp,
     }
     *p = 0;
     return (int)(p - path_out);
+}
+
+/* ---------------- gapped x-drop local alignment ----------------
+ * Exact semantics of the reference forward x-drop DP with adaptive band
+ * (src/xdropfwdmem.cpp:344-749), backward via sequence reversal
+ * (src/xdropbwdmem.cpp), and the O(sqrt)-memory split drivers
+ * (src/xdropfwdsplit.cpp, g_MaxL=4096 from src/xdpmem.h:6).
+ */
+
+#define XD_MAXL 4096
+
+typedef struct {
+    float *mrow_buf;   /* size cap+2, mrow = buf+1 so mrow[-1] valid */
+    float *drow;       /* size cap+2 */
+    byte *tb;          /* (cap+1)*(cap+1) adaptive; allocated on demand */
+    size_t tb_cap;
+    size_t row_cap;
+    byte *rev_a;
+    byte *rev_b;
+    size_t rev_cap;
+    char *path1;
+    char *path2;
+    size_t path_cap;
+} XDScratch;
+
+XDScratch *xd_create(void)
+{
+    return (XDScratch *)calloc(1, sizeof(XDScratch));
+}
+
+void xd_destroy(XDScratch *s)
+{
+    if (!s)
+        return;
+    free(s->mrow_buf);
+    free(s->drow);
+    free(s->tb);
+    free(s->rev_a);
+    free(s->rev_b);
+    free(s->path1);
+    free(s->path2);
+    free(s);
+}
+
+static void xd_alloc(XDScratch *s, uint32_t la, uint32_t lb)
+{
+    size_t need_row = (size_t)lb + 3;
+    if (need_row > s->row_cap) {
+        free(s->mrow_buf);
+        free(s->drow);
+        s->row_cap = need_row + 1024;
+        s->mrow_buf = (float *)malloc(s->row_cap * sizeof(float));
+        s->drow = (float *)malloc(s->row_cap * sizeof(float));
+    }
+    size_t need_tb = ((size_t)la + 2) * ((size_t)lb + 2);
+    if (need_tb > s->tb_cap) {
+        free(s->tb);
+        s->tb_cap = need_tb + 4096;
+        s->tb = (byte *)malloc(s->tb_cap);
+    }
+    size_t need_rev = (size_t)(la > lb ? la : lb) + 2;
+    if (need_rev > s->rev_cap) {
+        free(s->rev_a);
+        free(s->rev_b);
+        s->rev_cap = need_rev + 1024;
+        s->rev_a = (byte *)malloc(s->rev_cap);
+        s->rev_b = (byte *)malloc(s->rev_cap);
+    }
+    size_t need_path = (size_t)la + lb + 16;
+    if (need_path > s->path_cap) {
+        free(s->path1);
+        free(s->path2);
+        s->path_cap = 2 * need_path + 4096;
+        s->path1 = (char *)malloc(s->path_cap);
+        s->path2 = (char *)malloc(s->path_cap);
+    }
+}
+
+/* Grow only the path buffers (path1/path2); used by the split/align
+ * drivers so the captured pointers survive inner xd_alloc calls, without
+ * forcing the O(la*lb) traceback allocation for huge sequences. */
+static void xd_alloc_path(XDScratch *s, uint32_t la, uint32_t lb)
+{
+    size_t need_path = (size_t)la + lb + 16;
+    if (need_path > s->path_cap) {
+        free(s->path1);
+        free(s->path2);
+        s->path_cap = 2 * need_path + 4096;
+        s->path1 = (char *)malloc(s->path_cap);
+        s->path2 = (char *)malloc(s->path_cap);
+    }
+}
+
+static uint32_t umin(uint32_t a, uint32_t b) { return a < b ? a : b; }
+static uint32_t umax(uint32_t a, uint32_t b) { return a > b ? a : b; }
+
+/* Forward x-drop; path written to path_out (null-terminated).  Returns
+ * score; 0 score means empty alignment. */
+float xdrop_fwd(XDScratch *s, const byte *A, uint32_t la, const byte *B,
+                uint32_t lb, float open_p, float ext_p, const float *mx,
+                float x, uint32_t *leni, uint32_t *lenj, char *path_out)
+{
+    if (la == 1 || lb == 1) {
+        *leni = 1;
+        *lenj = 1;
+        path_out[0] = 'M';
+        path_out[1] = 0;
+        return mx[256 * (size_t)A[0] + B[0]];
+    }
+    xd_alloc(s, la, lb);
+    const float abs_open = -open_p;
+    const float abs_ext = -ext_p;
+    float *mrow = s->mrow_buf + 1;
+    float *drow = s->drow;
+    byte *tb = s->tb;
+    size_t stride = (size_t)lb + 2;
+
+    mrow[-1] = NEG_INF;
+    drow[0] = NEG_INF;
+    drow[1] = NEG_INF;
+
+    float best_score = mx[256 * (size_t)A[0] + B[0]];
+    uint32_t besti = 0, bestj = 0;
+    uint32_t prev_jlo = 0, prev_jhi = 0;
+    uint32_t jlo = 1, jhi = 1;
+    float m0 = best_score;
+
+    for (uint32_t i = 1; i < la; ++i) {
+        if (jlo == prev_jlo) {
+            mrow[(int32_t)jlo - 1] = NEG_INF;
+            drow[jlo] = NEG_INF;
+        }
+        uint32_t endj = umin(prev_jhi + 1, lb);
+        for (uint32_t j = endj + 1; j <= umin(jhi + 1, lb); ++j) {
+            mrow[j - 1] = NEG_INF;
+            drow[j] = NEG_INF;
+        }
+
+        uint32_t next_jlo = 0xFFFFFFFFu;
+        uint32_t next_jhi = 0xFFFFFFFFu;
+        const float *mx_row = mx + 256 * (size_t)A[i];
+        float i0 = NEG_INF;
+        byte *tbrow = tb + stride * i;
+        float saved_m0;
+
+        for (uint32_t j = jlo; j <= jhi; ++j) {
+            byte b = B[j];
+            byte bits = 0;
+            saved_m0 = m0;
+            /* MATCH */
+            {
+                float xm = m0;
+                if (drow[j] > xm) {
+                    xm = drow[j];
+                    bits = TB_DM;
+                }
+                if (i0 > xm) {
+                    xm = i0;
+                    bits = TB_IM;
+                }
+                m0 = mrow[j];
+                float sc = xm + mx_row[b];
+                mrow[j] = sc;
+                float h = sc - best_score + x;
+                if (h > 0) {
+                    next_jlo = umin(next_jlo, j + 1);
+                    next_jhi = j + 1;
+                }
+                if (h > abs_open)
+                    next_jlo = umin(next_jlo, j);
+                if (h > abs_ext && j == jhi && jhi + 1 < lb) {
+                    ++jhi;
+                    uint32_t new_endj = umin(jhi + 1, lb);
+                    new_endj = umax(new_endj, endj);
+                    for (uint32_t j2 = endj + 1; j2 <= new_endj; ++j2) {
+                        if (j2 - 1 > j)
+                            mrow[j2 - 1] = NEG_INF;
+                        drow[j2] = NEG_INF;
+                    }
+                    endj = new_endj;
+                }
+                if (sc >= best_score) {
+                    best_score = sc;
+                    besti = i;
+                    bestj = j;
+                }
+            }
+            /* DELETE */
+            if (j != jlo) {
+                float md = saved_m0 + open_p;
+                drow[j] += ext_p;
+                if (md >= drow[j]) {
+                    drow[j] = md;
+                    bits |= TB_MD;
+                }
+                float h = drow[j] - best_score + x;
+                if (h > 0) {
+                    next_jlo = umin(next_jlo, j - 1);
+                    next_jhi = umax(next_jhi, j - 1);
+                }
+            }
+            /* INSERT */
+            {
+                float mi = saved_m0 + open_p;
+                i0 += ext_p;
+                if (mi >= i0) {
+                    i0 = mi;
+                    bits |= TB_MI;
+                }
+                float h = i0 - best_score + x;
+                if (h > 0) {
+                    next_jlo = umin(next_jlo, j + 1);
+                    next_jhi = j + 1;
+                }
+                if (h > abs_ext && j == jhi && jhi + 1 < lb) {
+                    ++jhi;
+                    uint32_t new_endj = umin(jhi + 1, lb);
+                    new_endj = umax(new_endj, endj);
+                    for (uint32_t j2 = endj + 1; j2 <= new_endj; ++j2) {
+                        mrow[j2 - 1] = NEG_INF;
+                        drow[j2] = NEG_INF;
+                    }
+                    endj = new_endj;
+                }
+            }
+            tbrow[j] = bits;
+        }
+
+        /* special case for end of Drow */
+        if (jhi < lb) {
+            uint32_t jhi1 = jhi + 1;
+            tbrow[jhi1] = 0;
+            float md = m0 + open_p;
+            drow[jhi1] += ext_p;
+            if (md >= drow[jhi1]) {
+                drow[jhi1] = md;
+                tbrow[jhi1] = TB_MD;
+            }
+        }
+
+        if (next_jlo == 0xFFFFFFFFu)
+            break;
+        prev_jlo = jlo;
+        prev_jhi = jhi;
+        jlo = next_jlo;
+        jhi = next_jhi;
+        if (jlo >= lb)
+            jlo = lb - 1;
+        if (jhi >= lb)
+            jhi = lb - 1;
+        if (jlo == prev_jlo) {
+            m0 = NEG_INF;
+            drow[jlo] = NEG_INF;
+        } else {
+            m0 = mrow[(int32_t)jlo - 1];
+        }
+    }
+
+    if (best_score <= 0.0f) {
+        *leni = 0;
+        *lenj = 0;
+        path_out[0] = 0;
+        return 0.0f;
+    }
+
+    /* traceback: M reads tb[i][j]; D reads tb[i][j+1]; I reads tb[i+1][j] */
+    {
+        size_t pos = 0;
+        uint32_t i = besti, j = bestj;
+        char st = 'M';
+        for (;;) {
+            path_out[pos++] = st;
+            if (i == 0 && j == 0)
+                break;
+            char next;
+            if (st == 'M') {
+                byte c = tb[stride * i + j];
+                next = (c & TB_DM) ? 'D' : ((c & TB_IM) ? 'I' : 'M');
+                --i;
+                --j;
+            } else if (st == 'D') {
+                byte c = tb[stride * i + (j + 1)];
+                next = (c & TB_MD) ? 'M' : 'D';
+                --i;
+            } else {
+                byte c = tb[stride * (i + 1) + j];
+                next = (c & TB_MI) ? 'M' : 'I';
+                --j;
+            }
+            st = next;
+        }
+        for (size_t k = 0; k < pos / 2; ++k) {
+            char t = path_out[k];
+            path_out[k] = path_out[pos - 1 - k];
+            path_out[pos - 1 - k] = t;
+        }
+        path_out[pos] = 0;
+    }
+    *leni = besti + 1;
+    *lenj = bestj + 1;
+    return best_score;
+}
+
+float xdrop_bwd(XDScratch *s, const byte *A, uint32_t la, const byte *B,
+                uint32_t lb, float open_p, float ext_p, const float *mx,
+                float x, uint32_t *leni, uint32_t *lenj, char *path_out)
+{
+    xd_alloc(s, la, lb);
+    for (uint32_t i = 0; i < la; ++i)
+        s->rev_a[i] = A[la - i - 1];
+    for (uint32_t i = 0; i < lb; ++i)
+        s->rev_b[i] = B[lb - i - 1];
+    float score = xdrop_fwd(s, s->rev_a, la, s->rev_b, lb, open_p, ext_p,
+                            mx, x, leni, lenj, path_out);
+    if (score <= 0.0f)
+        return score;
+    size_t n = strlen(path_out);
+    for (size_t k = 0; k < n / 2; ++k) {
+        char t = path_out[k];
+        path_out[k] = path_out[n - 1 - k];
+        path_out[n - 1 - k] = t;
+    }
+    return score;
+}
+
+static uint32_t xd_subl(uint32_t L)
+{
+    if (L <= XD_MAXL)
+        return L;
+    if (L < 2 * XD_MAXL)
+        return L / 2;
+    return XD_MAXL;
+}
+
+static float xdrop_split(XDScratch *s, const byte *A, uint32_t la,
+                         const byte *B, uint32_t lb, float open_p,
+                         float ext_p, const float *mx, float x, int bwd,
+                         uint32_t *leni, uint32_t *lenj, char *path_out)
+{
+    /* XDropFwdSplit (src/xdropfwdsplit.cpp:24-97); bwd variant applies the
+     * same loop to reversed sequences and reverses the path. */
+    const byte *a = A;
+    const byte *b = B;
+    byte *ra = 0, *rb = 0;
+    if (bwd) {
+        ra = (byte *)malloc(la);
+        rb = (byte *)malloc(lb);
+        for (uint32_t i = 0; i < la; ++i)
+            ra[i] = A[la - i - 1];
+        for (uint32_t i = 0; i < lb; ++i)
+            rb[i] = B[lb - i - 1];
+        a = ra;
+        b = rb;
+    }
+    uint32_t li = 0, lj = 0;
+    float sum = 0.0f;
+    xd_alloc_path(s, la, lb);
+    char *sub = s->path2;
+    size_t pos = 0;
+    for (;;) {
+        if (li == la || lj == lb)
+            break;
+        uint32_t sub_la = xd_subl(la - li);
+        uint32_t sub_lb = xd_subl(lb - lj);
+        uint32_t sli, slj;
+        float score = xdrop_fwd(s, a + li, sub_la, b + lj, sub_lb, open_p,
+                                ext_p, mx, x, &sli, &slj, sub);
+        if (score == 0.0f)
+            break;
+        sum += score;
+        li += sli;
+        lj += slj;
+        size_t n = strlen(sub);
+        memcpy(path_out + pos, sub, n);
+        pos += n;
+        if (sli < sub_la && slj < sub_lb)
+            break;
+    }
+    path_out[pos] = 0;
+    if (bwd) {
+        for (size_t k = 0; k < pos / 2; ++k) {
+            char t = path_out[k];
+            path_out[k] = path_out[pos - 1 - k];
+            path_out[pos - 1 - k] = t;
+        }
+        free(ra);
+        free(rb);
+    }
+    *leni = li;
+    *lenj = lj;
+    return sum;
+}
+
+/* XDropAlignMem (src/xdropalignmem.cpp:26-244): bwd from anchor start,
+ * fwd from anchor end, splice with anchor Ms, subtract duplicated anchor
+ * end columns.  Writes HSP coords + path. */
+float xdrop_align(XDScratch *s, const byte *A, uint32_t la, const byte *B,
+                  uint32_t lb, uint32_t anc_loi, uint32_t anc_loj,
+                  uint32_t anc_len, float open_p, float ext_p,
+                  const float *mx, float x, uint32_t *hsp_out /*4*/,
+                  char *path_out)
+{
+    if (anc_len <= 1) {
+        path_out[0] = 0;
+        return 0.0f;
+    }
+    /* Pre-size the path buffers for the full problem so the path1/path2
+     * pointers captured below cannot be reallocated by inner xd_alloc
+     * calls (every sub-problem is <= (la, lb)). */
+    xd_alloc_path(s, la, lb);
+    uint32_t anc_hii = anc_loi + anc_len - 1;
+    uint32_t anc_hij = anc_loj + anc_len - 1;
+    const byte *fwd_a = A + anc_hii;
+    const byte *fwd_b = B + anc_hij;
+    uint32_t fwd_la = la - anc_hii;
+    uint32_t fwd_lb = lb - anc_hij;
+
+    uint32_t bwd_leni, bwd_lenj;
+    float bwd_score;
+    char *bwd_path = s->path1;
+    if (anc_loi > XD_MAXL || anc_loj > XD_MAXL)
+        bwd_score = xdrop_split(s, A, anc_loi + 1, B, anc_loj + 1, open_p,
+                                ext_p, mx, x, 1, &bwd_leni, &bwd_lenj,
+                                bwd_path);
+    else
+        bwd_score = xdrop_bwd(s, A, anc_loi + 1, B, anc_loj + 1, open_p,
+                              ext_p, mx, x, &bwd_leni, &bwd_lenj, bwd_path);
+
+    size_t pos = strlen(bwd_path);
+    memcpy(path_out, bwd_path, pos);
+
+    memset(path_out + pos, 'M', anc_len - 2);
+    pos += anc_len - 2;
+
+    uint32_t fwd_leni, fwd_lenj;
+    float fwd_score;
+    char *fwd_path = s->path1;
+    if (fwd_la > XD_MAXL || fwd_lb > XD_MAXL)
+        fwd_score = xdrop_split(s, fwd_a, fwd_la, fwd_b, fwd_lb, open_p,
+                                ext_p, mx, x, 0, &fwd_leni, &fwd_lenj,
+                                fwd_path);
+    else
+        fwd_score = xdrop_fwd(s, fwd_a, fwd_la, fwd_b, fwd_lb, open_p,
+                              ext_p, mx, x, &fwd_leni, &fwd_lenj, fwd_path);
+    size_t n = strlen(fwd_path);
+    memcpy(path_out + pos, fwd_path, n);
+    pos += n;
+    path_out[pos] = 0;
+
+    float anc_score = 0.0f;
+    for (uint32_t k = 0; k < anc_len; ++k)
+        anc_score += mx[256 * (size_t)A[anc_loi + k] + B[anc_loj + k]];
+    float dupe = mx[256 * (size_t)A[anc_loi] + B[anc_loj]];
+    if (anc_len > 1)
+        dupe += mx[256 * (size_t)A[anc_hii] + B[anc_hij]];
+
+    float score = bwd_score + fwd_score + anc_score - dupe;
+    hsp_out[0] = anc_loi + 1 - bwd_leni;             /* Loi */
+    hsp_out[1] = anc_loj + 1 - bwd_lenj;             /* Loj */
+    hsp_out[2] = bwd_leni + fwd_leni + anc_len - 2;  /* Leni */
+    hsp_out[3] = bwd_lenj + fwd_lenj + anc_len - 2;  /* Lenj */
+    return score;
+}
+
+/* LocalAligner::AlignPos (src/localaligner.cpp:101-211): ungapped x-drop
+ * both ways from seed, anchor selection, gapped x-drop, E-value gate.
+ * Returns 1 with outputs filled, 0 = rejected. */
+int local_align_pos(XDScratch *s, const byte *Q, uint32_t ql, const byte *T,
+                    uint32_t tl, uint32_t qpos, uint32_t tpos,
+                    const float *mx, float xdrop_u, float xdrop_g,
+                    float open_p, float ext_p, float min_ungapped_score,
+                    double gapped_lambda, double log_gapped_k,
+                    double db_size, double max_evalue,
+                    uint32_t *hsp_out /*4*/, float *score_out,
+                    double *evalue_out, char *path_out)
+{
+    /* ungapped extend left */
+    float left_score = 0.0f, left_total = 0.0f;
+    uint32_t left_len = 0, k = 0;
+    int32_t i = (int32_t)qpos, j = (int32_t)tpos;
+    while (i >= 0 && j >= 0) {
+        ++k;
+        left_total += mx[256 * (size_t)Q[i] + T[j]];
+        if (left_total > left_score) {
+            left_score = left_total;
+            left_len = k;
+        } else if (left_score - left_total > xdrop_u)
+            break;
+        --i;
+        --j;
+    }
+    /* ungapped extend right */
+    float right_score = 0.0f, right_total = 0.0f;
+    uint32_t right_len = 0;
+    i = (int32_t)qpos + 1;
+    j = (int32_t)tpos + 1;
+    k = 0;
+    while (i < (int32_t)ql && j < (int32_t)tl) {
+        ++k;
+        right_total += mx[256 * (size_t)Q[i] + T[j]];
+        if (right_total > right_score) {
+            right_score = right_total;
+            right_len = k;
+        } else if (right_score - right_total > xdrop_u)
+            break;
+        ++i;
+        ++j;
+    }
+    float score = left_score + right_score;
+    if (score < min_ungapped_score)
+        return 0;
+
+    /* anchor (best positive run, same as HSPFinder::GetAnchor) */
+    uint32_t loi = qpos + 1 - left_len;
+    uint32_t loj = tpos + 1 - left_len;
+    uint32_t seg_len = left_len + right_len;
+    uint32_t startk = 0xFFFFFFFFu, best_startk = 0xFFFFFFFFu, length = 0;
+    float anc = 0.0f, best = 0.0f;
+    uint32_t ii = loi, jj = loj;
+    for (uint32_t kk = 0; kk < seg_len; ++kk) {
+        float sc = mx[256 * (size_t)Q[ii++] + T[jj++]];
+        if (sc > 0) {
+            if (startk == 0xFFFFFFFFu) {
+                startk = kk;
+                anc = sc;
+            } else
+                anc += sc;
+        } else {
+            if (anc > best) {
+                best = anc;
+                best_startk = startk;
+                length = kk - startk;
+            }
+            startk = 0xFFFFFFFFu;
+        }
+    }
+    if (anc > best) {
+        best = anc;
+        best_startk = startk;
+        length = seg_len - startk;
+    }
+    if (best <= 0.0f)
+        return 0;
+    uint32_t anc_loi = loi + best_startk;
+    uint32_t anc_loj = loj + best_startk;
+
+    float gapped = xdrop_align(s, Q, ql, T, tl, anc_loi, anc_loj, length,
+                               open_p, ext_p, mx, xdrop_g, hsp_out,
+                               path_out);
+    if (gapped <= 0.0f)
+        return 0;
+    double bit = ((double)gapped * gapped_lambda - log_gapped_k)
+        / 0.69314718055994530942;
+    double evalue = ((double)ql * db_size) / pow(2.0, bit);
+    if (evalue > max_evalue)
+        return 0;
+    *score_out = gapped;
+    *evalue_out = evalue;
+    return 1;
 }

@@ -102,11 +102,16 @@ class Accepter:
 
     @staticmethod
     def _query_cov(ar) -> float:
-        """GetQueryCov (arscorer.cpp:120-140 style): letter-pair cols / QL."""
+        """GetQueryCov (src/arscorer.cpp:124-140): local => HSP Leni/QL,
+        global => letter-pair cols / QL."""
+        if ar.local:
+            return ar.leni_local / ar.la
         ar._fill()
         return (ar.id_count + ar.mismatch_count) / ar.la
 
     @staticmethod
     def _target_cov(ar) -> float:
+        if ar.local:
+            return ar.lenj_local / ar.lb
         ar._fill()
         return (ar.id_count + ar.mismatch_count) / ar.lb

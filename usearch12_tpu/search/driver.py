@@ -41,6 +41,8 @@ class SearchContext:
     nucleo: bool
     hole_kernel: Optional[Callable] = None
     native: Optional[object] = None
+    local: bool = False
+    local_aligner: Optional[object] = None
 
     @classmethod
     def build(cls, cmd: str, db: SeqDB, hole_kernel=None,
@@ -50,22 +52,31 @@ class SearchContext:
         ah = AlnHeuristics.from_cmdline(ap)
         if index is None:
             index = UDBIndex.from_seqdb(db)
+        local = cmd == "usearch_local"
+        local_aligner = None
+        if local:
+            from .local import EStats, LocalAligner2
+            es = EStats.from_cmdline(nucleo, db)
+            local_aligner = LocalAligner2(ap, ah, es)
         native = None
-        if hole_kernel is None and not options().flag("use_cpu_oracle"):
+        if not local and hole_kernel is None and \
+                not options().flag("use_cpu_oracle"):
             try:
                 from ..native import NativeAligner
                 native = NativeAligner(ap, ah)
             except Exception:
                 native = None
         return cls(cmd=cmd, db=db, index=index, ap=ap, ah=ah,
-                   accepter=Accepter(is_global=True),
+                   accepter=Accepter(is_global=not local),
                    terminator=Terminator(cmd),
                    hitmgr=HitMgr(),
                    ranker=USortedRanker(index),
                    hf=HSPFinder(ap, ah),
                    nucleo=nucleo,
                    hole_kernel=hole_kernel,
-                   native=native)
+                   native=native,
+                   local=local,
+                   local_aligner=local_aligner)
 
     # -- one query through the search loop --------------------------------
     def search_query(self, q_label: str, q_seq: np.ndarray,
@@ -86,6 +97,9 @@ class SearchContext:
                        revcomp: bool) -> None:
         tix_order, _counts = self.ranker.rank(q_seq)
         if len(tix_order) == 0:
+            return
+        if self.local:
+            self._search_strand_local(q_label, q_seq, revcomp, tix_order)
             return
         aligner = self.native if self.native is not None else self.hf
         aligner.set_a(q_seq)
@@ -116,6 +130,30 @@ class SearchContext:
                 if accept:
                     self.hitmgr.append_hit(ar)
             if self.terminator.terminate(self.hitmgr, accept):
+                return
+
+    def _search_strand_local(self, q_label: str, q_seq: np.ndarray,
+                             revcomp: bool, tix_order) -> None:
+        """Local branch of Searcher::Align (src/searcher.cpp:26-50): one
+        AlignMulti per target; the terminator is fed once per target with
+        accept = any AR accepted."""
+        la2 = self.local_aligner
+        la2.set_query(q_label, q_seq)
+        db = self.db
+        for tix in tix_order.tolist():
+            t_label = db.labels[tix]
+            t_seq = db.seqs[tix]
+            if self.accepter.reject_pair(q_label, q_seq, t_label, t_seq):
+                continue  # not counted by terminator
+            ars = la2.align_multi(t_label, t_seq)
+            any_accept = False
+            for ar in ars:
+                ar.target_index = tix
+                ar.query_revcomp = revcomp
+                if self.accepter.is_accept(ar):
+                    any_accept = True
+                    self.hitmgr.append_hit(ar)
+            if self.terminator.terminate(self.hitmgr, any_accept):
                 return
 
 
