@@ -145,6 +145,24 @@ class AlignResult:
             lastc = c
         return n
 
+    def get_query_cov(self) -> float:
+        """GetQueryCov (src/arscorer.cpp:122-137): local => HSP Leni/QL,
+        global => query letters spanned from first to last M column
+        (LastMQPos - FirstMQPos + 1) / QL."""
+        if self.local:
+            return self.leni_local / self.la
+        self._fill()
+        return (self.last_m_qpos - self.first_m_qpos + 1) / self.la
+
+    def get_target_cov(self) -> float:
+        """GetTargetCov (src/arscorer.cpp:139-154): local => HSP Lenj/TL,
+        global => M-column count (IdCount + MismatchCount) / TL — NOT the
+        symmetric span formula; the reference is asymmetric here."""
+        if self.local:
+            return self.lenj_local / self.lb
+        self._fill()
+        return (self.id_count + self.mismatch_count) / self.lb
+
     def get_score(self) -> float:
         """HitMgr sort key: raw score for local, fract-id for global
         (src/arscorer.cpp:818-824), as float32."""

@@ -223,6 +223,11 @@ def cmd_cluster_mt(input_path: Optional[str]) -> None:
     cluster_mt(input_path)
 
 
+def cmd_cluster_otus(input_path: Optional[str]) -> None:
+    from .cluster.uparse import cluster_otus
+    cluster_otus(input_path)
+
+
 def cmd_test(_input_path: Optional[str]) -> None:
     """-test: x-drop alignment smoke test (src/xdropalignmem.cpp:336-364)."""
     import numpy as np

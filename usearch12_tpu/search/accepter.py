@@ -78,13 +78,13 @@ class Accepter:
             if ar.evalue is None or ar.evalue > o.flt("evalue"):
                 return False
         if o.filled("query_cov") or o.filled("max_query_cov"):
-            cov = self._query_cov(ar)
+            cov = ar.get_query_cov()
             if o.filled("query_cov") and cov < o.flt("query_cov"):
                 return False
             if o.filled("max_query_cov") and cov > o.flt("max_query_cov"):
                 return False
         if o.filled("target_cov") or o.filled("max_target_cov"):
-            cov = self._target_cov(ar)
+            cov = ar.get_target_cov()
             if o.filled("target_cov") and cov < o.flt("target_cov"):
                 return False
             if o.filled("max_target_cov") and cov > o.flt("max_target_cov"):
@@ -99,19 +99,3 @@ class Accepter:
             if tsize / qsize < o.flt("abskew"):
                 return False
         return True
-
-    @staticmethod
-    def _query_cov(ar) -> float:
-        """GetQueryCov (src/arscorer.cpp:124-140): local => HSP Leni/QL,
-        global => letter-pair cols / QL."""
-        if ar.local:
-            return ar.leni_local / ar.la
-        ar._fill()
-        return (ar.id_count + ar.mismatch_count) / ar.la
-
-    @staticmethod
-    def _target_cov(ar) -> float:
-        if ar.local:
-            return ar.lenj_local / ar.lb
-        ar._fill()
-        return (ar.id_count + ar.mismatch_count) / ar.lb
