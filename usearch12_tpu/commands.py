@@ -228,6 +228,16 @@ def cmd_cluster_otus(input_path: Optional[str]) -> None:
     cluster_otus(input_path)
 
 
+def cmd_udb2bitvec(input_path: Optional[str]) -> None:
+    from .index.udbfile import udb2bitvec
+    udb2bitvec(input_path)
+
+
+def cmd_search_16s(input_path: Optional[str]) -> None:
+    from .amplicon.gene16s import search_16s
+    search_16s(input_path)
+
+
 def cmd_test(_input_path: Optional[str]) -> None:
     """-test: x-drop alignment smoke test (src/xdropalignmem.cpp:336-364)."""
     import numpy as np

@@ -77,6 +77,7 @@ _UNS_OPTS = [
     "fastq_minqual_tail", "fastq_maxmergelen", "fastq_minmergelen",
     "maxpending", "strand_boots", "stripleft", "stripright", "trunclen",
     "padlen", "fastq_truncqual", "fastq_minqual",
+    "mincount",
 ]
 _STR_OPTS = [
     "output", "blast6out", "uc", "userout", "userfields", "alnout",
@@ -97,6 +98,7 @@ _STR_OPTS = [
     "report", "alndiffsout", "otu_radius_str", "label_suffix",
     "sample_delim", "fastq_eeout_str", "constax_report", "clustout",
     "biom_json",
+    "bitvec", "hitsout", "fragout", "start_motif", "end_motif",
 ]
 _FLAG_OPTS = [
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",

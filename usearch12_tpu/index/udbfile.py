@@ -145,5 +145,47 @@ def makeudb_usearch(input_path: Optional[str]) -> None:
         raise SystemExit("Missing input or output filename")
     db = SeqDB.from_fastx(input_path)
     db.mask()
-    idx = UDBIndex.from_seqdb(db)
+    params = None
+    if o.filled("wordlength"):
+        # UDBParams::FromCmdLine (src/udbparams.cpp:62-67)
+        params = UDBParams.global_usearch(db.get_is_nucleo(),
+                                          word_length=o.uns("wordlength"))
+    idx = UDBIndex.from_seqdb(db, params)
     write_udb(out, idx, db)
+
+
+def udb2bitvec(input_path: Optional[str]) -> None:
+    """cmd_udb2bitvec (src/udb2bitvec.cpp:5-49): word-present bitvector
+    from a .udb, LSB-first bit packing (src/bitvec.cpp:40-49), file =
+    uint32 word length + SlotCount/8+1 bytes."""
+    from ..config import options
+    o = options()
+    out = o.str("output")
+    if not input_path:
+        raise SystemExit("Missing input filename")
+    if not out:
+        raise SystemExit("Missing -output")
+    idx, _db = read_udb(input_path)
+    idx._flatten()
+    present = idx._sizes > 0
+    slot_count = idx.params.slot_count
+    nbytes = slot_count // 8 + 1
+    packed = np.packbits(present, bitorder="little")
+    buf = np.zeros(nbytes, dtype=np.uint8)
+    buf[:len(packed)] = packed[:nbytes]
+    with open(out, "wb") as f:
+        f.write(struct.pack("<I", idx.params.word_length))
+        buf.tofile(f)
+
+
+def read_bitvec(path: str):
+    """Loads a bitvec file -> (word_length, present bool array of 4^w)."""
+    with open(path, "rb") as f:
+        (word_length,) = struct.unpack("<I", f.read(4))
+        slot_count = 4 ** word_length
+        nbytes = slot_count // 8 + 1
+        data = np.fromfile(f, dtype=np.uint8, count=nbytes)
+    if len(data) != nbytes:
+        raise SystemExit(f"Bad bitvec file size: {path}")
+    bits = np.unpackbits(data, bitorder="little")
+    return word_length, bits[:slot_count].astype(bool)
