@@ -1,0 +1,85 @@
+"""Golden-output parity: translated search (nt query vs aa DB, 6-frame
+ORF enumeration) vs the reference binary."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from usearch12_tpu.cli import main as cli_main
+
+TEST_FA = "/root/reference/tmp/test.fa"
+
+
+def run_ref(ref_bin, args):
+    subprocess.run([ref_bin] + args + ["-quiet", "-threads", "1"],
+                   check=True, capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def xlat_data(tmp_path_factory):
+    """(aadb.fa, ntq.fa): protein DB from the reference's bundled test.fa
+    plus nucleotide queries that back-translate some of its proteins with
+    random flanks, a third of them reverse-complemented."""
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from genseqs import rand_seq
+    rng = np.random.default_rng(5)
+    prots = {}
+    lab = None
+    for line in open(TEST_FA):
+        line = line.strip()
+        if line.startswith(">"):
+            lab = line[1:]
+            prots[lab] = ""
+        else:
+            prots[lab] += line
+    labs = list(prots)[:30]
+    d = tmp_path_factory.mktemp("xlat")
+    aadb = str(d / "aadb.fa")
+    with open(aadb, "w") as f:
+        for l in labs:
+            f.write(f">{l}\n{prots[l]}\n")
+
+    codon = {}
+    bases = "TCAG"
+    aas = ("FFLLSSSSYY**CC*W" "LLLLPPPPHHQQRRRR"
+           "IIIMTTTTNNKKSSRR" "VVVVAAAADDEEGGGG")
+    k = 0
+    for b1 in bases:
+        for b2 in bases:
+            for b3 in bases:
+                codon.setdefault(aas[k], b1 + b2 + b3)
+                k += 1
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    ntq = str(d / "ntq.fa")
+    with open(ntq, "w") as f:
+        for qi, l in enumerate(labs[:10]):
+            p = prots[l][:120]
+            nt = "".join(codon.get(a, "NNN") for a in ("M" + p)) + "TAA"
+            s = (rand_seq(rng, int(rng.integers(1, 30))) + nt +
+                 rand_seq(rng, int(rng.integers(1, 30))))
+            if qi % 3 == 2:
+                s = "".join(comp[c] for c in reversed(s))
+            f.write(f">q{qi}\n{s}\n")
+    return aadb, ntq
+
+
+def test_xlat_global_parity(ref_bin, xlat_data, tmp_path):
+    aadb, ntq = xlat_data
+    g, m = str(tmp_path / "g.b6"), str(tmp_path / "m.b6")
+    run_ref(ref_bin, ["-usearch_global", ntq, "-db", aadb, "-id", "0.8",
+                      "-blast6out", g])
+    assert cli_main(["-usearch_global", ntq, "-db", aadb, "-id", "0.8",
+                     "-blast6out", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+
+
+def test_xlat_local_parity(ref_bin, xlat_data, tmp_path):
+    aadb, ntq = xlat_data
+    g, m = str(tmp_path / "g.b6"), str(tmp_path / "m.b6")
+    run_ref(ref_bin, ["-usearch_local", ntq, "-db", aadb, "-evalue",
+                      "1e-6", "-blast6out", g])
+    assert cli_main(["-usearch_local", ntq, "-db", aadb, "-evalue",
+                     "1e-6", "-blast6out", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()

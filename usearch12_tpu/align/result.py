@@ -27,6 +27,11 @@ class AlignResult:
     target_index: int = -1
     query_revcomp: bool = False
     local: bool = False
+    # translated-search ORF metadata (0 frame == not an ORF)
+    orf_frame: int = 0
+    orf_nuc_lo: int = 0
+    orf_nuc_hi: int = 0
+    orf_nuc_l: int = 0
     # local-only coords (HSP segment); global => full spans
     loi: int = 0
     loj: int = 0
@@ -175,7 +180,24 @@ class AlignResult:
         """(QLo6, QHi6): global => 1..LA.  For a revcomp query the reference
         maps query coords back to the plus strand (GetIQLo/GetIQHi,
         src/arscorer.cpp:688-745: IQLo = LA-Hii-1, IQHi = LA-Loi-1); the
-        query is never flipped in blast6 unless ORF frame<0."""
+        query is never flipped in blast6 unless ORF frame<0.  For an ORF
+        query, amino positions map to nucleotide coords via
+        PosToIPosQ (src/arscorer.cpp:598-645)."""
+        if self.orf_frame:
+            if self.local:
+                loi = self.loi
+                hii = self.loi + self.leni_local - 1
+            else:
+                loi, hii = 0, self.la - 1
+            if self.orf_frame > 0:
+                iqlo = self.orf_nuc_lo + loi * 3
+                iqhi = self.orf_nuc_lo + hii * 3 + 2
+            else:
+                iqlo = self.orf_nuc_hi - hii * 3 - 2
+                iqhi = self.orf_nuc_hi - loi * 3
+            if self.orf_frame < 0:   # Blast6FlipQuery
+                return iqhi + 1, iqlo + 1
+            return iqlo + 1, iqhi + 1
         if self.local:
             if self.query_revcomp:
                 hii = self.loi + self.leni_local - 1

@@ -29,7 +29,7 @@ _FLAG_OPTS_NO_VALUE = {
     "fastq_allowmergestagger", "interleaved", "uc_hits_only", "trunclabels",
     "cluster_members", "wildcards_match_self", "sizeorder", "leftjust",
     "rightjust", "tax_strip", "verbose", "no_progress", "version",
-    "use_device", "use_cpu_oracle", "notrunclabels",
+    "use_device", "use_cpu_oracle", "notrunclabels", "orf_plusonly",
     "ignore_label_mismatches", "fastq_forceq", "fastq_noguess",
 }
 

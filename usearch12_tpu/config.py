@@ -77,7 +77,7 @@ _UNS_OPTS = [
     "fastq_minqual_tail", "fastq_maxmergelen", "fastq_minmergelen",
     "maxpending", "strand_boots", "stripleft", "stripright", "trunclen",
     "padlen", "fastq_truncqual", "fastq_minqual",
-    "mincount",
+    "mincount", "orfstyle",
 ]
 _STR_OPTS = [
     "output", "blast6out", "uc", "userout", "userfields", "alnout",
@@ -108,6 +108,7 @@ _FLAG_OPTS = [
     "centroid_types", "cluster_members", "wildcards_match_self", "sizeorder",
     "leftjust", "rightjust", "strand_plus", "strand_both", "tax_strip",
     "verbose", "no_progress", "use_device", "use_cpu_oracle",
+    "orf_plusonly",
     "ignore_label_mismatches", "notrunclabels", "fastq_forceq",
     "fastq_noguess",
 ]

@@ -93,13 +93,29 @@ class SearchContext:
             self._search_strand(q_label, rc(q_seq), revcomp=True)
         return hm.hits
 
+    def search_query_xlat(self, q_label: str, q_seq: np.ndarray
+                          ) -> List[AlignResult]:
+        """SearchXlat (src/searcher.cpp:95-120): translated search — each
+        6-frame ORF searched as an amino query, hits accumulate per
+        nucleotide query."""
+        from .orf import orf_iter
+        hm = self.hitmgr
+        hm.set_query(q_label)
+        nuc_l = len(q_seq)
+        for aa, frame, lo, hi in orf_iter(q_seq):
+            self.terminator.on_new_query()
+            self._search_strand(q_label, aa, revcomp=False,
+                                orf=(frame, lo, hi, nuc_l))
+        return hm.hits
+
     def _search_strand(self, q_label: str, q_seq: np.ndarray,
-                       revcomp: bool) -> None:
+                       revcomp: bool, orf=None) -> None:
         tix_order, _counts = self.ranker.rank(q_seq)
         if len(tix_order) == 0:
             return
         if self.local:
-            self._search_strand_local(q_label, q_seq, revcomp, tix_order)
+            self._search_strand_local(q_label, q_seq, revcomp, tix_order,
+                                      orf=orf)
             return
         aligner = self.native if self.native is not None else self.hf
         aligner.set_a(q_seq)
@@ -126,6 +142,9 @@ class SearchContext:
                                  query_seq=q_seq, target_seq=t_seq,
                                  path=path, nucleo=self.nucleo,
                                  target_index=tix, query_revcomp=revcomp)
+                if orf is not None:
+                    ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi, \
+                        ar.orf_nuc_l = orf
                 accept = self.accepter.is_accept(ar)
                 if accept:
                     self.hitmgr.append_hit(ar)
@@ -133,7 +152,7 @@ class SearchContext:
                 return
 
     def _search_strand_local(self, q_label: str, q_seq: np.ndarray,
-                             revcomp: bool, tix_order) -> None:
+                             revcomp: bool, tix_order, orf=None) -> None:
         """Local branch of Searcher::Align (src/searcher.cpp:26-50): one
         AlignMulti per target; the terminator is fed once per target with
         accept = any AR accepted."""
@@ -150,6 +169,9 @@ class SearchContext:
             for ar in ars:
                 ar.target_index = tix
                 ar.query_revcomp = revcomp
+                if orf is not None:
+                    ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi, \
+                        ar.orf_nuc_l = orf
                 if self.accepter.is_accept(ar):
                     any_accept = True
                     self.hitmgr.append_hit(ar)
@@ -164,12 +186,17 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
     ctx = SearchContext.build(cmd, db, hole_kernel=hole_kernel)
     o = options()
     strand_both = (ctx.nucleo and o.str("strand", "plus") == "both")
+    # GetXlat (src/search.cpp:44-49): nt query vs aa DB => 6-frame ORFs
+    xlat = (not ctx.nucleo) and file_is_nucleo(query_path)
     for label, seq, _qual in read_fastx(query_path):
         if len(seq) < o.uns("minseqlength"):
             continue
         if len(seq) > o.uns("maxseqlength"):
             continue
-        hits = ctx.search_query(label, seq, revcomp=strand_both)
+        if xlat:
+            hits = ctx.search_query_xlat(label, seq)
+        else:
+            hits = ctx.search_query(label, seq, revcomp=strand_both)
         on_query_done(label, seq, hits)
         ctx.hitmgr.on_query_done(label, None)
     return ctx
