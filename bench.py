@@ -36,32 +36,51 @@ def make_pairs(n, length=250, seed=1):
 
 
 def bench_device(pairs, reps=10):
+    """Anti-diagonal wavefront kernel (ops/wavefront_nw.py), including
+    traceback-bit emission — the full reference inner-loop work."""
     import jax
     import jax.numpy as jnp
     from usearch12_tpu.scoring import AlnParams, nuc_mx
-    from usearch12_tpu.ops.banded_nw import (BandedNWDevice, pack_pairs,
-                                             _compiled)
+    from usearch12_tpu.ops.wavefront_nw import (WavefrontNWDevice,
+                                                pack_wave, _compiled)
     ap = AlnParams(nucleo=True, subst_mx=nuc_mx(1.0, -2.0))
     ap.init4(-10.0, -1.0, -0.5, -0.5)
-    batch = pack_pairs(pairs, True, 16)
+    dev = WavefrontNWDevice(ap, pb=16, chunk=32)
+    batch = pack_wave(pairs, True, 16, dev.chunk)
     cells = float(np.sum(batch.bw.astype(np.int64) * batch.la))
-    dev = BandedNWDevice(ap, pb=64)
-    a_cls, bs_cls, la, lb, dlo, bw, _ = dev._pad(batch)
-    fn = _compiled(batch.amax, dev.pb, dev.match, dev.mismatch,
-                   dev.interpret, True)
-    args = (jnp.asarray(a_cls), jnp.asarray(bs_cls),
-            jnp.asarray(la.reshape(-1, 1)), jnp.asarray(lb.reshape(-1, 1)),
-            jnp.asarray(dlo.reshape(-1, 1)), jnp.asarray(bw.reshape(-1, 1)),
+    R = batch.nrows
+    pad = (-R) % dev.pb
+
+    def padr(x, fill):
+        if pad == 0:
+            return x
+        return np.concatenate(
+            [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    fn = _compiled(batch.steps, dev.chunk, dev.pb, batch.rho0, batch.sw,
+                   dev.match, dev.mismatch, dev.interpret)
+    args = (jnp.asarray(padr(batch.la_b, 1)),
+            jnp.asarray(padr(batch.lb_b, 1)),
+            jnp.asarray(padr(batch.ib, -10**6)),
+            jnp.asarray(padr(batch.jb, -10**6)),
+            jnp.asarray(padr(batch.umax_e, -1)),
+            jnp.asarray(padr(batch.umax_o, -1)),
+            jnp.asarray(padr(batch.a_init, 4)),
+            jnp.asarray(padr(batch.b_init, 4)),
+            jnp.asarray(padr(batch.ins, 4).astype(np.int32)),
             jnp.asarray(dev.gp))
     out = fn(*args)
-    _ = float(out[2][0, 0])  # warm + sync (block_until_ready is unreliable
+    _ = float(out[1][0, 0])  # warm + sync (block_until_ready is unreliable
     #                          over the tunneled device link)
-    t0 = time.perf_counter()
-    for _i in range(reps):
-        out = fn(*args)
-    _ = float(out[2][0, 0])
-    dt = (time.perf_counter() - t0) / reps
-    return cells / dt / 1e9, len(pairs) / dt
+    best = None
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        for _i in range(reps):
+            out = fn(*args)
+        _ = float(out[1][0, 0])
+        dt = (time.perf_counter() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return cells / best / 1e9, len(pairs) / best
 
 
 def bench_cpu(pairs):

@@ -81,3 +81,33 @@ def test_device_traceback_matches_host():
     s2, p2 = dev.align_device(pairs, band_radius=16)
     assert list(p1) == list(p2)
     assert np.allclose(s1, s2)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_wavefront_matches_oracle(seed):
+    """Anti-diagonal wavefront kernel: bit-exact scores and paths."""
+    from usearch12_tpu.ops.wavefront_nw import WavefrontNWDevice
+    ap = make_ap()
+    rng = np.random.default_rng(seed)
+    pairs = rand_pairs(rng, 6)
+    dev = WavefrontNWDevice(ap, pb=8)
+    scores, paths = dev.align(pairs, band_radius=16)
+    for k, (a, b) in enumerate(pairs):
+        s_o, p_o = banded_nw_main_diag(a, b, 16, ap)
+        assert np.float32(s_o) == np.float32(scores[k])
+        assert p_o == paths[k]
+
+
+def test_wavefront_nondyadic_penalties():
+    """Exactness does not rely on dyadic penalties (same-DAG order)."""
+    from usearch12_tpu.ops.wavefront_nw import WavefrontNWDevice
+    ap = AlnParams(nucleo=True, subst_mx=nuc_mx(1.0, -2.0))
+    ap.init4(-10.3, -1.1, -0.7, -0.4)
+    rng = np.random.default_rng(23)
+    pairs = rand_pairs(rng, 4)
+    dev = WavefrontNWDevice(ap, pb=8)
+    scores, paths = dev.align(pairs, band_radius=16)
+    for k, (a, b) in enumerate(pairs):
+        s_o, p_o = banded_nw_main_diag(a, b, 16, ap)
+        assert np.float32(s_o) == np.float32(scores[k])
+        assert p_o == paths[k]

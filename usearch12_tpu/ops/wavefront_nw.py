@@ -1,0 +1,578 @@
+"""Pallas TPU kernel: anti-diagonal wavefront banded affine-gap global NW.
+
+Same cell semantics as ops/banded_nw.py and align/oracle.py (reference
+src/viterbifastbandmem.cpp), but iterated over ANTI-DIAGONALS t = i + j
+instead of rows.  The anti-diagonal order is a topological order of the
+same dependency DAG, so every float op sees identical operands — scores
+and traceback bits are bit-exact by construction (no dyadic-penalty
+assumption like the row kernel's doubling scan needed).
+
+Why this layout wins on the VPU:
+  - no within-row I-state prefix scan (the I dependency lands on the
+    previous anti-diagonal) -> zero scan steps vs 7 lane-rolls/row
+  - cells per anti-diagonal = ceil(bw/2) <= 17, so SEVEN pairs pack into
+    one 128-lane vector (18-lane slots) vs one pair per vector row-wise
+  - 2.5 lane-rolls per step amortized (d/dlb shift on odd parity, i shift
+    and the A-window shift on even parity), everything else elementwise
+  - A/B sequence windows live in VMEM carries; one precomputed "insert"
+    lane-tile per step refreshes the single new letter per slot
+
+Geometry (fixed lane frame):
+  diag D* = la - i + j in [dlo, dhi] (reference convention), parity
+  rho(t) = (rho0 + t) % 2 with rho0 = (la - dlo) % 2 shared batch-wide;
+  lane u in a pair's slot holds D* = dlo + rho + 2u, i.e.
+  i = I0(t) - u with I0(t) = (la + t - dlo - rho)/2 = I0(0) + r(t),
+  j = J0(t) + u with J0(t) = t - I0(t).
+  r increments on odd-parity steps; s = t - r on even ones.
+  State shifts between steps: M identity (from t-2), D/Dlb lane+1 on
+  rho=1 steps, I lane-1 on rho=0 steps; A-window shifts with r, B-window
+  with s — one roll per step for the windows combined.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .banded_nw import _letters, NEG, TB_DM, TB_IM, TB_MD, TB_MI
+from ..align.oracle import band_diag_range, get_range_j
+
+LANES = 128
+DEFAULT_SW = 18         # lanes per pair slot (bw <= 33); widened as needed
+
+
+def slot_width(bw_max: int) -> int:
+    """Smallest slot width supporting band width bw_max: (bw-1)//2 + 1
+    value lanes plus one spare."""
+    return max(DEFAULT_SW, (bw_max - 1) // 2 + 2)
+
+
+@dataclass
+class WaveBatch:
+    rho0: int
+    sw: int               # lanes per pair slot
+    gpv: int              # pairs per vector row
+    n_pairs: int          # real pairs
+    nrows: int            # vector rows (ceil(n_pairs / gpv))
+    steps: int            # padded step count (multiple of chunk)
+    la: np.ndarray        # (n_pairs,)
+    lb: np.ndarray
+    dlo: np.ndarray
+    bw: np.ndarray
+    # lane-broadcast per-vector-row tiles, shape (nrows, 128) int32
+    la_b: np.ndarray
+    lb_b: np.ndarray
+    ib: np.ndarray        # I0(0) - u per lane
+    jb: np.ndarray        # J0(0) + u per lane
+    umax_e: np.ndarray    # max valid u on even-parity steps (rho = rho0)
+    umax_o: np.ndarray    # on odd-parity steps
+    a_init: np.ndarray    # (nrows, 128) int32 letter classes at t=0
+    b_init: np.ndarray
+    ins: np.ndarray       # (nrows, steps, 128) int8 insert tiles
+
+
+def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
+              rho0: Optional[int] = None) -> WaveBatch:
+    """pairs: list of (a_u8, b_u8[, dlo, dhi]) sharing (la - dlo) parity."""
+    P = len(pairs)
+    la = np.zeros(P, np.int32)
+    lb = np.zeros(P, np.int32)
+    dlo = np.zeros(P, np.int32)
+    bw = np.zeros(P, np.int32)
+    lets = []
+    for p, pair in enumerate(pairs):
+        a, b = pair[0], pair[1]
+        if len(pair) >= 4:
+            d0, d1 = pair[2], pair[3]
+        else:
+            d0, d1 = band_diag_range(len(a), len(b), band_radius)
+        la[p], lb[p], dlo[p], bw[p] = len(a), len(b), d0, d1 - d0 + 1
+        lets.append((_letters(a, nucleo), _letters(b, nucleo)))
+    SW = slot_width(int(bw.max()))
+    GPV = LANES // SW
+    if GPV < 1:
+        raise ValueError(f"band width {int(bw.max())} too wide")
+    rhos = (la - dlo) % 2
+    if rho0 is None:
+        rho0 = int(rhos[0])
+    assert (rhos == rho0).all(), "pairs must share (la - dlo) parity"
+
+    nrows = (P + GPV - 1) // GPV
+    # last needed step is t = la-1+lb (the final Drow[LB] update)
+    steps = int((la + lb).max())
+    steps = ((steps + chunk - 1) // chunk) * chunk
+
+    i0 = (la - dlo - rho0) // 2           # I0(0) per pair
+    lane = np.arange(LANES)
+    slot = lane // SW
+    u = lane - slot * SW
+    dead = (lane >= GPV * SW) | (u >= SW)
+
+    la_b = np.ones((nrows, LANES), np.int32)
+    lb_b = np.ones((nrows, LANES), np.int32)
+    ib = np.full((nrows, LANES), -10**6, np.int32)
+    jb = np.full((nrows, LANES), -10**6, np.int32)
+    umax_e = np.full((nrows, LANES), -1, np.int32)
+    umax_o = np.full((nrows, LANES), -1, np.int32)
+    a_init = np.full((nrows, LANES), 4, np.int32)
+    b_init = np.full((nrows, LANES), 4, np.int32)
+    ins = np.full((nrows, steps, LANES), 4, np.int8)
+
+    # rho at step t; r(t) = #odd-parity steps in [1..t] etc.
+    t_arr = np.arange(steps + 1)
+    rho_t = (rho0 + t_arr) % 2
+    r_t = (t_arr + rho0 - rho_t) // 2
+    s_t = t_arr - r_t
+
+    for p in range(P):
+        q, g = divmod(p, GPV)
+        sl = slice(g * SW, g * SW + SW)
+        al, bl = lets[p]
+        m = np.arange(SW)
+        la_b[q, sl] = la[p]
+        lb_b[q, sl] = lb[p]
+        ib[q, sl] = i0[p] - m
+        jb[q, sl] = -i0[p] + m
+        # umax: u <= (dhi - dlo - rho)/2 = (bw - 1 - rho)//2
+        umax_e[q, sl] = (bw[p] - 1 - rho0) // 2
+        umax_o[q, sl] = (bw[p] - 1 - (1 - rho0)) // 2
+        # initial windows at t=0 (r=0, s=0)
+        ia = i0[p] - m
+        okm = (ia >= 0) & (ia < la[p])
+        a_init[q, g * SW + m[okm]] = al[ia[okm]]
+        jc = -i0[p] + m
+        okj = (jc >= 0) & (jc < lb[p])
+        b_init[q, g * SW + m[okj]] = bl[jc[okj]]
+        # insert tiles: stepping into t (t >= 1):
+        #   odd rho(t-1) (=> r bumps): A insert at u=0, value a[I0(0)+r(t)]
+        #   even rho(t-1) (=> s bumps): B insert at u=SW-1,
+        #     value b[J0(t) + SW - 1] = b[-I0(0) + s(t) + SW - 1]
+        t = np.arange(1, steps)
+        ra = r_t[t]
+        a_idx = i0[p] + ra
+        oka = (r_t[t] != r_t[t - 1]) & (a_idx >= 0) & (a_idx < la[p])
+        ins[q, t[oka], g * SW] = al[a_idx[oka]]
+        b_idx = -i0[p] + s_t[t] + SW - 1
+        okb = (s_t[t] != s_t[t - 1]) & (b_idx >= 0) & (b_idx < lb[p])
+        ins[q, t[okb], g * SW + SW - 1] = bl[b_idx[okb]]
+
+    for arr in (umax_e, umax_o):
+        arr[:, dead] = -1
+
+    return WaveBatch(rho0=rho0, sw=SW, gpv=GPV, n_pairs=P, nrows=nrows,
+                     steps=steps,
+                     la=la, lb=lb, dlo=dlo, bw=bw, la_b=la_b, lb_b=lb_b,
+                     ib=ib, jb=jb, umax_e=umax_e, umax_o=umax_o,
+                     a_init=a_init, b_init=b_init, ins=ins)
+
+
+# ---------------------------------------------------------------------------
+
+def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+                 match: float, mismatch: float):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    nwrites = chunk // 8
+
+    def kernel(la_ref, lb_ref, ib_ref, jb_ref, ume_ref, umo_ref,
+               ai_ref, bi_ref, ins_ref, gp_ref,
+               tb_ref, mle_ref, mlo_ref, dlb_out_ref,
+               m1_s, m2_s, d_s, i_s, dlb_s, aw_s, bw_s, mle_s, mlo_s):
+        cc = pl.program_id(1)
+        n_cc = pl.num_programs(1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (pb, LANES), 1)
+        slot_u = lane - (lane // SW) * SW
+        edge_lo = slot_u == 0          # receives junk on roll-right
+        edge_hi = slot_u == SW - 1     # receives junk on roll-left
+
+        la_b = la_ref[:, :]
+        lb_b = lb_ref[:, :]
+        ib = ib_ref[:, :]
+        jb = jb_ref[:, :]
+        ume = ume_ref[:, :]
+        umo = umo_ref[:, :]
+
+        g_open_a = gp_ref[0, 0]
+        g_open_b = gp_ref[0, 1]
+        g_ext_a = gp_ref[0, 2]
+        g_ext_b = gp_ref[0, 3]
+        g_l_open_a = gp_ref[0, 4]
+        g_l_open_b = gp_ref[0, 5]
+        g_r_open_b = gp_ref[0, 7]
+        g_l_ext_a = gp_ref[0, 8]
+        g_l_ext_b = gp_ref[0, 9]
+        g_r_ext_b = gp_ref[0, 11]
+
+        neg = jnp.full((pb, LANES), NEG, f32)
+
+        @pl.when(cc == 0)
+        def _init():
+            m1_s[:, :] = neg
+            m2_s[:, :] = neg
+            d_s[:, :] = neg
+            i_s[:, :] = neg
+            dlb_s[:, :] = neg
+            aw_s[:, :] = ai_ref[:, :]
+            bw_s[:, :] = bi_ref[:, :]
+            mle_s[:, :] = neg
+            mlo_s[:, :] = neg
+
+        t0 = cc * chunk
+
+        def roll_r(x):
+            return pltpu.roll(x, 1, 1)     # y[L] = x[L-1]
+
+        def roll_l(x):
+            return pltpu.roll(x, LANES - 1, 1)   # y[L] = x[L+1]
+
+        def substep(t_off, rho, carry, bits_acc):
+            """One anti-diagonal step t = t0 + t_off (rho static)."""
+            (m1, m2, d_buf, i_buf, dlb, a_win, b_win, mle, mlo) = carry
+            t = t0 + t_off
+            # r(t) = (t + rho0 - rho(t))/2 exactly (numerator always even)
+            r = (t + (rho0 - rho)) // 2
+            s = t - r
+
+            # window shift + seam insert for stepping into t (skip only the
+            # very first step t == 0, i.e. t_off == 0 in chunk 0)
+            delta_r = 1 - rho   # rho(t-1) = 1 - rho(t)
+            ins_tile = ins_ref[:, pl.ds(t_off * LANES, LANES)]
+            if delta_r == 1:
+                # A window shifts right, insert at u=0
+                a_new = jnp.where(edge_lo, ins_tile, roll_r(a_win))
+                if t_off == 0:
+                    a_new = jnp.where(cc > 0, a_new, a_win)
+                a_win = a_new
+            else:
+                # B window shifts left, insert at u=SW-1
+                b_new = jnp.where(edge_hi, ins_tile, roll_l(b_win))
+                if t_off == 0:
+                    b_new = jnp.where(cc > 0, b_new, b_win)
+                b_win = b_new
+            # state shifts into step t; dlb freezes at its final lane once
+            # the pair's last step (t = la-1+lb) has passed
+            m_in = m2
+            if rho == 1:
+                d_in = jnp.where(edge_hi, neg, roll_l(d_buf))
+                dlb_sh = jnp.where(edge_hi, neg, roll_l(dlb))
+                dlb_prev = jnp.where(t <= la_b + lb_b - 1, dlb_sh, dlb)
+                i_prev = i_buf
+                umax = umo
+            else:
+                d_in = d_buf
+                dlb_prev = dlb
+                i_prev = jnp.where(edge_lo, neg, roll_r(i_buf))
+                umax = ume
+
+            i_vec = ib + r
+            j_vec = jb + s
+            valid = ((i_vec >= 0) & (i_vec < la_b) & (j_vec >= 0)
+                     & (j_vec < lb_b) & (slot_u <= umax))
+
+            # DPM[0][0] = 0 boundary (only ever true at t == 0)
+            m_in = jnp.where((i_vec == 0) & (j_vec == 0), f32(0), m_in)
+
+            aw = a_win
+            bw = b_win
+            sub = jnp.where((aw < 4) & (bw < 4),
+                            jnp.where(aw == bw, f32(match), f32(mismatch)),
+                            f32(0))
+
+            open_a = jnp.where(i_vec == 0, g_l_open_a, g_open_a)
+            ext_a = jnp.where(i_vec == 0, g_l_ext_a, g_ext_a)
+            open_b = jnp.where(j_vec == 0, g_l_open_b, g_open_b)
+            ext_b = jnp.where(j_vec == 0, g_l_ext_b, g_ext_b)
+
+            # MATCH (priority M >= D >= I)
+            xm = m_in
+            take_d = d_in > xm
+            xm = jnp.where(take_d, d_in, xm)
+            take_i = i_prev > xm
+            xm = jnp.where(take_i, i_prev, xm)
+            m_out = jnp.where(valid, xm + sub, neg)
+
+            # DELETE (>= favours open)
+            md = m_in + open_b
+            de = d_in + ext_b
+            take_open = md >= de
+            d_out = jnp.where(valid, jnp.where(take_open, md, de), neg)
+
+            # INSERT (>= favours open)
+            mi = m_in + open_a
+            ie = i_prev + ext_a
+            take_iopen = mi >= ie
+            i_out = jnp.where(valid, jnp.where(take_iopen, mi, ie), neg)
+
+            # Drow[LB] cell (i_lb = t - lb, j = lb) rides at its own lane
+            upd = ((j_vec == lb_b) & (i_vec >= 0) & (i_vec < la_b)
+                   & (slot_u < SW))
+            md_lb = m_in + g_r_open_b
+            de_lb = dlb_prev + g_r_ext_b
+            take_lb = md_lb >= de_lb
+            dlb_new = jnp.where(upd, jnp.where(take_lb, md_lb, de_lb),
+                                dlb_prev)
+
+            bits = jnp.where(take_d, TB_DM, 0)
+            bits = jnp.where(take_i, TB_IM, bits)
+            bits = bits + jnp.where(take_open, TB_MD, 0)
+            bits = bits + jnp.where(take_iopen, TB_MI, 0)
+            bits = jnp.where(valid, bits, 0)
+            bits = jnp.where(upd, jnp.where(take_lb, TB_MD, 0), bits)
+            bits_acc = bits_acc | (bits << (4 * (t_off % 8)))
+
+            is_last = i_vec == la_b - 1
+            if rho == rho0:   # even-parity t
+                mle = jnp.where(is_last, m_out, mle)
+            else:
+                mlo = jnp.where(is_last, m_out, mlo)
+
+            carry = (m_out, m1, d_out, i_out, dlb_new, a_win, b_win,
+                     mle, mlo)
+            return carry, bits_acc
+
+        carry = (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :],
+                 dlb_s[:, :], aw_s[:, :], bw_s[:, :],
+                 mle_s[:, :], mlo_s[:, :])
+        for w in range(nwrites):
+            bits_acc = jnp.zeros((pb, LANES), jnp.int32)
+            for k in range(8):
+                t_off = w * 8 + k
+                rho = (rho0 + t_off) % 2   # chunk is even-sized
+                carry, bits_acc = substep(t_off, rho, carry, bits_acc)
+            tb_ref[:, pl.ds(w * LANES, LANES)] = bits_acc
+
+        (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :], dlb_s[:, :],
+         aw_s[:, :], bw_s[:, :], mle_s[:, :], mlo_s[:, :]) = carry
+
+        @pl.when(cc == n_cc - 1)
+        def _emit():
+            mle_ref[:, :] = mle_s[:, :]
+            mlo_ref[:, :] = mlo_s[:, :]
+            dlb_out_ref[:, :] = dlb_s[:, :]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+              match: float, mismatch: float, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _make_kernel(steps, chunk, pb, rho0, SW, match, mismatch)
+    n_cc = steps // chunk
+    nwrites = chunk // 8
+
+    def run(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp):
+        R = la_b.shape[0]
+        grid = (R // pb, n_cc)
+        row_spec = pl.BlockSpec((pb, LANES), lambda g, c: (g, 0))
+        in_specs = [row_spec] * 8 + [
+            pl.BlockSpec((pb, chunk * LANES), lambda g, c: (g, c)),
+            pl.BlockSpec((1, 16), lambda g, c: (0, 0)),
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((R, n_cc * nwrites * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((pb, nwrites * LANES), lambda g, c: (g, c)),
+            row_spec, row_spec, row_spec,
+        )
+        scratch = [pltpu.VMEM((pb, LANES), jnp.float32) for _ in range(5)]
+        scratch += [pltpu.VMEM((pb, LANES), jnp.int32) for _ in range(2)]
+        scratch += [pltpu.VMEM((pb, LANES), jnp.float32) for _ in range(2)]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret,
+        )(la_b, lb_b, ib, jb, ume, umo, a_init, b_init,
+          ins.reshape(R, -1), gp)
+
+    return jax.jit(run)
+
+
+class WavefrontNWDevice:
+    """Batched anti-diagonal banded NW; bit-exact vs align/oracle.py."""
+
+    def __init__(self, ap, pb: int = 32, chunk: int = 32,
+                 interpret: Optional[bool] = None):
+        import jax
+        self.ap = ap
+        self.pb = pb
+        self.chunk = chunk
+        self.match = float(ap.subst_mx[ord("A"), ord("A")])
+        self.mismatch = float(ap.subst_mx[ord("A"), ord("C")])
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
+        self.interpret = interpret
+        gp = np.zeros((1, 16), dtype=np.float32)
+        gp[0, :12] = [ap.open_a, ap.open_b, ap.ext_a, ap.ext_b,
+                      ap.l_open_a, ap.l_open_b, ap.r_open_a, ap.r_open_b,
+                      ap.l_ext_a, ap.l_ext_b, ap.r_ext_a, ap.r_ext_b]
+        self.gp = gp
+
+    def run_batch(self, batch: WaveBatch):
+        """Returns (tb_words, mle, mlo, dlb) numpy arrays."""
+        import jax.numpy as jnp
+        R = batch.nrows
+        pad = (-R) % self.pb
+        def padr(x, fill):
+            if pad == 0:
+                return x
+            return np.concatenate(
+                [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+        fn = _compiled(batch.steps, self.chunk, self.pb, batch.rho0,
+                       batch.sw, self.match, self.mismatch, self.interpret)
+        ins = padr(batch.ins, 4).astype(np.int32)
+        outs = fn(jnp.asarray(padr(batch.la_b, 1)),
+                  jnp.asarray(padr(batch.lb_b, 1)),
+                  jnp.asarray(padr(batch.ib, -10**6)),
+                  jnp.asarray(padr(batch.jb, -10**6)),
+                  jnp.asarray(padr(batch.umax_e, -1)),
+                  jnp.asarray(padr(batch.umax_o, -1)),
+                  jnp.asarray(padr(batch.a_init, 4)),
+                  jnp.asarray(padr(batch.b_init, 4)),
+                  jnp.asarray(ins), jnp.asarray(self.gp))
+        tb, mle, mlo, dlb = (np.asarray(o) for o in outs)
+        tb = tb.reshape(tb.shape[0], -1, LANES)
+        return tb[:R], mle[:R], mlo[:R], dlb[:R]
+
+    def _mlast_row(self, batch: WaveBatch, mle_q, mlo_q, p):
+        """M values of row la-1 indexed by j (NEG outside band).  Even t
+        (rho == rho0) was captured into mle, odd t into mlo."""
+        SW = batch.sw
+        la = int(batch.la[p]); lb = int(batch.lb[p])
+        dlo = int(batch.dlo[p]); bw = int(batch.bw[p])
+        g = p % batch.gpv
+        mlast = np.full(lb, NEG, np.float32)
+        startj, endj = get_range_j(la, lb, dlo, dlo + bw - 1, la - 1)
+        for j in range(startj, endj):
+            t = la - 1 + j
+            rho = (batch.rho0 + t) % 2
+            u = (la + t - dlo - rho) // 2 - (la - 1)
+            if not (0 <= u < SW):
+                continue
+            buf = mle_q if t % 2 == 0 else mlo_q
+            mlast[j] = buf[g * SW + u]
+        return mlast
+
+    def align(self, pairs, band_radius: int, nucleo: bool = True):
+        """Scores + paths for a mixed-parity pair list."""
+        idx0, idx1, out_scores, out_paths = [], [], \
+            np.zeros(len(pairs), np.float32), [None] * len(pairs)
+        for i, pair in enumerate(pairs):
+            a, b = pair[0], pair[1]
+            if len(pair) >= 4:
+                d0 = pair[2]
+            else:
+                d0 = band_diag_range(len(a), len(b), band_radius)[0]
+            (idx0 if (len(a) - d0) % 2 == 0 else idx1).append(i)
+        for rho0, idxs in ((0, idx0), (1, idx1)):
+            if not idxs:
+                continue
+            batch = pack_wave([pairs[i] for i in idxs], nucleo,
+                              band_radius, self.chunk, rho0)
+            tb, mle, mlo, dlb = self.run_batch(batch)
+            scores, paths = trace_batch(self, batch, tb, mle, mlo, dlb)
+            for k, i in enumerate(idxs):
+                out_scores[i] = scores[k]
+                out_paths[i] = paths[k]
+        return out_scores, out_paths
+
+
+def trace_batch(dev: WavefrontNWDevice, batch: WaveBatch, tb, mle, mlo,
+                dlb):
+    """Host traceback over the anti-diagonal bit tensor."""
+    f32 = np.float32
+    r_open_a = f32(dev.ap.r_open_a)
+    r_ext_a = f32(dev.ap.r_ext_a)
+    scores = np.zeros(batch.n_pairs, np.float32)
+    paths: List[str] = []
+    rho0 = batch.rho0
+    SW = batch.sw
+    for p in range(batch.n_pairs):
+        q, g = divmod(p, batch.gpv)
+        la = int(batch.la[p]); lb = int(batch.lb[p])
+        dlo = int(batch.dlo[p]); bw = int(batch.bw[p])
+        dhi = dlo + bw - 1
+        base = g * SW
+        tbq = tb[q]
+
+        mlast = dev._mlast_row(batch, mle[q], mlo[q], p)
+
+        # final DPI row (i = la): oracle src/viterbifastbandmem.cpp last loop
+        startj, endj = get_range_j(la, lb, dlo, dhi, la - 1)
+        tblast = np.zeros(lb + 1, np.uint8)
+        i1 = f32(NEG)
+        for j in range(startj, endj):
+            mi = f32((mlast[j - 1] if j > 0 else f32(NEG)) + r_open_a)
+            i1 = f32(i1 + r_ext_a)
+            if mi > i1:
+                i1 = mi
+                tblast[j] = TB_MI
+        t_fin = la - 1 + lb
+        rho_f = (rho0 + t_fin) % 2
+        u_lb = (lb + 1 - dlo - rho_f) // 2
+        fin_d = dlb[q, base + u_lb] if 0 <= u_lb < SW else f32(NEG)
+        fin_m = mlast[lb - 1]
+        score, state = fin_m, "M"
+        if fin_d > score:
+            score, state = fin_d, "D"
+        if i1 > score:
+            score, state = i1, "I"
+        scores[p] = score
+
+        def bits(i, j):
+            if i == la:
+                return int(tblast[j]) if 0 <= j <= lb else 0
+            t = i + j
+            rho = (rho0 + t) % 2
+            if j == lb:
+                # u_lb = (D* - dlo - rho)/2 with D* = la - i + lb
+                u = (la + lb - i - dlo - rho) // 2
+                if 0 <= u < SW:
+                    return int((tbq[t // 8, base + u] >> (4 * (t % 8))) & 15)
+                return TB_MD
+            k = j - (dlo + i - la)
+            if k == -1:
+                return TB_IM
+            if not (0 <= k < bw):
+                return 0
+            u = (la + t - dlo - rho) // 2 - i
+            if not (0 <= u < SW):
+                return 0
+            return int((tbq[t // 8, base + u] >> (4 * (t % 8))) & 15)
+
+        i, j = la, lb
+        out = []
+        while not (i == 0 and j == 0):
+            out.append(state)
+            if state == "M":
+                t = bits(i - 1, j - 1)
+                state = "D" if (t & TB_DM) else ("I" if (t & TB_IM)
+                                                 else "M")
+                i -= 1
+                j -= 1
+            elif state == "D":
+                t = bits(i - 1, j)
+                state = "M" if (t & TB_MD) else "D"
+                i -= 1
+            else:
+                t = bits(i, j - 1)
+                state = "M" if (t & TB_MI) else "I"
+                j -= 1
+        paths.append("".join(reversed(out)))
+    return scores, paths
