@@ -1,0 +1,238 @@
+"""Batch-synchronous greedy clustering with device-resident U counting.
+
+The TPU formulation of cluster_mt (src/clustermt.cpp:46-123): queries
+stream against a FROZEN centroid set; misses buffer as pending; at the
+flush the misses are re-searched serially with admissions applied in
+input order — the schedule that reconciles greedy-order semantics with
+batch parallelism (SURVEY §2.2).
+
+Between flushes the centroid set (and hence the UDB) is immutable, so the
+hot USORT word-count scatter-add becomes one dense MXU matmul per query
+window: U = Q_onehot @ W_incidence, optionally sharded over a device mesh
+("data" x "db", jax.sharding + shard_map with an all_gather merge —
+see parallel/search_step.py).  The full U rows come back to the host,
+where the reference's exact SetTopBump + stable count-sort filters and
+the HSP-anchored alignment replay run unchanged — so outputs are
+byte-identical to the host cluster_mt path (asserted in
+tests/test_parity_cluster.py::test_cluster_mt_device_batch).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import options
+from ..io.seqdb import SeqDB
+from ..io.fastx import read_fastx, write_fasta
+from ..scoring import AlnParams, AlnHeuristics
+from ..index.udb import UDBIndex, UDBParams
+from ..search.accepter import Accepter
+from ..search.terminator import Terminator
+from ..search.hitmgr import HitMgr
+from ..search.usorted import (set_top_bump, set_top_no_bump,
+                              count_sort_order_desc, quick_sort_order_desc)
+from ..align.result import AlignResult
+from ..cluster.uclust import _uc_hit_line
+
+
+class DeviceUCounter:
+    """U counting for a query window vs a frozen index: one MXU matmul
+    (optionally sharded over a mesh's "db" axis)."""
+
+    def __init__(self, mesh=None) -> None:
+        self.mesh = mesh
+        self._mat = None
+        self._t = 0
+
+    def refresh(self, index: UDBIndex) -> None:
+        """Rebuild the (V, T) incidence after admissions."""
+        import jax.numpy as jnp
+        from .search_step import build_incidence
+        self._t = index.seq_count
+        if self._t == 0:
+            self._mat = None
+            return
+        mat = build_incidence(index)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            pad = (-self._t) % self.mesh.shape["db"]
+            if pad:
+                mat = np.pad(mat, ((0, 0), (0, pad)))
+            self._mat = jax.device_put(
+                jnp.asarray(mat),
+                NamedSharding(self.mesh, P(None, "db")))
+        else:
+            self._mat = jnp.asarray(mat)
+
+    def count(self, index: UDBIndex, seqs: List[np.ndarray]) -> np.ndarray:
+        """Returns (B, T) uint32 shared-unique-word counts."""
+        import jax.numpy as jnp
+        if self._t == 0:
+            return np.zeros((len(seqs), 0), np.uint32)
+        v = index.params.slot_count
+        q = np.zeros((len(seqs), v), np.float32)
+        for b, s in enumerate(seqs):
+            q[b, index.params.unique_words(s)] = 1.0
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            qd = jax.device_put(jnp.asarray(q),
+                                NamedSharding(self.mesh, P("data", None)))
+        else:
+            qd = jnp.asarray(q)
+        u = np.asarray(qd @ self._mat)
+        return np.rint(u[:, :self._t]).astype(np.uint32)
+
+
+def _rank_from_u(u: np.ndarray):
+    """Exact host replay of USortedRanker.rank given a precomputed U row
+    (src/udbusortedsearcher.cpp SetTop/SortTop order)."""
+    o = options()
+    bump = o.uns("bump")
+    if bump != 0:
+        top_u, top_tix = set_top_bump(u, 1, bump)
+    else:
+        top_u, top_tix = set_top_no_bump(u, 1)
+    if o.flag("quicksort"):
+        order = quick_sort_order_desc(top_u)
+    else:
+        order = count_sort_order_desc(top_u)
+    return top_tix[order]
+
+
+def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
+    """cluster_mt with the U-counting phase on device (single chip or a
+    sharded mesh).  Byte-identical outputs to cluster.uclust.cluster_mt."""
+    o = options()
+    if not o.filled("id"):
+        raise SystemExit("Must set -id")
+    max_pending = o.uns("maxpending") if o.filled("maxpending") else 128
+
+    input_db = SeqDB.from_fastx(input_path)
+    nucleo = input_db.get_is_nucleo()
+    ap = AlnParams.from_cmdline(nucleo)
+    ah = AlnHeuristics.from_cmdline(ap)
+    params = UDBParams.global_usearch(nucleo)
+    index = UDBIndex(params)
+    accepter = Accepter(is_global=True)
+    terminator = Terminator("cluster_mt")
+    counter = DeviceUCounter(mesh)
+
+    native = None
+    if not o.flag("use_cpu_oracle"):
+        try:
+            from ..native import NativeAligner
+            native = NativeAligner(ap, ah)
+        except Exception:
+            native = None
+    from ..align.hsp import HSPFinder
+    from ..align.global_aligner import global_align
+    hf = HSPFinder(ap, ah)
+    fail = not o.flag("gaforce")
+
+    centroid_labels: List[str] = []
+    centroid_seqs: List[np.ndarray] = []
+    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
+
+    def align_candidates(q_label, q_seq, tix_order):
+        """Terminator/accepter replay in candidate-rank order."""
+        hm = HitMgr()
+        terminator.on_new_query()
+        if len(tix_order) == 0:
+            return None
+        if native is not None:
+            native.set_a(q_seq)
+        else:
+            hf.set_a(q_seq)
+        for tix in np.asarray(tix_order).tolist():
+            t_label = centroid_labels[tix]
+            t_seq = centroid_seqs[tix]
+            if accepter.reject_pair(q_label, q_seq, t_label, t_seq):
+                continue
+            if native is not None:
+                native.set_b(t_seq)
+                path = native.global_align(fail_if_no_hsps=fail)
+            else:
+                hf.set_b(t_seq)
+                path = global_align(q_seq, t_seq, ap, ah, hf,
+                                    fail_if_no_hsps=fail)
+            accept = False
+            if path is not None:
+                ar = AlignResult(query_label=q_label, target_label=t_label,
+                                 query_seq=q_seq, target_seq=t_seq,
+                                 path=path, nucleo=nucleo, target_index=tix)
+                accept = accepter.is_accept(ar)
+                if accept:
+                    hm.append_hit(ar)
+            if terminator.terminate(hm, accept):
+                break
+        return hm.top_hit()
+
+    def search_one_serial(q_label, q_seq):
+        """Host ranking vs the current (growing) set — the serial flush."""
+        from ..search.usorted import USortedRanker
+        ranker = USortedRanker(index)
+        tix_order, _c = ranker.rank(q_seq)
+        return align_candidates(q_label, q_seq, tix_order)
+
+    def admit(q_label, q_seq) -> int:
+        ci = len(centroid_labels)
+        centroid_labels.append(q_label)
+        centroid_seqs.append(q_seq)
+        index.add_seq(ci, q_seq)
+        index.seq_count = ci + 1
+        return ci
+
+    def flush(pending):
+        """ProcessPending (src/clustermt.cpp:46-78)."""
+        for label, seq in pending:
+            top = search_one_serial(label, seq)
+            if top is None:
+                ci = admit(label, seq)
+                if f_uc:
+                    f_uc.write(f"S\t{ci}\t{len(seq)}\t*\t.\t*\t*\t*\t"
+                               f"{label}\t*\n")
+            else:
+                if f_uc:
+                    f_uc.write(_uc_hit_line(top, label))
+        pending.clear()
+        counter.refresh(index)
+
+    records = [(label, seq) for label, seq, _q in read_fastx(input_path)
+               if len(seq) > 0]
+    counter.refresh(index)
+    pending: List = []
+    pos = 0
+    window = max_pending
+    while pos < len(records):
+        batch = records[pos:pos + window]
+        u_rows = counter.count(index, [s for _l, s in batch])
+        flushed = False
+        for b, (label, seq) in enumerate(batch):
+            tix_order = _rank_from_u(u_rows[b]) if u_rows.shape[1] else []
+            top = align_candidates(label, seq, tix_order)
+            if top is None:
+                pending.append((label, seq))
+                if len(pending) >= max_pending:
+                    # admissions change the frozen set: flush, then
+                    # re-window from the next unprocessed query
+                    flush(pending)
+                    pos += b + 1
+                    flushed = True
+                    break
+            else:
+                if f_uc:
+                    f_uc.write(_uc_hit_line(top, label))
+        if not flushed:
+            pos += len(batch)
+    flush(pending)
+
+    if f_uc:
+        f_uc.close()
+    if o.filled("centroids"):
+        with open(o.str("centroids"), "w") as f:
+            for lbl, s in zip(centroid_labels, centroid_seqs):
+                write_fasta(f, lbl, s, o.uns("fasta_cols"))
