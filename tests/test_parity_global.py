@@ -64,3 +64,27 @@ def test_udb_file_parity(ref_bin, amplicons_small_fa, tmp_path):
     r2idx, r2db = read_udb(mine_udb)
     assert np.array_equal(r2idx.sizes, midx.sizes)
     assert r2db.labels == db.labels
+
+
+FIELDS_A = ("query+target+id+fractid+dist+mid+pctgaps+pairs+gaps+allgaps"
+            "+qlo+qhi+tlo+thi+ql+tl+qs+ts+alnlen+opens+exts+mism+ids+qcov"
+            "+tcov+diffs+diffsa+editdiffs+caln+aln+qstrand+tstrand")
+FIELDS_B = ("query+clusternr+qlor+qhir+tlor+thir+qlot+qhit+qunt+tlot+thit"
+            "+tunt+qrow+trow+qrowdots+trowdots+qseg+tseg+qseq+tseq+abskew"
+            "+gc+kmerid+qtrimlo+qtrimhi+qframe+pv+pctpv+qsegf+tsegf"
+            "+qtrimseq")
+
+
+@pytest.mark.parametrize("fields", [FIELDS_A, FIELDS_B])
+def test_userout_fields_parity(ref_bin, amplicons_small_fa, tmp_path,
+                               fields):
+    """Full -userfields catalogue, byte-exact formats."""
+    g, m = str(tmp_path / "g.txt"), str(tmp_path / "m.txt")
+    base = ["-usearch_global", amplicons_small_fa, "-db",
+            amplicons_small_fa, "-id", "0.9", "-strand", "plus",
+            "-userfields", fields]
+    subprocess.run([ref_bin] + base + ["-userout", g, "-quiet",
+                                       "-threads", "1"],
+                   check=True, capture_output=True)
+    assert cli_main(base + ["-userout", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()

@@ -185,7 +185,16 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
     on_query_done(label, seq, hits) per query in input order."""
     ctx = SearchContext.build(cmd, db, hole_kernel=hole_kernel)
     o = options()
-    strand_both = (ctx.nucleo and o.str("strand", "plus") == "both")
+    strand_both = False
+    if ctx.nucleo:
+        # StrandIsBoth (src/search.cpp:23-34): -strand required for nt DBs
+        if not o.filled("strand"):
+            raise SystemExit("Must specify -strand plus or both with nt db")
+        s = o.str("strand")
+        if s == "both":
+            strand_both = True
+        elif s != "plus":
+            raise SystemExit("Invalid -strand, must be plus or both")
     # GetXlat (src/search.cpp:44-49): nt query vs aa DB => 6-frame ORFs
     xlat = (not ctx.nucleo) and file_is_nucleo(query_path)
     for label, seq, _qual in read_fastx(query_path):
