@@ -88,3 +88,29 @@ def test_userout_fields_parity(ref_bin, amplicons_small_fa, tmp_path,
                    check=True, capture_output=True)
     assert cli_main(base + ["-userout", m, "-quiet"]) == 0
     assert open(g).read() == open(m).read()
+
+
+def test_alnout_parity(ref_bin, amplicons_small_fa, tmp_path):
+    """Human-readable -alnout; the reference's 2-line run banner (command
+    line + version/RAM/cores) is environment-specific and skipped."""
+    g, m = str(tmp_path / "g.txt"), str(tmp_path / "m.txt")
+    base = ["-usearch_global", amplicons_small_fa, "-db",
+            amplicons_small_fa, "-id", "0.9", "-strand", "plus"]
+    subprocess.run([ref_bin] + base + ["-alnout", g, "-quiet",
+                                       "-threads", "1"],
+                   check=True, capture_output=True)
+    assert cli_main(base + ["-alnout", m, "-quiet"]) == 0
+    g_body = "".join(open(g).readlines()[2:])
+    assert g_body == open(m).read()
+
+
+def test_alnout_local_parity(ref_bin, amplicons_small_fa, tmp_path):
+    g, m = str(tmp_path / "g.txt"), str(tmp_path / "m.txt")
+    base = ["-usearch_local", amplicons_small_fa, "-db",
+            amplicons_small_fa, "-evalue", "1e-6", "-strand", "plus"]
+    subprocess.run([ref_bin] + base + ["-alnout", g, "-quiet",
+                                       "-threads", "1"],
+                   check=True, capture_output=True)
+    assert cli_main(base + ["-alnout", m, "-quiet"]) == 0
+    g_body = "".join(open(g).readlines()[2:])
+    assert g_body == open(m).read()

@@ -51,27 +51,39 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
         hm = HitMgr()
         hm.hits = hits
         ordered = hm.sorted_hits()
+        if f_aln:
+            from .out.alnout import write_aln, write_query_report
+            q_nucleo = ordered[0].nucleo or bool(ordered[0].orf_frame) \
+                if ordered else db.get_is_nucleo()
+            write_query_report(f_aln, label, ordered, local=False,
+                               query_nucleo=q_nucleo,
+                               target_nucleo=db.get_is_nucleo())
+            for ar in ordered:
+                write_aln(f_aln, ar)
         if f_b6:
             for ar in ordered:
                 f_b6.write(blast6_line(ar))
             if not ordered and o.flag("output_no_hits"):
                 f_b6.write(blast6_no_hits_line(label))
+        if f_user:
+            from .out.userout import user_out_lines, user_out_no_hits
+            for ar in ordered:
+                f_user.write(user_out_lines(ar))
+            if not ordered and o.flag("output_no_hits"):
+                f_user.write(user_out_no_hits(label, seq))
+        if f_fp:
+            from .out.alnout import fasta_pair
+            for ar in ordered:
+                fasta_pair(f_fp, ar)
         if f_uc:
             if ordered:
                 for ar in ordered:
                     f_uc.write(uc_mod.uc_hit_record(ar))
             else:
                 f_uc.write(uc_mod.uc_no_hit_record(label, len(seq)))
-        if f_user:
-            from .out.userout import user_out_lines
-            for ar in ordered:
-                f_user.write(user_out_lines(ar))
         if ordered:
             if f_m:
                 write_fasta(f_m, label, seq, o.uns("fasta_cols"))
-            if f_fp:
-                from .out.alnout import fasta_pair
-                fasta_pair(f_fp, ordered[0])
         else:
             if f_nm:
                 write_fasta(f_nm, label, seq, o.uns("fasta_cols"))
@@ -101,6 +113,7 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
     f_m = open(o.str("matched"), "w") if o.filled("matched") else None
     f_nm = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
     f_user = open(o.str("userout"), "w") if o.filled("userout") else None
+    f_aln = open(o.str("alnout"), "w") if o.filled("alnout") else None
 
     def on_query_done(label, seq, hits):
         from .search.hitmgr import HitMgr
@@ -110,6 +123,15 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
         maxhits = o.uns("maxhits") if o.filled("maxhits") else 0
         if maxhits > 0:
             ordered = ordered[:maxhits]
+        if f_aln:
+            from .out.alnout import write_aln, write_query_report
+            q_nucleo = (ordered[0].nucleo or bool(ordered[0].orf_frame)) \
+                if ordered else db.get_is_nucleo()
+            write_query_report(f_aln, label, ordered, local=True,
+                               query_nucleo=q_nucleo,
+                               target_nucleo=db.get_is_nucleo())
+            for ar in ordered:
+                write_aln(f_aln, ar)
         if f_b6:
             for ar in ordered:
                 f_b6.write(blast6_line(ar))
@@ -128,7 +150,7 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
 
     search_file("usearch_local", query_path, db, on_query_done)
 
-    for f in (f_b6, f_m, f_nm, f_user):
+    for f in (f_b6, f_m, f_nm, f_user, f_aln):
         if f:
             f.close()
 
