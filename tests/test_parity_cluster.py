@@ -81,3 +81,60 @@ def test_cluster_mt_device_batch(amplicons_small_fa, tmp_path):
 
     assert open(h_uc).read() == open(d_uc).read()
     assert open(h_fa).read() == open(d_fa).read()
+
+
+@pytest.fixture(scope="module")
+def tax_fa(tmp_path_factory):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    from genseqs import rand_seq, mutate
+    rng = np.random.default_rng(77)
+    taxa = ["d:Bacteria,p:Firmicutes,g:Bacillus",
+            "d:Bacteria,p:Firmicutes,g:Clostridium",
+            "d:Bacteria,p:Proteobacteria,g:Ecoli",
+            "d:Archaea,p:Euryarchaeota,g:Halo"]
+    tpls = [rand_seq(rng, 220) for _ in range(4)]
+    recs = []
+    k = 0
+    for ti, t in enumerate(tpls):
+        recs.append((f"tpl{ti};size={int(rng.integers(50, 200))};"
+                     f"tax={taxa[ti]};", t))
+        for _ in range(6):
+            tx = taxa[(ti + (1 if k % 5 == 0 else 0)) % 4]
+            recs.append((f"r{k};size={int(rng.integers(1, 20))};tax={tx};",
+                         mutate(rng, t, int(rng.integers(0, 5)), 0)))
+            k += 1
+    path = str(tmp_path_factory.mktemp("tax") / "tax.fa")
+    with open(path, "w") as f:
+        for n, s in recs:
+            f.write(f">{n}\n{s}\n")
+    return path
+
+
+def test_constax_report_parity(ref_bin, tax_fa, tmp_path):
+    """-constax_report on the derep path (the reference binary segfaults
+    on the cluster_fast -constax_report path, so parity is checked via
+    fastx_uniques which shares the ConsTaxStr writers)."""
+    g, m = str(tmp_path / "g.txt"), str(tmp_path / "m.txt")
+    base = ["-fastx_uniques", tax_fa, "-sizein", "-sizeout",
+            "-constax_report"]
+    run_ref(ref_bin, base + [g, "-fastaout", str(tmp_path / "g.fa")])
+    assert cli_main(base + [m, "-fastaout", str(tmp_path / "m.fa"),
+                            "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+
+
+def test_dbhit_sink_parity(ref_bin, amplicons_small_fa, tmp_path):
+    """-dbmatched/-dbnotmatched/-dbcutout (DBHitSink)."""
+    g = {k: str(tmp_path / f"g{k}.fa") for k in ("m", "n", "c")}
+    m = {k: str(tmp_path / f"m{k}.fa") for k in ("m", "n", "c")}
+    def args(d):
+        return ["-usearch_global", amplicons_small_fa, "-db",
+                amplicons_small_fa, "-id", "0.95", "-strand", "plus",
+                "-sizein", "-sizeout", "-dbmatched", d["m"],
+                "-dbnotmatched", d["n"], "-dbcutout", d["c"]]
+    run_ref(ref_bin, args(g))
+    assert cli_main(args(m) + ["-quiet"]) == 0
+    for k in g:
+        assert open(g[k]).read() == open(m[k]).read(), k

@@ -124,6 +124,30 @@ def fastx_uniques(input_path: Optional[str]) -> None:
                 si = dr.unique_seq_indexes[u]
                 for mi in dr.members[u]:
                     f.write(f"{db.labels[mi]}\t{db.labels[si]}\n")
+    if o.filled("constax_report"):
+        # DerepResult::WriteConsTaxReport (src/derepresult.cpp:796-809):
+        # clusters in size-descending order (sum of size= with -sizein)
+        from ..cluster.uclust import _cons_tax
+        from ..amplicon.sintax import get_tax_str
+        sizes = [dr.sum_size_in(u) if o.flag("sizein") else member_counts[u]
+                 for u in range(dr.cluster_count)]
+        ct_order = quick_sort_order(sizes, desc=True)
+        with open(o.str("constax_report"), "w") as f:
+            for u in ct_order:
+                labels = [db.labels[mi] for mi in dr.members[u]]
+                cent = db.labels[dr.unique_seq_indexes[u]]
+                f.write(f"\nCluster {u}, {len(labels)} members, centroid >"
+                        f"{cent}\n")
+                counts = {}
+                for i, label in enumerate(labels):
+                    f.write(f" [{i:7d}] >{label}\n")
+                    s = get_tax_str(label)
+                    n = size_from_label(label, -1) if o.flag("sizein") else 1
+                    counts[s] = counts.get(s, 0) + n
+                f.write("\n")
+                for s in sorted(counts):
+                    f.write(f"  {counts[s]:5d}x  {s}\n")
+                f.write(f"   Cons:  {_cons_tax(labels)}\n")
     if o.filled("uc"):
         with open(o.str("uc"), "w") as f:
             for u in range(dr.cluster_count):

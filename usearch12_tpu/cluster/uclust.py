@@ -260,6 +260,9 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
         _write_centroids(o.str("centroids"), state)
     if o.filled("clusters"):
         _write_clusters(o.str("clusters"), state, dr, unique_db)
+    if o.filled("constax_report"):
+        _write_constax_report(o.str("constax_report"), state, dr,
+                              unique_db)
 
 
 def _write_centroids(path: str, state: ClusterState) -> None:
@@ -429,3 +432,80 @@ def _process_pending(pending, search_one, admit, f_uc) -> None:
             if f_uc:
                 f_uc.write(_uc_hit_line(top, label))
     pending.clear()
+
+
+def _cluster_member_labels(state: ClusterState, dr: Optional[DerepResult],
+                           ci: int) -> List[str]:
+    """ClusterSink::GetLabels via GetClusterMembers
+    (src/clustersink.cpp:511-543): member uniques in unique-index order
+    with the centroid's unique forced first, each expanded into its derep
+    input members."""
+    centroid_ui = state.cluster_to_centroid_seq[ci]
+    uis = [ui for ui in sorted(state.seq_to_cluster)
+           if state.seq_to_cluster[ui] == ci]
+    ordered = [centroid_ui]
+    for k, ui in enumerate(uis):
+        if k == 0:
+            continue
+        ordered.append(uis[0] if ui == centroid_ui else ui)
+    labels: List[str] = []
+    for ui in ordered:
+        if dr is not None:
+            for si in dr.members[ui]:
+                labels.append(dr.input_db.labels[si])
+        else:
+            labels.append(state.unique_db.labels[ui])
+    return labels
+
+
+def _cons_tax(labels: List[str]) -> str:
+    """ConsTaxStr::FromLabels (src/constaxstr.cpp:69-82)."""
+    from ..amplicon.sintax import get_tax_str
+    names: List[str] = []
+    for label in labels:
+        s = get_tax_str(label)
+        if not s:
+            continue
+        parts = s.split(",")
+        if not names:
+            names = parts
+            continue
+        n = min(len(parts), len(names))
+        for i in range(n):
+            if names[i] != parts[i]:
+                for j in range(i, n):
+                    names[j] = "*"
+                break
+    out = []
+    for nm in names:
+        if nm == "*":
+            break
+        out.append(nm)
+    return ",".join(out)
+
+
+def _write_constax_report(path: str, state: ClusterState,
+                          dr: Optional[DerepResult],
+                          unique_db: SeqDB) -> None:
+    """ClusterSink::WriteConsTaxReport (src/clustersink.cpp:178-216)."""
+    from ..amplicon.sintax import get_tax_str
+    o = options()
+    n_clusters = len(state.cluster_sizes)
+    order = list(range(n_clusters))
+    if o.flag("sizeout"):
+        order = quick_sort_order(state.cluster_sizes, desc=True)
+    with open(path, "w") as f:
+        for ci in order:
+            labels = _cluster_member_labels(state, dr, ci)
+            f.write(f"\nCluster {ci}, {len(labels)} members, centroid >"
+                    f"{state.centroid_labels[ci]}\n")
+            counts = {}
+            for i, label in enumerate(labels):
+                f.write(f" [{i:7d}] >{label}\n")
+                s = get_tax_str(label)
+                n = size_from_label(label, -1) if o.flag("sizein") else 1
+                counts[s] = counts.get(s, 0) + n
+            f.write("\n")
+            for s in sorted(counts):
+                f.write(f"  {counts[s]:5d}x  {s}\n")
+            f.write(f"   Cons:  {_cons_tax(labels)}\n")

@@ -46,6 +46,12 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
     from .out import uc as uc_mod
     from .io.fastx import write_fasta
 
+    dbhit = None
+    if (o.filled("dbmatched") or o.filled("dbnotmatched")
+            or o.filled("dbcutout")):
+        from .out.dbhit import DBHitSink
+        dbhit = DBHitSink(db)
+
     def on_query_done(label, seq, hits):
         from .search.hitmgr import HitMgr
         hm = HitMgr()
@@ -81,6 +87,8 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
                     f_uc.write(uc_mod.uc_hit_record(ar))
             else:
                 f_uc.write(uc_mod.uc_no_hit_record(label, len(seq)))
+        if dbhit:
+            dbhit.on_query_done(label, ordered, "usearch_global")
         if ordered:
             if f_m:
                 write_fasta(f_m, label, seq, o.uns("fasta_cols"))
@@ -90,6 +98,8 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
 
     search_file("usearch_global", query_path, db, on_query_done)
 
+    if dbhit:
+        dbhit.on_all_done()
     for f in (f_b6, f_aln, f_uc, f_m, f_nm, f_fp, f_user):
         if f:
             f.close()
