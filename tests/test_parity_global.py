@@ -114,3 +114,18 @@ def test_alnout_local_parity(ref_bin, amplicons_small_fa, tmp_path):
     assert cli_main(base + ["-alnout", m, "-quiet"]) == 0
     g_body = "".join(open(g).readlines()[2:])
     assert g_body == open(m).read()
+
+
+def test_seg_trim_outputs_parity(ref_bin, amplicons_small_fa, tmp_path):
+    """-qsegout/-tsegout/-trimout row-segment FASTA outputs."""
+    g = {k: str(tmp_path / f"g{k}.fa") for k in ("q", "t", "r")}
+    m = {k: str(tmp_path / f"m{k}.fa") for k in ("q", "t", "r")}
+    def args(d):
+        return ["-usearch_global", amplicons_small_fa, "-db",
+                amplicons_small_fa, "-id", "0.9", "-strand", "plus",
+                "-qsegout", d["q"], "-tsegout", d["t"], "-trimout", d["r"]]
+    subprocess.run([ref_bin] + args(g) + ["-quiet", "-threads", "1"],
+                   check=True, capture_output=True)
+    assert cli_main(args(m) + ["-quiet"]) == 0
+    for k in g:
+        assert open(g[k]).read() == open(m[k]).read(), k

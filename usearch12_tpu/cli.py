@@ -83,11 +83,41 @@ def main(argv: Optional[List[str]] = None) -> int:
     if fn is None:
         print(f"Command -{cmd} not implemented yet", file=sys.stderr)
         return 2
+
+    # -log: run header + end-of-run elapsed/RAM summary (the reference's
+    # SetLogFileName / LogElapsedTimeAndRAM, src/myutils.cpp:843,1451)
+    f_log = None
+    t0 = None
+    if options().filled("log"):
+        import time as _time
+        from . import __version__
+        f_log = open(options().str("log"), "w")
+        f_log.write(" ".join(["usearch12_tpu"] + argv) + "\n")
+        f_log.write(f"usearch12_tpu v{__version__}\n\n")
+        f_log.write(_time.strftime("Started %a %b %d %H:%M:%S %Y\n\n"))
+        t0 = _time.time()
+
     fn(cmd_arg)
+
+    # global options are always "used" (read by the harness itself)
+    options().flag("quiet")
+    if options().filled("threads"):
+        options().uns("threads")
     unused = options().unused_filled()
     if unused and not options().flag("quiet"):
         for u in unused:
             print(f"WARNING: Option -{u} not used", file=sys.stderr)
+    if f_log is not None:
+        import time as _time
+        import resource
+        secs = _time.time() - t0
+        peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        if unused:
+            f_log.write("WARNING: Option(s) set but not used: "
+                        + " ".join(f"-{u}" for u in unused) + "\n")
+        f_log.write(f"\nElapsed time {secs:.2f} secs\n")
+        f_log.write(f"Peak memory {peak_kb / (1 << 20):.1f}Gb\n")
+        f_log.close()
     return 0
 
 

@@ -51,6 +51,9 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             or o.filled("dbcutout")):
         from .out.dbhit import DBHitSink
         dbhit = DBHitSink(db)
+    f_qseg = open(o.str("qsegout"), "w") if o.filled("qsegout") else None
+    f_tseg = open(o.str("tsegout"), "w") if o.filled("tsegout") else None
+    f_trim = open(o.str("trimout"), "w") if o.filled("trimout") else None
 
     def on_query_done(label, seq, hits):
         from .search.hitmgr import HitMgr
@@ -81,6 +84,12 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             from .out.alnout import fasta_pair
             for ar in ordered:
                 fasta_pair(f_fp, ar)
+        if f_qseg or f_tseg or f_trim:
+            from .out.alnout import write_qseg, write_tseg, write_trim
+            for ar in ordered:
+                write_qseg(f_qseg, ar)
+                write_tseg(f_tseg, ar)
+                write_trim(f_trim, ar)
         if f_uc:
             if ordered:
                 for ar in ordered:
@@ -100,7 +109,8 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
 
     if dbhit:
         dbhit.on_all_done()
-    for f in (f_b6, f_aln, f_uc, f_m, f_nm, f_fp, f_user):
+    for f in (f_b6, f_aln, f_uc, f_m, f_nm, f_fp, f_user, f_qseg, f_tseg,
+              f_trim):
         if f:
             f.close()
 

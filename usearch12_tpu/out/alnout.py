@@ -222,3 +222,58 @@ def write_query_report(f, query_label: str, ordered_hits, local: bool,
         for ar in ordered_hits:
             f.write(f"{ar.get_pct_id():3.0f}%  {ar.lb:5d}"
                     f"  {ar.target_label}\n")
+
+
+def row_to_fasta(f, label: str, row: str) -> None:
+    """RowToFasta (src/outputsink.cpp:30-55): gap-stripped row, 80-col."""
+    if f is None:
+        return
+    f.write(f">{label}")
+    out_col = 0
+    for c in row:
+        if c in "-.":
+            continue
+        if out_col % 80 == 0:
+            f.write("\n")
+        f.write(c)
+        out_col += 1
+    f.write("\n")
+
+
+def write_qseg(f, ar) -> None:
+    """OutputQSeg (src/outputsink.cpp:203-222)."""
+    if f is None:
+        return
+    o = options()
+    if o.filled("trunclen"):
+        n = o.uns("trunclen")
+        ar._fill()
+        qlo = ar.first_m_qpos + ar.lb
+        if qlo + n > ar.la:
+            return
+        from ..io.fastx import write_fasta
+        write_fasta(f, ar.query_label, ar.query_seq[qlo:qlo + n],
+                    o.uns("fasta_cols"))
+        return
+    row_to_fasta(f, ar.query_label, _row(ar, query=True, dots=False))
+
+
+def write_tseg(f, ar) -> None:
+    """OutputTSeg (src/outputsink.cpp:224-229)."""
+    if f is None:
+        return
+    row_to_fasta(f, ar.target_label, _row(ar, query=False, dots=False))
+
+
+def write_trim(f, ar) -> None:
+    """OutputTrim (src/outputsink.cpp): query span after trimming
+    terminal deletes, label annotated :lo-hi (1-based)."""
+    if f is None:
+        return
+    from .userout import _trim_info
+    from ..io.fastx import write_fasta
+    import numpy as np
+    qlo, qhi, seg = _trim_info(ar)
+    label = f"{ar.query_label}:{qlo + 1}-{qhi + 1}"
+    seq = np.frombuffer(seg.encode("latin1"), dtype=np.uint8)
+    write_fasta(f, label, seq, options().uns("fasta_cols"))
