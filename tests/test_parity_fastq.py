@@ -102,3 +102,15 @@ def test_fastx_orient_parity(ref_bin, amplicons_small_fa, tmp_path):
     run_ref(ref_bin, args + ["-tabbedout", g])
     assert cli_main(args + ["-tabbedout", m, "-quiet"]) == 0
     assert open(g).read() == open(m).read()
+
+
+def test_fastq_mergepairs_report_parity(ref_bin, paired_fq, tmp_path):
+    """-report merge statistics (src/mergestats.cpp)."""
+    r1, r2 = paired_fq
+    g_fq, g_rep = str(tmp_path / "g.fq"), str(tmp_path / "g.txt")
+    m_fq, m_rep = str(tmp_path / "m.fq"), str(tmp_path / "m.txt")
+    run_ref(ref_bin, ["-fastq_mergepairs", r1, "-reverse", r2,
+                      "-fastqout", g_fq, "-report", g_rep])
+    assert cli_main(["-fastq_mergepairs", r1, "-reverse", r2,
+                     "-fastqout", m_fq, "-report", m_rep, "-quiet"]) == 0
+    assert open(g_rep).read() == open(m_rep).read()

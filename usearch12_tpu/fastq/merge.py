@@ -70,8 +70,130 @@ def _extend_hsp(ql: int, tl: int, loi: int, loj: int):
     return lo_i, lo_j, length
 
 
+class MergeStats:
+    """The reference's g_* merge counters (src/mergestats.cpp)."""
+
+    def __init__(self) -> None:
+        self.in_recs = 0
+        self.out_recs = 0
+        self.tail1 = 0
+        self.tail2 = 0
+        self.tooshort1 = 0
+        self.tooshort2 = 0
+        self.notaligned = 0
+        self.ovtooshort = 0
+        self.staggered = 0
+        self.exact = 0
+        self.maxdiffs = 0
+        self.minq = 0
+        self.merged_tooshort = 0
+        self.merged_toolong = 0
+        self.sum_ov_length = 0.0
+        self.sum_merged_length = 0.0
+        self.sum_ee1 = 0.0
+        self.sum_ee2 = 0.0
+        self.sum_merged_ee = 0.0
+        self.merge_lengths = []
+
+    def report_strs(self):
+        """GetMergeStatsStrs (src/mergestats.cpp:24-105)."""
+        o = options()
+        out = []
+
+        def pct(n, d):
+            return 0.0 if d == 0 else 100.0 * n / d
+
+        if self.merge_lengths:
+            ls = sorted(self.merge_lengths)
+            n = len(ls)
+            out.append("")
+            out.append("Merged length distribution:")
+            out.append(f"{ls[0]:10d}  Min")
+            out.append(f"{ls[n // 4]:10d}  Low quartile")
+            out.append(f"{ls[n // 2]:10d}  Median")
+            out.append(f"{ls[(3 * n) // 4]:10d}  High quartile")
+            out.append(f"{ls[n - 1]:10d}  Max")
+
+        out.append("")
+        out.append(f"{self.in_recs:10d}  Read pairs"
+                   f" ({_int_str(self.in_recs)})")
+        out.append(f"{self.out_recs:10d}  Merged ({_int_str(self.out_recs)}"
+                   f", {pct(self.out_recs, self.in_recs):.2f}%)")
+        if self.in_recs == 0:
+            return out
+        out.append(f"{self.exact:10d}  Alignments with zero diffs"
+                   f" ({pct(self.exact, self.in_recs):.2f}%)")
+        out.append(f"{self.maxdiffs:10d}  Too many diffs"
+                   f" (> {o.uns('fastq_maxdiffs')})"
+                   f" ({pct(self.maxdiffs, self.in_recs):.2f}%)")
+        if self.tail1 > 0 or self.tail2 > 0:
+            tt = o.uns("fastq_trunctail")
+            out.append(f"{self.tail1:10d}  Fwd tails Q <= {tt} trimmed"
+                       f" ({pct(self.tail1, self.in_recs):.2f}%)")
+            out.append(f"{self.tail2:10d}  Rev tails Q <= {tt} trimmed"
+                       f" ({pct(self.tail2, self.in_recs):.2f}%)")
+        if self.tooshort1 > 0 or self.tooshort2 > 0:
+            ml = o.uns("fastq_minlen")
+            out.append(f"{self.tooshort1:10d}  Fwd too short (< {ml}) after"
+                       f" tail trimming"
+                       f" ({pct(self.tooshort1, self.in_recs):.2f}%)")
+            out.append(f"{self.tooshort2:10d}  Rev too short (< {ml}) after"
+                       f" tail trimming"
+                       f" ({pct(self.tooshort2, self.in_recs):.2f}%)")
+        out.append(f"{self.notaligned:10d}  No alignment found"
+                   f" ({pct(self.notaligned, self.in_recs):.2f}%)")
+        out.append(f"{self.ovtooshort:10d}  Alignment too short"
+                   f" (< {o.uns('fastq_minovlen')})"
+                   f" ({pct(self.ovtooshort, self.in_recs):.2f}%)")
+        if o.filled("fastq_minmergelen"):
+            out.append(f"{self.merged_tooshort:10d}  Merged too short"
+                       f" (< {o.uns('fastq_minmergelen')})")
+        if o.filled("fastq_maxmergelen"):
+            out.append(f"{self.merged_toolong:10d}  Merged too long"
+                       f" (> {o.uns('fastq_maxmergelen')})")
+        if o.filled("fastq_minqual"):
+            out.append(f"{self.minq:10d}  Min Q too low"
+                       f" (<{o.uns('fastq_minqual')})"
+                       f" ({pct(self.minq, self.in_recs):.2f}%)")
+        s = (f"{self.staggered:10d}  Staggered pairs"
+             f" ({pct(self.staggered, self.in_recs):.2f}%)")
+        s += " discarded" if o.flag("fastq_nostagger") \
+            else " merged & trimmed"
+        out.append(s)
+        if self.out_recs == 0:
+            return out
+        out.append(f"{self.sum_ov_length / self.out_recs:10.2f}"
+                   f"  Mean alignment length")
+        out.append(f"{self.sum_merged_length / self.out_recs:10.2f}"
+                   f"  Mean merged length")
+        out.append(f"{self.sum_ee1 / self.out_recs:10.2f}"
+                   f"  Mean fwd expected errors")
+        out.append(f"{self.sum_ee2 / self.out_recs:10.2f}"
+                   f"  Mean rev expected errors")
+        out.append(f"{self.sum_merged_ee / self.out_recs:10.2f}"
+                   f"  Mean merged expected errors")
+        return out
+
+
+def _int_str(n: int) -> str:
+    """IntToStr (src/myutils.cpp:~700)."""
+    if n < 10000:
+        return str(n)
+    if n < 1e6:
+        return f"{n / 1e3:.1f}k"
+    if n < 100e6:
+        return f"{n / 1e6:.1f}M"
+    if n < 1e9:
+        return f"{n / 1e6:.0f}M"
+    if n < 10e9:
+        return f"{n / 1e9:.1f}G"
+    if n < 100e9:
+        return f"{n / 1e9:.0f}G"
+    return f"{float(n):.3g}"
+
+
 def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
-               fq):
+               fq, stats: "MergeStats" = None):
     """Returns (merged_seq, merged_qual, hsp, diff_count) or (None, reason).
     seq2 is the raw reverse read (revcomp applied here)."""
     o = options()
@@ -87,6 +209,8 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
         if top is None or h.score > top.score:
             top = h
     if top is None:
+        if stats:
+            stats.notaligned += 1
         return None, "notaligned"
     loi, loj, length = _extend_hsp(len(seq1), len(s2rc), top.loi, top.loj)
 
@@ -97,8 +221,12 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
     left = loi if loj == 0 else -loj
     right = (rl - hij - 1) if hii + 1 == fl else -(rl - hij - 1)
     if length < o.uns("fastq_minovlen"):
+        if stats:
+            stats.ovtooshort += 1
         return None, "ovtooshort"
     stag = left < 0 or right < 0
+    if stats and stag:
+        stats.staggered += 1
     if o.flag("fastq_nostagger") and stag:
         return None, "staggered"
 
@@ -132,10 +260,16 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
         out_qual.append(q2rc[pos2])
         pos2 += 1
 
+    if stats and diff_count == 0:
+        stats.exact += 1
     if diff_count > o.uns("fastq_maxdiffs"):
+        if stats:
+            stats.maxdiffs += 1
         return None, "maxdiffs"
     pct_id = 100.0 * (length - diff_count) / length if length else 0.0
     if pct_id < float(o.uns("fastq_pctid")):
+        if stats:
+            stats.maxdiffs += 1
         return None, "pctid"
 
     mseq = np.array(out_seq, dtype=np.uint8)
@@ -143,12 +277,18 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
 
     # MergePost gates
     if o.filled("fastq_minmergelen") and len(mseq) < o.uns("fastq_minmergelen"):
+        if stats:
+            stats.merged_tooshort += 1
         return None, "tooshort"
     if o.filled("fastq_maxmergelen") and len(mseq) > o.uns("fastq_maxmergelen"):
+        if stats:
+            stats.merged_toolong += 1
         return None, "toolong"
     if o.filled("fastq_minqual"):
         minq = min(fq.char_to_int(ord(q)) for q in mqual)
         if minq < o.uns("fastq_minqual"):
+            if stats:
+                stats.minq += 1
             return None, "minq"
     return (mseq, mqual, (loi, loj, length), diff_count), None
 
@@ -180,6 +320,21 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
     f_nm_rev_fa = open(o.str("fastaout_notmerged_rev"), "w") \
         if o.filled("fastaout_notmerged_rev") else None
 
+    f_rep = open(o.str("report"), "w") if o.filled("report") else None
+    stats = MergeStats()
+    if f_rep:
+        # src/fastqmerge.cpp:54-68
+        f_rep.write("\nMerge\n")
+        f_rep.write(f"  Fwd {fwd_path}\n")
+        f_rep.write(f"  Rev {rev_path}\n")
+        if o.filled("relabel"):
+            f_rep.write(f"  Relabel with {o.str('relabel')}#")
+        else:
+            f_rep.write("  Keep read labels")
+        if o.filled("sample"):
+            f_rep.write(f",  add sample={o.str('sample')};")
+        f_rep.write("\n")
+
     it1 = read_fastq(fwd_path)
     it2 = read_fastq(rev_path)
     trunc = o.flag("trunclabels")
@@ -192,16 +347,36 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
         if not illumina_label_pair_match(l1, l2):
             raise SystemExit(f"Label mismatch: {l1} vs {l2}")
         orig = (s1, q1, s2, q2)
-        # MergePre: tail truncation + minlen
-        s1t, q1t = _truncate_tail(s1, q1, fq)
-        s2t, q2t = _truncate_tail(s2, q2, fq)
-        ok = not (minlen_filled and
-                  (len(s1t) < minlen or len(s2t) < minlen))
+        stats.in_recs += 1
+        # MergePre: tail truncation + minlen, fwd first (src/mergepair.cpp)
         result = None
+        ok = True
+        s1t, q1t = _truncate_tail(s1, q1, fq)
+        if len(s1t) < len(s1):
+            stats.tail1 += 1
+        if minlen_filled and len(s1t) < minlen:
+            stats.tooshort1 += 1
+            ok = False
         if ok:
-            result, _reason = merge_pair(s1t, q1t, s2t, q2t, hf, ah, fq)
+            s2t, q2t = _truncate_tail(s2, q2, fq)
+            if len(s2t) < len(s2):
+                stats.tail2 += 1
+            if minlen_filled and len(s2t) < minlen:
+                stats.tooshort2 += 1
+                ok = False
+        if ok:
+            result, _reason = merge_pair(s1t, q1t, s2t, q2t, hf, ah, fq,
+                                         stats)
         if result is not None:
             mseq, mqual, _hsp, _d = result
+            stats.out_recs += 1
+            stats.sum_ee1 += fq.get_ee(q1)
+            stats.sum_ee2 += fq.get_ee(q2)
+            stats.sum_ov_length += _hsp[2]
+            stats.sum_merged_length += len(mseq)
+            stats.sum_merged_ee += fq.get_ee(mqual)
+            if f_rep:
+                stats.merge_lengths.append(len(mseq))
             label = rl.relabel(l1, fq.get_ee(mqual)
                                if o.flag("fastq_eeout") else None)
             if f_fa:
@@ -218,6 +393,17 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
                 write_fasta(f_nm_fwd_fa, l1, orig[0], o.uns("fasta_cols"))
             if f_nm_rev_fa:
                 write_fasta(f_nm_rev_fa, l2, orig[2], o.uns("fasta_cols"))
+
+    if f_rep:
+        # per-file pair summary then global stats (src/fastqmerge.cpp:88-95,
+        # :188-196)
+        def _pct(n, d):
+            return 0.0 if d == 0 else 100.0 * n / d
+        f_rep.write(f"  {stats.out_recs} / {stats.in_recs} pairs merged"
+                    f" ({_pct(stats.out_recs, stats.in_recs):.1f}%)\n")
+        for s in stats.report_strs():
+            f_rep.write(s + "\n")
+        f_rep.close()
 
     for f in (f_fq, f_fa, f_nm_fwd_fq, f_nm_rev_fq, f_nm_fwd_fa,
               f_nm_rev_fa):
