@@ -105,7 +105,11 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             if f_nm:
                 write_fasta(f_nm, label, seq, o.uns("fasta_cols"))
 
-    search_file("usearch_global", query_path, db, on_query_done)
+    if o.flag("use_device"):
+        from .parallel.batch_search import batch_search_file
+        batch_search_file("usearch_global", query_path, db, on_query_done)
+    else:
+        search_file("usearch_global", query_path, db, on_query_done)
 
     if dbhit:
         dbhit.on_all_done()

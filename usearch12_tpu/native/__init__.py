@@ -88,6 +88,13 @@ def get_lib():
         lib.hsp_set_b.argtypes = [ctypes.c_void_p, u8p, ctypes.c_uint32]
         lib.scratch_create.restype = ctypes.c_void_p
         lib.scratch_destroy.argtypes = [ctypes.c_void_p]
+        u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C")
+        lib.global_chain_c.restype = ctypes.c_int
+        lib.global_chain_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, u8p,
+            ctypes.c_uint32, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, u32p,
+            ctypes.POINTER(ctypes.c_float)]
         lib.global_align_c.restype = ctypes.c_int
         lib.global_align_c.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(GapParams),
@@ -161,3 +168,25 @@ class NativeAligner:
         if n < 0:
             raise RuntimeError(f"global_align_c error {n}")
         return self._path_buf.raw[:n].decode("ascii")
+
+    def global_chain(self, full_dp_always: bool = False,
+                     fail_if_no_hsps: bool = True):
+        """Chain-only pass for batched device hole alignment.  Returns
+        ("fail", None) | ("fallback", None) | ("fulldp", None) |
+        ("chain", hsps (n,4) uint32 array of loi/loj/leni/lenj)."""
+        hsps = np.zeros((512, 4), dtype=np.uint32)
+        fract = ctypes.c_float(0.0)
+        ah = self.ah
+        n = self.lib.global_chain_c(
+            self._hf, self._scratch, self._match,
+            ah.min_global_hsp_length, ah.min_global_hsp_fract_id,
+            ah.min_global_hsp_score, ah.xdrop_global_hsp,
+            int(full_dp_always), int(fail_if_no_hsps),
+            hsps, ctypes.byref(fract))
+        if n == -1:
+            return "fail", None
+        if n == -2:
+            return "fallback", None
+        if n == -3:
+            return "fulldp", None
+        return "chain", hsps[:n].copy()

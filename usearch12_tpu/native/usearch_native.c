@@ -821,6 +821,64 @@ static int align_hole(AlignScratch *s, const byte *a, uint32_t la,
 
 /* GlobalAlign_AllOpts. Returns path length (>0), 0 = not aligned,
  * <0 = error.  hf must have set_a/set_b applied. */
+/* Chain-only variant for batched device hole alignment: runs the same
+ * HSP find + chain + gates as global_align_c but stops before the hole
+ * DP, writing the chained HSPs (loi, loj, leni, lenj per row) instead.
+ * Returns: -1 = not aligned (fract-id gate / no-chain gate),
+ *          -2 = no chain, full-pair banded fallback required,
+ *          -3 = full_dp_always set (caller should full-DP),
+ *          n >= 0 = chained HSP count (0 never returned; >=1). */
+int global_chain_c(HSPFinderC *hf, AlignScratch *s, const byte *match_mx,
+                   uint32_t min_global_hsp_length, float min_hsp_fract_id,
+                   float min_hsp_score, float xdrop_g, int full_dp_always,
+                   int fail_if_no_hsps, uint32_t *hsps_out,
+                   float *hsp_fract_id)
+{
+    const byte *a = hf->a, *b = hf->b;
+    uint32_t la = hf->la, lb = hf->lb;
+
+    if (full_dp_always)
+        return -3;
+
+    uint32_t min_len = min_global_hsp_length == 0 ? 32 : min_global_hsp_length;
+    if (min_len > la / 4)
+        min_len = la / 4;
+    if (min_len < 16)
+        min_len = 16;
+
+    uint32_t n_hsps = hsp_ungapped_blast(hf, xdrop_g, 0, min_len,
+                                         min_hsp_score, s->hsps, 512);
+    uint32_t n_chain = hsp_chain(s->hsps, n_hsps, s->order);
+    for (uint32_t i = 0; i < n_chain; ++i)
+        if (hsp_is_staggered(&s->hsps[s->order[i]], la, lb)) {
+            n_chain = 0;
+            break;
+        }
+    uint32_t total_len = 0, total_same = 0;
+    for (uint32_t i = 0; i < n_chain; ++i) {
+        const HSPc *h = &s->hsps[s->order[i]];
+        total_len += h->leni;
+        total_same += hsp_id_count(a, b, h, match_mx);
+    }
+    float fract = total_len == 0 ? 0.0f : (float)total_same / total_len;
+    *hsp_fract_id = fract;
+    if (fract < min_hsp_fract_id && fail_if_no_hsps)
+        return -1;
+    if (n_chain == 0) {
+        if (min_global_hsp_length > 0 && la > 64 && fail_if_no_hsps)
+            return -1;
+        return -2;
+    }
+    for (uint32_t i = 0; i < n_chain; ++i) {
+        const HSPc *h = &s->hsps[s->order[i]];
+        hsps_out[4 * i] = h->loi;
+        hsps_out[4 * i + 1] = h->loj;
+        hsps_out[4 * i + 2] = h->leni;
+        hsps_out[4 * i + 3] = h->lenj;
+    }
+    return (int)n_chain;
+}
+
 int global_align_c(HSPFinderC *hf, AlignScratch *s, const GapParams *gp,
                    const byte *match_mx, uint32_t band_radius,
                    uint32_t min_global_hsp_length, float min_hsp_fract_id,
