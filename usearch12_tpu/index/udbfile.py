@@ -104,14 +104,39 @@ def read_udb(path: str):
 
 
 def write_udb(path: str, idx: UDBIndex, db: SeqDB) -> None:
+    from ..config import options
+    o = options()
     params = idx.params
     sizes = idx.sizes.astype(np.uint32)
     postings = idx.postings.astype(np.uint32)
+    accel = o.uns("dbaccel") if o.filled("dbaccel") else 100
+    if accel < 100:
+        # -dbaccel (src/udbio.cpp:292-326): keep the smallest postings
+        # rows (ascending Hoare-quicksort order) until accel% of the
+        # postings are retained; the heaviest rows are dropped.
+        from ..search.hitmgr import quick_sort_order
+        order = quick_sort_order(sizes.astype(np.int64).tolist(),
+                                 desc=False)
+        total = int(sizes.sum())
+        limit = int(total * accel / 100.0)
+        kept = np.zeros_like(sizes)
+        acc = 0
+        for k in order:
+            kept[k] = sizes[k]
+            acc += int(sizes[k])
+            if acc >= limit:
+                break
+        starts = idx.starts
+        rows = [postings[starts[w]:starts[w] + kept[w]]
+                for w in np.nonzero(kept)[0]]
+        postings = (np.concatenate(rows).astype(np.uint32)
+                    if rows else np.zeros(0, np.uint32))
+        sizes = kept
     alpha = b"nt" if params.is_nucleo else b"aa"
     with open(path, "wb") as f:
         hdr = struct.pack(
-            _HDR_FMT, MAGIC1, 0, 32, 0, params.word_length, 1, 100, 0, 0, 0,
-            0, 0, len(db), b"", alpha, b"", MAGIC2)
+            _HDR_FMT, MAGIC1, 0, 32, 0, params.word_length, 1, accel, 0, 0,
+            0, 0, 0, len(db), b"", alpha, b"", MAGIC2)
         f.write(hdr)
         sizes.tofile(f)
         f.write(struct.pack("<I", MAGIC3))
