@@ -24,9 +24,9 @@ COMMANDS = [
 
 _FLAG_OPTS_NO_VALUE = {
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
-    "top_hit_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
+    "top_hit_only", "top_hits_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
     "sizeout", "xsize", "relabel_keep", "fastq_eeout", "fastq_nostagger",
-    "fastq_allowmergestagger", "interleaved", "uc_hits_only", "trunclabels",
+    "fastq_allowmergestagger", "interleaved", "uc_hitsonly", "uc_hits_only", "trunclabels",
     "cluster_members", "wildcards_match_self", "sizeorder", "leftjust",
     "rightjust", "tax_strip", "verbose", "no_progress", "version",
     "use_device", "use_cpu_oracle", "notrunclabels", "orf_plusonly",

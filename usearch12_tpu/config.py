@@ -102,9 +102,9 @@ _STR_OPTS = [
 ]
 _FLAG_OPTS = [
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
-    "top_hit_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
+    "top_hit_only", "top_hits_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
     "sizeout", "xsize", "relabel_keep", "fastq_eeout", "fastq_nostagger",
-    "fastq_allowmergestagger", "interleaved", "uc_hits_only", "trunclabels",
+    "fastq_allowmergestagger", "interleaved", "uc_hitsonly", "uc_hits_only", "trunclabels",
     "centroid_types", "cluster_members", "wildcards_match_self", "sizeorder",
     "leftjust", "rightjust", "strand_plus", "strand_both", "tax_strip",
     "verbose", "no_progress", "use_device", "use_cpu_oracle",

@@ -39,7 +39,14 @@ class UDBParams:
     def global_usearch(cls, nucleo: bool, word_length: Optional[int] = None
                        ) -> "UDBParams":
         if word_length is None:
-            word_length = 8 if nucleo else 5
+            # UDBParams::FromCmdLine honors -wordlength
+            # (src/udbparams.cpp:62-67)
+            from ..config import options
+            o = options()
+            if o.filled("wordlength"):
+                word_length = o.uns("wordlength")
+            else:
+                word_length = 8 if nucleo else 5
         alpha = 4 if nucleo else 20
         return cls(is_nucleo=nucleo, word_length=word_length,
                    alpha_size=alpha, slot_count=alpha ** word_length)

@@ -25,10 +25,15 @@ def compressed_or_eq(ar) -> str:
 
 
 def uc_hit_record(ar, cluster_index: int = -1) -> str:
-    ci = "*" if cluster_index < 0 else str(cluster_index)
+    """OutputUC (src/outputuc.cpp:45-70): H, target index, IQL, pctid,
+    strand, IQLo, ITLo, compressed path, labels."""
+    from .userout import _iq_lo_hi, _iql, _hsp
+    iq_lo = _iq_lo_hi(ar)[0]
+    it_lo = _hsp(ar)[2]
     return "\t".join([
-        "H", ci, str(ar.la), f"{ar.get_pct_id():.1f}", _strand(ar), "0", "0",
-        compressed_or_eq(ar), ar.query_label, ar.target_label]) + "\n"
+        "H", str(ar.target_index), str(_iql(ar)),
+        f"{ar.get_pct_id():.1f}", _strand(ar), str(iq_lo), str(it_lo),
+        ar.compressed_path(), ar.query_label, ar.target_label]) + "\n"
 
 
 def uc_no_hit_record(query_label: str, seq_len: int,

@@ -80,10 +80,27 @@ class HitMgr:
     def sorted_hits(self) -> List:
         """GetHit order: QuickSortOrderDesc on float32 scores — the exact
         Hoare-partition quicksort from src/sort.h:62-101 so tie order
-        matches the reference bit-for-bit."""
+        matches the reference bit-for-bit.  Applies the GetHitCount caps
+        (src/hitmgr.cpp:367-397): -maxhits truncation, -top_hit_only
+        (GetTopHit tie rule), -top_hits_only (ties with top score)."""
+        from ..config import options
+        o = options()
+        if not self.hits:
+            return []
+        if o.flag("top_hit_only"):
+            return [self.top_hit()]
         scores = [np.float32(h.get_score()) for h in self.hits]
         order = quick_sort_order(scores, desc=True)
-        return [self.hits[i] for i in order]
+        n = len(order)
+        if o.filled("maxhits"):
+            n = min(n, o.uns("maxhits"))
+        if o.flag("top_hits_only"):
+            top = scores[order[0]]
+            m = 1
+            while m < n and scores[order[m]] >= top:
+                m += 1
+            n = m
+        return [self.hits[i] for i in order[:n]]
 
     def min_fract_id(self) -> float:
         return min((h.get_fract_id() for h in self.hits), default=1.0)
