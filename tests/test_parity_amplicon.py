@@ -63,3 +63,29 @@ def test_unoise3_parity(ref_bin, chimera_fa, tmp_path):
                      "-tabbedout", m_t, "-quiet"]) == 0
     assert open(g_z).read() == open(m_z).read()
     assert open(g_t).read() == open(m_t).read()
+
+
+def test_sintax_strand_both_parity(ref_bin, tmp_path):
+    """sintax -strand both, incl. the reference's last-strand '*' quirk."""
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from genseqs import rand_seq, mutate
+    rng = np.random.default_rng(77)
+    taxa = ["d:Bacteria,p:Firmicutes,g:Bacillus",
+            "d:Bacteria,p:Proteobacteria,g:Ecoli"]
+    tpls = [rand_seq(rng, 220) for _ in range(2)]
+    fa = str(tmp_path / "tax.fa")
+    with open(fa, "w") as f:
+        k = 0
+        for ti, t in enumerate(tpls):
+            f.write(f">tpl{ti};tax={taxa[ti]};\n{t}\n")
+            for _ in range(8):
+                f.write(f">r{k};tax={taxa[ti]};\n"
+                        f"{mutate(rng, t, int(rng.integers(0, 5)), 0)}\n")
+                k += 1
+    g, m = str(tmp_path / "g.tab"), str(tmp_path / "m.tab")
+    base = ["-sintax", fa, "-db", fa, "-strand", "both", "-tabbedout"]
+    run_ref(ref_bin, base + [g])
+    assert cli_main(base + [m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()

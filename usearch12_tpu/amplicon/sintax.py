@@ -202,13 +202,18 @@ def sintax(query_path: Optional[str]) -> None:
         else:
             pred_r, ps_r, twc_r = [], [], 0
         if twc_f >= twc_r:
-            c_strand, pred, ps, twc = "+", pred_f, ps_f, twc_f
+            c_strand, pred, ps = "+", pred_f, ps_f
         else:
-            c_strand, pred, ps, twc = "-", pred_r, ps_r, twc_r
+            c_strand, pred, ps = "-", pred_r, ps_r
+        # reference quirk (src/sintaxsearcher.cpp:51-72 + WriteTabbed):
+        # OnQueryDoneImpl picks the winning strand's prediction but NOT
+        # m_TopWordCount, so the '*' row check uses the LAST classified
+        # strand's count (the revcomp with -strand both)
+        last_twc = twc_r if both else twc_f
         if f is None:
             continue
         f.write(label)
-        if twc == 0:
+        if last_twc == 0:
             f.write("\t*\t*\t*\n")
             continue
         f.write("\t")
