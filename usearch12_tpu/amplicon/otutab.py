@@ -92,12 +92,25 @@ def otutab(query_path: Optional[str]) -> None:
     db.mask()
     table = OTUTable()
     f_map = open(o.str("mapout"), "w") if o.filled("mapout") else None
+    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
+    f_b6 = open(o.str("blast6out"), "w") if o.filled("blast6out") else None
 
     def on_query_done(label, seq, hits):
-        if not hits:
-            return
         hm = HitMgr()
         hm.hits = hits
+        if f_uc or f_b6:
+            from ..out import uc as uc_mod
+            from ..out.blast6 import blast6_line
+            ordered = hm.sorted_hits()
+            for ar in ordered:
+                if f_uc:
+                    f_uc.write(uc_mod.uc_hit_record(ar))
+                if f_b6:
+                    f_b6.write(blast6_line(ar))
+            if not ordered and f_uc:
+                f_uc.write(uc_mod.uc_no_hit_record(label, len(seq)))
+        if not hits:
+            return
         top = hm.top_hit()
         otu = otu_name_from_label(top.target_label)
         sample = sample_name_from_label(label)
@@ -107,8 +120,9 @@ def otutab(query_path: Optional[str]) -> None:
             f_map.write(f"{label}\t{otu}\n")
 
     search_file("otutab", query_path, db, on_query_done)
-    if f_map:
-        f_map.close()
+    for fh in (f_map, f_uc, f_b6):
+        if fh:
+            fh.close()
     if o.filled("otutabout"):
         table.to_tabbed(o.str("otutabout"))
     if o.filled("biomout"):
