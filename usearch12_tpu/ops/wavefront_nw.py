@@ -220,8 +220,8 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             d_s[:, :] = neg
             i_s[:, :] = neg
             dlb_s[:, :] = neg
-            aw_s[:, :] = ai_ref[:, :]
-            bw_s[:, :] = bi_ref[:, :]
+            aw_s[:, :] = ai_ref[:, :].astype(f32)
+            bw_s[:, :] = bi_ref[:, :].astype(f32)
             mle_s[:, :] = neg
             mlo_s[:, :] = neg
 
@@ -234,42 +234,43 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             return pltpu.roll(x, LANES - 1, 1)   # y[L] = x[L+1]
 
         def substep(t_off, rho, carry, bits_acc):
-            """One anti-diagonal step t = t0 + t_off (rho static)."""
+            """One anti-diagonal step t = t0 + t_off (rho static).  All
+            same-direction lane shifts (d/dlb/b-window on odd steps,
+            i/a-window on even) ride ONE stacked roll — rolls are the
+            dominant cost on the VPU.  Sequence windows are carried as
+            f32 (letter classes 0..5, exact)."""
             (m1, m2, d_buf, i_buf, dlb, a_win, b_win, mle, mlo) = carry
             t = t0 + t_off
             # r(t) = (t + rho0 - rho(t))/2 exactly (numerator always even)
             r = (t + (rho0 - rho)) // 2
             s = t - r
 
-            # window shift + seam insert for stepping into t (skip only the
-            # very first step t == 0, i.e. t_off == 0 in chunk 0)
             delta_r = 1 - rho   # rho(t-1) = 1 - rho(t)
-            ins_tile = ins_ref[:, pl.ds(t_off * LANES, LANES)]
-            if delta_r == 1:
-                # A window shifts right, insert at u=0
-                a_new = jnp.where(edge_lo, ins_tile, roll_r(a_win))
-                if t_off == 0:
-                    a_new = jnp.where(cc > 0, a_new, a_win)
-                a_win = a_new
-            else:
-                # B window shifts left, insert at u=SW-1
-                b_new = jnp.where(edge_hi, ins_tile, roll_l(b_win))
+            ins_tile = ins_ref[:, pl.ds(t_off * LANES, LANES)].astype(f32)
+            m_in = m2
+            if rho == 1:
+                packed = jnp.concatenate([d_buf, dlb, b_win], axis=0)
+                rolled = roll_l(packed)
+                d_in = jnp.where(edge_hi, neg, rolled[0:pb])
+                dlb_sh = jnp.where(edge_hi, neg, rolled[pb:2 * pb])
+                # dlb freezes at its final lane once t > la-1+lb
+                dlb_prev = jnp.where(t <= la_b + lb_b - 1, dlb_sh, dlb)
+                b_new = jnp.where(edge_hi, ins_tile, rolled[2 * pb:3 * pb])
                 if t_off == 0:
                     b_new = jnp.where(cc > 0, b_new, b_win)
                 b_win = b_new
-            # state shifts into step t; dlb freezes at its final lane once
-            # the pair's last step (t = la-1+lb) has passed
-            m_in = m2
-            if rho == 1:
-                d_in = jnp.where(edge_hi, neg, roll_l(d_buf))
-                dlb_sh = jnp.where(edge_hi, neg, roll_l(dlb))
-                dlb_prev = jnp.where(t <= la_b + lb_b - 1, dlb_sh, dlb)
                 i_prev = i_buf
                 umax = umo
             else:
-                d_in = d_buf
+                packed = jnp.concatenate([i_buf, a_win], axis=0)
+                rolled = roll_r(packed)
+                i_prev = jnp.where(edge_lo, neg, rolled[0:pb])
                 dlb_prev = dlb
-                i_prev = jnp.where(edge_lo, neg, roll_r(i_buf))
+                d_in = d_buf
+                a_new = jnp.where(edge_lo, ins_tile, rolled[pb:2 * pb])
+                if t_off == 0:
+                    a_new = jnp.where(cc > 0, a_new, a_win)
+                a_win = a_new
                 umax = ume
 
             i_vec = ib + r
@@ -391,9 +392,7 @@ def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             pl.BlockSpec((pb, nwrites * LANES), lambda g, c: (g, c)),
             row_spec, row_spec, row_spec,
         )
-        scratch = [pltpu.VMEM((pb, LANES), jnp.float32) for _ in range(5)]
-        scratch += [pltpu.VMEM((pb, LANES), jnp.int32) for _ in range(2)]
-        scratch += [pltpu.VMEM((pb, LANES), jnp.float32) for _ in range(2)]
+        scratch = [pltpu.VMEM((pb, LANES), jnp.float32) for _ in range(9)]
         return pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, scratch_shapes=scratch,
