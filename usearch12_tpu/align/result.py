@@ -51,66 +51,40 @@ class AlignResult:
         return len(self.target_seq)
 
     def _fill(self) -> None:
-        """FillLo (src/arscorer.cpp:201-296)."""
+        """FillLo (src/arscorer.cpp:201-296), vectorized (exact same
+        counting semantics as the reference's per-column loop)."""
         if self._filled:
             return
-        path = self.path
-        first_m = last_m = -1
-        for col, c in enumerate(path):
-            if c == "M":
-                if first_m < 0:
-                    first_m = col
-                last_m = col
-        col_count = len(path)
-        assert first_m >= 0, "path with no M columns"
+        path_b = np.frombuffer(self.path.encode("ascii"), dtype=np.uint8)
+        col_count = len(path_b)
+        is_m = path_b == 77          # 'M'
+        m_cols = np.nonzero(is_m)[0]
+        assert len(m_cols) > 0, "path with no M columns"
+        first_m = int(m_cols[0])
+        last_m = int(m_cols[-1])
 
-        qpos = self.loi
-        tpos = self.loj
-        for c in path[:first_m]:
-            if c in "MD":
-                qpos += 1
-            if c in "MI":
-                tpos += 1
-        self.first_m_qpos = qpos
-        self.first_m_tpos = tpos
+        q_step = is_m | (path_b == 68)   # M or D consume query
+        t_step = is_m | (path_b == 73)   # M or I consume target
+        # exclusive prefix: position consumed AT col
+        qpos_at = self.loi + np.cumsum(q_step) - q_step
+        tpos_at = self.loj + np.cumsum(t_step) - t_step
+        self.first_m_qpos = int(qpos_at[first_m])
+        self.first_m_tpos = int(tpos_at[first_m])
+        self.last_m_qpos = int(qpos_at[last_m])
+        self.last_m_tpos = int(tpos_at[last_m])
 
         match_mx = MATCH_MX_NUCLEO if self.nucleo else MATCH_MX_AMINO
-        q = self.query_seq
-        t = self.target_seq
-        id_count = 0
-        mismatch = 0
-        diffs_a = 0
-        int_gaps = 0
-        for col in range(first_m, last_m + 1):
-            c = path[col]
-            if c == "M":
-                qc = q[qpos]
-                tc = t[tpos]
-                if TO_UPPER[qc] != TO_UPPER[tc]:
-                    diffs_a += 1
-                if match_mx[qc, tc]:
-                    id_count += 1
-                else:
-                    mismatch += 1
-                qpos += 1
-                tpos += 1
-            elif c == "D":
-                if col > first_m:
-                    int_gaps += 1
-                qpos += 1
-            else:
-                if col > first_m:
-                    int_gaps += 1
-                tpos += 1
-        self.last_m_qpos = qpos - 1
-        self.last_m_tpos = tpos - 1
+        mq = self.query_seq[qpos_at[m_cols]]
+        mt = self.target_seq[tpos_at[m_cols]]
+        matches = match_mx[mq, mt]
+        self.id_count = int(np.count_nonzero(matches))
+        self.mismatch_count = len(m_cols) - self.id_count
+        self.diff_count_a = int(
+            np.count_nonzero(TO_UPPER[mq] != TO_UPPER[mt]))
         self.first_m_col = first_m
         self.last_m_col = last_m
-        self.id_count = id_count
-        self.mismatch_count = mismatch
-        self.diff_count_a = diffs_a
-        self.int_gap_count = int_gaps
         self.aln_length = last_m - first_m + 1
+        self.int_gap_count = self.aln_length - len(m_cols)
         self.term_gap_count = col_count - self.aln_length
         self._filled = True
 

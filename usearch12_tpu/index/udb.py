@@ -123,6 +123,7 @@ class UDBIndex:
         for i, seq in enumerate(db.seqs):
             idx.add_seq(i, seq)
         idx.seq_count = len(db)
+        idx._flatten()   # static DB: build the CSR once up front
         return idx
 
     # -- flat CSR view ---------------------------------------------------------
@@ -190,7 +191,7 @@ class UDBIndex:
             seq_count = self.seq_count
         pending_u = None
         if self._pending_words:
-            if sum(len(w) for w in self._pending_words) > 262144:
+            if sum(len(w) for w in self._pending_words) > 16384:
                 self._flatten()
             else:
                 pending_u = np.zeros(seq_count, dtype=np.uint32)

@@ -26,23 +26,38 @@ from ..index.udb import UDBIndex
 
 def set_top_bump(u: np.ndarray, min_u: int, bump_pct: int
                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (top_u, top_target_indexes) in target-index order."""
+    """Returns (top_u, top_target_indexes) in target-index order.
+
+    Vectorized: cur_min only changes at new-running-max positions, so the
+    scan loops over those few events and filters each segment with numpy
+    (identical results to the reference's element loop)."""
     bump = bump_pct / 100.0
-    top_u = []
-    top_tix = []
-    max_count = 0
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, np.uint32), np.zeros(0, np.int64)
+    u64 = u.astype(np.int64, copy=False)
+    run_max_excl = np.maximum.accumulate(
+        np.concatenate([[0], u64[:-1]]))
+    events = np.nonzero(u64 > run_max_excl)[0]
+    keep = np.zeros(n, dtype=bool)
     cur_min = min_u
-    for tix, n in enumerate(u.tolist()):
-        if n >= cur_min:
-            if n > max_count:
-                new_min = int(n * bump)
-                if new_min > cur_min and new_min < max_count:
-                    cur_min = new_min
-                max_count = n
-            top_u.append(n)
-            top_tix.append(tix)
-    return (np.array(top_u, dtype=np.uint32),
-            np.array(top_tix, dtype=np.int64))
+    for e, pos in enumerate(events.tolist()):
+        nxt = int(events[e + 1]) if e + 1 < len(events) else n
+        # event element itself is gated by the OLD cur_min
+        max_before = int(run_max_excl[pos])
+        val = int(u64[pos])
+        if val >= cur_min:
+            keep[pos] = True
+            new_min = int(val * bump)
+            if cur_min < new_min < max_before:
+                cur_min = new_min
+        seg = slice(pos + 1, nxt)
+        keep[seg] = u64[seg] >= cur_min
+    if len(events) == 0 or events[0] > 0:
+        seg = slice(0, int(events[0]) if len(events) else n)
+        keep[seg] = u64[seg] >= min_u
+    tix = np.nonzero(keep)[0]
+    return u[tix].astype(np.uint32), tix.astype(np.int64)
 
 
 def set_top_no_bump(u: np.ndarray, min_u: int):
@@ -57,12 +72,10 @@ def count_sort_order_desc(values: np.ndarray) -> np.ndarray:
     n = len(values)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    max_value = 0
-    next_value = 0
-    for v in values.tolist():
-        if v > max_value:
-            next_value = max_value
-            max_value = v
+    # next_value = running max just before the FIRST occurrence of the
+    # global max (the reference's sequential scan semantics)
+    fa = int(np.argmax(values))
+    next_value = int(values[:fa].max()) if fa > 0 else 0
     min_value = next_value // 2
     keep = values >= min_value
     idx = np.nonzero(keep)[0]
