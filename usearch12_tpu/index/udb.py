@@ -94,6 +94,11 @@ class UDBIndex:
         # pending (word, seq_index) pairs not yet merged into the CSR view
         self._pending_words: List[np.ndarray] = []
         self._pending_tix: List[np.ndarray] = []
+        self._pending_cache = None
+        self._pending_total = 0
+        # word-sorted middle tier (between the raw tail and the CSR)
+        self._sorted_w: Optional[np.ndarray] = None
+        self._sorted_t: Optional[np.ndarray] = None
         # flattened CSR (lazily rebuilt)
         self._flat_dirty = True
         self._starts: Optional[np.ndarray] = None
@@ -106,13 +111,28 @@ class UDBIndex:
 
         Reference: udbbuild.cpp indexes each target's unique words (via
         SetTargetUniqueWords) so U counts shared unique words.  Postings per
-        word keep seq-index append order (stable merge)."""
+        word keep seq-index append order (stable merge).
+
+        Incremental appends use an LSM-style pending tier: a small raw
+        tail merges into a word-sorted run every ~8k words, and the run
+        folds into the CSR once it reaches a quarter of the base size —
+        amortized O(n log n) for grow-as-you-cluster workloads."""
         words = self.params.unique_words(seq)
         self._pending_words.append(words)
         self._pending_tix.append(
             np.full(len(words), seq_index, dtype=np.int32))
         self.seq_count = max(self.seq_count, seq_index + 1)
         self._flat_dirty = True
+        self._pending_cache = None
+        self._pending_total += len(words)
+        if self._pending_total >= 8192:
+            base = len(self._postings) if self._postings is not None else 0
+            sorted_n = len(self._sorted_w) if self._sorted_w is not None \
+                else 0
+            if sorted_n + self._pending_total > max(65536, base // 4):
+                self._flatten()
+            else:
+                self._merge_pending_into_sorted()
 
     @classmethod
     def from_seqdb(cls, db: SeqDB, params: Optional[UDBParams] = None
@@ -127,23 +147,48 @@ class UDBIndex:
         return idx
 
     # -- flat CSR view ---------------------------------------------------------
+    def _merge_pending_into_sorted(self) -> None:
+        """Fold the raw tail into the word-sorted middle tier (stable, so
+        per-word seq-index append order is preserved)."""
+        if not self._pending_words:
+            return
+        new_w = np.concatenate(self._pending_words)
+        new_t = np.concatenate(self._pending_tix)
+        if self._sorted_w is not None and len(self._sorted_w):
+            w = np.concatenate([self._sorted_w, new_w])
+            t = np.concatenate([self._sorted_t, new_t])
+        else:
+            w, t = new_w, new_t
+        order = np.argsort(w, kind="stable")
+        self._sorted_w = w[order]
+        self._sorted_t = t[order]
+        self._pending_words = []
+        self._pending_tix = []
+        self._pending_cache = None
+        self._pending_total = 0
+
     def _flatten(self) -> None:
         if not self._flat_dirty:
             return
         slot_count = self.params.slot_count
+        parts_w, parts_t = [], []
+        if self._postings is not None and len(self._postings):
+            # reconstruct (word, tix) pairs of the existing CSR
+            parts_w.append(np.repeat(
+                np.arange(slot_count, dtype=np.int64),
+                self._sizes.astype(np.int64)))
+            parts_t.append(self._postings.astype(np.int32))
+        if self._sorted_w is not None and len(self._sorted_w):
+            parts_w.append(self._sorted_w)
+            parts_t.append(self._sorted_t)
         if self._pending_words:
-            new_words = np.concatenate(self._pending_words)
-            new_tix = np.concatenate(self._pending_tix)
-            if self._postings is not None and len(self._postings):
-                # reconstruct (word, tix) pairs of the existing CSR and merge
-                old_words = np.repeat(
-                    np.arange(slot_count, dtype=np.int64),
-                    self._sizes.astype(np.int64))
-                words = np.concatenate([old_words, new_words])
-                tix = np.concatenate([self._postings.astype(np.int32),
-                                      new_tix])
-            else:
-                words, tix = new_words, new_tix
+            parts_w.append(np.concatenate(self._pending_words))
+            parts_t.append(np.concatenate(self._pending_tix))
+        if parts_w:
+            words = np.concatenate(parts_w) if len(parts_w) > 1 \
+                else parts_w[0]
+            tix = np.concatenate(parts_t) if len(parts_t) > 1 \
+                else parts_t[0]
             # stable sort by word keeps per-row seq-index append order
             order = np.argsort(words, kind="stable")
             words = words[order]
@@ -154,12 +199,16 @@ class UDBIndex:
             self._sizes = sizes
             self._starts = starts
             self._postings = tix.astype(np.int32)
-            self._pending_words = []
-            self._pending_tix = []
         elif self._postings is None:
             self._sizes = np.zeros(slot_count, dtype=np.int64)
             self._starts = np.zeros(slot_count + 1, dtype=np.int64)
             self._postings = np.zeros(0, dtype=np.int32)
+        self._pending_words = []
+        self._pending_tix = []
+        self._pending_cache = None
+        self._pending_total = 0
+        self._sorted_w = None
+        self._sorted_t = None
         self._flat_dirty = False
 
     @property
@@ -189,27 +238,57 @@ class UDBIndex:
         pending is folded into the CSR once it grows past a threshold."""
         if seq_count is None:
             seq_count = self.seq_count
-        pending_u = None
-        if self._pending_words:
-            if sum(len(w) for w in self._pending_words) > 16384:
-                self._flatten()
-            else:
-                pending_u = np.zeros(seq_count, dtype=np.uint32)
-                qset = query_unique_words
-                for words, tix in zip(self._pending_words,
-                                      self._pending_tix):
-                    if len(words) and len(tix) and tix[0] < seq_count:
-                        n = int(np.isin(words, qset,
-                                        assume_unique=True).sum())
-                        if n:
-                            pending_u[tix[0]] += n
-                if self._postings is None:
-                    return pending_u
-                base = self._count_u_base(query_unique_words, seq_count)
-                return base + pending_u
-        if self._postings is None:
+        if self._postings is None and self._sorted_w is None \
+                and not self._pending_words:
             self._flatten()
-        return self._count_u_base(query_unique_words, seq_count)
+        u = None
+        if self._postings is not None and len(self._postings):
+            u = self._count_u_base(query_unique_words, seq_count)
+        if self._sorted_w is not None and len(self._sorted_w):
+            if u is None:
+                u = np.zeros(seq_count, dtype=np.uint32)
+            self._count_sorted_tier(query_unique_words, seq_count, u,
+                                    self._sorted_w, self._sorted_t)
+        if self._pending_words:
+            if u is None:
+                u = np.zeros(seq_count, dtype=np.uint32)
+            pw, pt = self._pending_concat()
+            if len(pw):
+                self._count_sorted_tier(query_unique_words, seq_count, u,
+                                        pw, pt)
+        if u is None:
+            u = np.zeros(seq_count, dtype=np.uint32)
+        return u
+
+    @staticmethod
+    def _count_sorted_tier(qw, seq_count, u, pw, pt) -> None:
+        """Add counts from a word-sorted (words, tix) run into u."""
+        lo = np.searchsorted(pw, qw, "left")
+        hi = np.searchsorted(pw, qw, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return
+        base_idx = np.repeat(lo, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        tix = pt[base_idx + offs]
+        tix = tix[tix < seq_count]
+        np.add.at(u, tix, 1)
+
+    def _pending_concat(self):
+        """(sorted tail words, their seq indexes) — the raw tail stays
+        small (merged into the sorted tier every ~8k words), so sorting
+        it once per append burst is cheap."""
+        if self._pending_cache is None:
+            if self._pending_words:
+                pw = np.concatenate(self._pending_words)
+                pt = np.concatenate(self._pending_tix)
+                order = np.argsort(pw, kind="stable")
+                self._pending_cache = (pw[order], pt[order])
+            else:
+                self._pending_cache = (np.zeros(0, np.int64),
+                                       np.zeros(0, np.int32))
+        return self._pending_cache
 
     def _count_u_base(self, query_unique_words: np.ndarray, seq_count: int
                       ) -> np.ndarray:
