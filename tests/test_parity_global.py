@@ -129,3 +129,16 @@ def test_seg_trim_outputs_parity(ref_bin, amplicons_small_fa, tmp_path):
     assert cli_main(args(m) + ["-quiet"]) == 0
     for k in g:
         assert open(g[k]).read() == open(m[k]).read(), k
+
+
+def test_udb_db_input_parity(ref_bin, amplicons_small_fa, tmp_path):
+    """-db x.udb: LoadDB dispatch (src/loaddb.cpp:127)."""
+    udb = str(tmp_path / "db.udb")
+    run_ref(ref_bin, ["-makeudb_usearch", amplicons_small_fa, "-output",
+                      udb])
+    g, m = str(tmp_path / "g.b6"), str(tmp_path / "m.b6")
+    base = ["-usearch_global", amplicons_small_fa, "-db", udb, "-id",
+            "0.9", "-strand", "plus"]
+    run_ref(ref_bin, base + ["-blast6out", g])
+    assert cli_main(base + ["-blast6out", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()

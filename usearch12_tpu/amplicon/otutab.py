@@ -88,8 +88,8 @@ def otutab(query_path: Optional[str]) -> None:
     from ..search.driver import search_file
     from ..search.hitmgr import HitMgr
     o = options()
-    db = SeqDB.from_fastx(o.str("db"))
-    db.mask()
+    from ..commands import load_db
+    db, db_index = load_db(o.str("db"))
     table = OTUTable()
     f_map = open(o.str("mapout"), "w") if o.filled("mapout") else None
     f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
@@ -155,8 +155,8 @@ def closed_ref(query_path: Optional[str]) -> None:
     from ..search.hitmgr import HitMgr
     from ..io.fastx import write_fasta
     o = options()
-    db = SeqDB.from_fastx(o.str("db"))
-    db.mask()
+    from ..commands import load_db
+    db, db_index = load_db(o.str("db"))
     table = OTUTable()
     matched_targets = {}
 

@@ -176,11 +176,12 @@ def sintax(query_path: Optional[str]) -> None:
     from ..alpha import revcomp
     o = options()
     db_path = o.str("db")
-    db = SeqDB.from_fastx(db_path)
+    from ..commands import load_db
+    db, index = load_db(db_path)
     if not db.get_is_nucleo():
         raise SystemExit("sintax supports nucleotide DBs only (for now)")
-    db.mask()
-    index = UDBIndex.from_seqdb(db)
+    if index is None:
+        index = UDBIndex.from_seqdb(db)
 
     strand = o.str("strand", "")
     if not strand:

@@ -15,12 +15,34 @@ from .io.fastx import read_fastx
 from .out.blast6 import blast6_line, blast6_no_hits_line
 
 
-def _load_db(path: str) -> SeqDB:
+def _is_udb(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            import struct
+            from .index.udbfile import MAGIC1
+            return struct.unpack("<I", f.read(4))[0] == MAGIC1
+    except Exception:
+        return False
+
+
+def load_db(path: str):
+    """LoadDB (src/loaddb.cpp:127): dispatch .udb vs FASTA.  Returns
+    (SeqDB, UDBIndex-or-None); .udb DBs are already masked/indexed."""
+    if _is_udb(path):
+        from .index.udbfile import read_udb
+        index, db = read_udb(path)
+        if len(db) == 0:
+            raise SystemExit("Database is empty")
+        return db, index
     db = SeqDB.from_fastx(path)
     if len(db) == 0:
         raise SystemExit("Database is empty")
     db.mask()
-    return db
+    return db, None
+
+
+def _load_db(path: str) -> SeqDB:
+    return load_db(path)[0]
 
 
 def cmd_usearch_global(query_path: Optional[str]) -> None:
@@ -31,7 +53,7 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
         query_path = o.str("query")
     if not o.filled("id"):
         raise SystemExit("--id not set")
-    db = _load_db(o.str("db"))
+    db, db_index = load_db(o.str("db"))
 
     from .search.driver import search_file
 
@@ -109,7 +131,8 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
         from .parallel.batch_search import batch_search_file
         batch_search_file("usearch_global", query_path, db, on_query_done)
     else:
-        search_file("usearch_global", query_path, db, on_query_done)
+        search_file("usearch_global", query_path, db, on_query_done,
+                    index=db_index)
 
     if dbhit:
         dbhit.on_all_done()
@@ -128,7 +151,7 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
         query_path = o.str("query")
     if not o.filled("evalue"):
         raise SystemExit("-evalue required for local search")
-    db = _load_db(o.str("db"))
+    db, db_index = load_db(o.str("db"))
 
     from .search.driver import search_file
     from .io.fastx import write_fasta
@@ -172,7 +195,8 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
             if f_nm:
                 write_fasta(f_nm, label, seq, o.uns("fasta_cols"))
 
-    search_file("usearch_local", query_path, db, on_query_done)
+    search_file("usearch_local", query_path, db, on_query_done,
+                index=db_index)
 
     for f in (f_b6, f_m, f_nm, f_user, f_aln):
         if f:

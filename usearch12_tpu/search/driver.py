@@ -180,10 +180,11 @@ class SearchContext:
 
 
 def search_file(cmd: str, query_path: str, db: SeqDB,
-                on_query_done: Callable, hole_kernel=None) -> SearchContext:
+                on_query_done: Callable, hole_kernel=None,
+                index=None) -> SearchContext:
     """Stream queries from file through the search; call
     on_query_done(label, seq, hits) per query in input order."""
-    ctx = SearchContext.build(cmd, db, hole_kernel=hole_kernel)
+    ctx = SearchContext.build(cmd, db, hole_kernel=hole_kernel, index=index)
     o = options()
     strand_both = False
     if ctx.nucleo:
