@@ -111,3 +111,20 @@ def test_wavefront_nondyadic_penalties():
         s_o, p_o = banded_nw_main_diag(a, b, 16, ap)
         assert np.float32(s_o) == np.float32(scores[k])
         assert p_o == paths[k]
+
+
+def test_wavefront_device_traceback():
+    """XLA pointer-chase traceback == host traceback, bit-exact."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("device traceback test needs TPU")
+    from usearch12_tpu.ops.wavefront_nw import WavefrontNWDevice
+    ap = make_ap()
+    rng = np.random.default_rng(31)
+    pairs = rand_pairs(rng, 8)
+    dev = WavefrontNWDevice(ap, pb=8)
+    s_d, p_d = dev.align(pairs, 16, device_traceback=True)
+    s_h, p_h = dev.align(pairs, 16, device_traceback=False)
+    for k in range(len(pairs)):
+        assert np.float32(s_d[k]) == np.float32(s_h[k])
+        assert p_d[k] == p_h[k]

@@ -468,8 +468,12 @@ class WavefrontNWDevice:
             mlast[j] = buf[g * SW + u]
         return mlast
 
-    def align(self, pairs, band_radius: int, nucleo: bool = True):
-        """Scores + paths for a mixed-parity pair list."""
+    def align(self, pairs, band_radius: int, nucleo: bool = True,
+              device_traceback: bool = True):
+        """Scores + paths for a mixed-parity pair list.  With
+        device_traceback (default) the pointer chase runs in XLA and only
+        2-bit packed opcodes leave the device (host fallback when the
+        terminal penalties are non-dyadic)."""
         idx0, idx1, out_scores, out_paths = [], [], \
             np.zeros(len(pairs), np.float32), [None] * len(pairs)
         for i, pair in enumerate(pairs):
@@ -485,7 +489,11 @@ class WavefrontNWDevice:
             batch = pack_wave([pairs[i] for i in idxs], nucleo,
                               band_radius, self.chunk, rho0)
             tb, mle, mlo, dlb = self.run_batch(batch)
-            scores, paths = trace_batch(self, batch, tb, mle, mlo, dlb)
+            if device_traceback and not self.interpret:
+                scores, paths = trace_batch_device(self, batch, tb, mle,
+                                                   mlo, dlb)
+            else:
+                scores, paths = trace_batch(self, batch, tb, mle, mlo, dlb)
             for k, i in enumerate(idxs):
                 out_scores[i] = scores[k]
                 out_paths[i] = paths[k]
@@ -575,3 +583,187 @@ def trace_batch(dev: WavefrontNWDevice, batch: WaveBatch, tb, mle, mlo,
                 j -= 1
         paths.append("".join(reversed(out)))
     return scores, paths
+
+
+# ---------------------------------------------------------------------------
+# device-side traceback: vectorized pointer-chase in XLA over the anti-
+# diagonal bit tensor, so only 2-bit packed path opcodes leave the device.
+# The final-row DPI uses the log-doubling max-plus scan (exact when gap
+# penalties are dyadic, which the defaults are; align_device falls back to
+# the host traceback otherwise).
+# ---------------------------------------------------------------------------
+
+import functools as _ft
+
+from .banded_nw import OP_M, OP_D, OP_I, OP_PAD, decode_packed_ops
+
+
+@_ft.lru_cache(maxsize=32)
+def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
+                             steps: int, jmax: int):
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+
+    def run(tb, mle, mlo, dlb, la, lb, dlo, bw, gp):
+        """tb (R, n_words, 128) int32; mle/mlo/dlb (R, 128) f32;
+        la/lb/dlo/bw (P,) int32.  Returns (scores (P,), packed ops)."""
+        P = la.shape[0]
+        pidx = jnp.arange(P)
+        qrow = pidx // gpv
+        base = (pidx % gpv) * sw
+        tb_flat = tb.reshape(tb.shape[0], -1)
+
+        r_open_a = gp[0, 6]
+        r_ext_a = gp[0, 10]
+
+        # mlast[p, j] = M(la-1, j) gathered from the parity buffers
+        jj = jnp.arange(jmax)[None, :]
+        t_l = (la - 1)[:, None] + jj
+        rho_l = (rho0 + t_l) % 2
+        u_l = (la[:, None] + t_l - dlo[:, None] - rho_l) // 2 \
+            - (la - 1)[:, None]
+        lane_l = jnp.clip(base[:, None] + u_l, 0, 127)
+        mle_p = mle[qrow]
+        mlo_p = mlo[qrow]
+        vals_e = jnp.take_along_axis(mle_p, lane_l, axis=1)
+        vals_o = jnp.take_along_axis(mlo_p, lane_l, axis=1)
+        mlast = jnp.where(t_l % 2 == 0, vals_e, vals_o)
+        # band validity of (la-1, j): k = j - (dlo-1); 0 <= k < bw
+        k_l = jj - (dlo[:, None] - 1)
+        valid_l = ((k_l >= 0) & (k_l < bw[:, None]) & (jj < lb[:, None])
+                   & (u_l >= 0) & (u_l < sw))
+        mlast = jnp.where(valid_l, mlast, NEG)
+
+        # final DPI row: i1(j) = max over j' < j of mlast[j'-? ...]:
+        # mi(j) = mlast[j-1] + r_open_a; i1 via doubling max-plus scan
+        mi = jnp.concatenate(
+            [jnp.full((P, 1), NEG, f32), mlast[:, :-1]], axis=1) + r_open_a
+        x = mi
+        s = 1
+        while s < jmax:
+            y = jnp.concatenate(
+                [jnp.full((P, s), NEG, f32),
+                 x[:, :-s] + np.float32(s) * r_ext_a], axis=1)
+            x = jnp.maximum(x, y)
+            s *= 2
+        i1_entering = jnp.concatenate(
+            [jnp.full((P, 1), NEG, f32), x[:, :-1]], axis=1)
+        i1_ext = i1_entering + r_ext_a
+        i1_after = jnp.maximum(mi, i1_ext)
+        tblast = jnp.where(mi > i1_ext, TB_MI, 0).astype(jnp.int32)
+        # out-of-range j -> 0 bits
+        tblast = jnp.where(jj <= lb[:, None], tblast, 0)
+
+        fin_m = jnp.take_along_axis(mlast, (lb - 1)[:, None], axis=1)[:, 0]
+        # host loop's final i1 state is after iteration j = lb-1
+        fin_i = jnp.take_along_axis(i1_after, (lb - 1)[:, None],
+                                    axis=1)[:, 0]
+        # dlb final value lane
+        t_fin = la - 1 + lb
+        rho_f = (rho0 + t_fin) % 2
+        u_lb_f = (lb + 1 - dlo - rho_f) // 2
+        lane_f = jnp.clip(base + u_lb_f, 0, 127)
+        fin_d = jnp.take_along_axis(dlb[qrow], lane_f[:, None],
+                                    axis=1)[:, 0]
+        fin_d = jnp.where((u_lb_f >= 0) & (u_lb_f < sw), fin_d, NEG)
+
+        scores = fin_m
+        st0 = jnp.zeros(P, jnp.int32)
+        better_d = fin_d > scores
+        scores = jnp.where(better_d, fin_d, scores)
+        st0 = jnp.where(better_d, OP_D, st0)
+        better_i = fin_i > scores
+        scores = jnp.where(better_i, fin_i, scores)
+        st0 = jnp.where(better_i, OP_I, st0)
+
+        def bits_at(i, j):
+            t = i + j
+            rho = (rho0 + t) % 2
+            # final DPI row
+            tbl = jnp.take_along_axis(
+                tblast, jnp.clip(j, 0, jmax - 1)[:, None], axis=1)[:, 0]
+            # Drow[LB] column
+            u_lb = (la + lb - i - dlo - rho) // 2
+            lane = jnp.clip(base + u_lb, 0, 127)
+            widx = jnp.clip(t // 8, 0, n_words - 1) * 128 + lane
+            word = jnp.take_along_axis(tb_flat[qrow], widx[:, None],
+                                       axis=1)[:, 0]
+            nib = (word >> (4 * (t % 8))) & 15
+            lb_bits = jnp.where((u_lb >= 0) & (u_lb < sw), nib, TB_MD)
+            # band cell
+            k = j - (dlo + i - la)
+            u = (la + t - dlo - rho) // 2 - i
+            lane_b = jnp.clip(base + u, 0, 127)
+            widx_b = jnp.clip(t // 8, 0, n_words - 1) * 128 + lane_b
+            word_b = jnp.take_along_axis(tb_flat[qrow], widx_b[:, None],
+                                         axis=1)[:, 0]
+            nib_b = (word_b >> (4 * (t % 8))) & 15
+            band_bits = jnp.where((k >= 0) & (k < bw) & (u >= 0)
+                                  & (u < sw), nib_b, 0)
+            band_bits = jnp.where(k == -1, TB_IM, band_bits)
+            return jnp.where(i == la, tbl,
+                             jnp.where(j == lb, lb_bits, band_bits))
+
+        def step_fn(step, carry):
+            i, j, st, ops = carry
+            done = (i == 0) & (j == 0)
+            ri = jnp.where(st == OP_I, i, i - 1)
+            rj = jnp.where(st == OP_D, j, j - 1)
+            bts = bits_at(ri, rj)
+            st_m = jnp.where(bts & TB_DM, OP_D,
+                             jnp.where(bts & TB_IM, OP_I, OP_M))
+            st_d = jnp.where(bts & TB_MD, OP_M, OP_D)
+            st_i = jnp.where(bts & TB_MI, OP_M, OP_I)
+            st_new = jnp.where(st == OP_M, st_m,
+                               jnp.where(st == OP_D, st_d, st_i))
+            di = jnp.where(st == OP_I, 0, 1)
+            dj = jnp.where(st == OP_D, 0, 1)
+            op = jnp.where(done, OP_PAD, st)
+            ops = jax.lax.dynamic_update_slice(
+                ops, op.astype(jnp.int8)[:, None], (0, step))
+            i = jnp.where(done, i, i - di)
+            j = jnp.where(done, j, j - dj)
+            st = jnp.where(done, st, st_new)
+            return (i, j, st, ops)
+
+        ops0 = jnp.full((P, steps), OP_PAD, dtype=jnp.int8)
+        _i, _j, _st, ops = jax.lax.fori_loop(
+            0, steps, step_fn, (la, lb, st0, ops0))
+        o = ops.reshape(P, steps // 4, 4).astype(jnp.uint8)
+        packed = (o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4)
+                  | (o[:, :, 3] << 6))
+        return scores, packed
+
+    return jax.jit(run)
+
+
+def _is_dyadic(x: float) -> bool:
+    return float(x) == float(np.float32(int(x * 16) / 16.0)) and \
+        (x * 16) == int(x * 16)
+
+
+def trace_batch_device(dev: WavefrontNWDevice, batch: WaveBatch, tb, mle,
+                       mlo, dlb):
+    """Device pointer-chase traceback; falls back to the host version when
+    the terminal gap penalties are not dyadic (the doubling scan would not
+    be bit-exact then)."""
+    import jax.numpy as jnp
+    ap = dev.ap
+    if not (_is_dyadic(ap.r_open_a) and _is_dyadic(ap.r_ext_a)):
+        return trace_batch(dev, batch, tb, mle, mlo, dlb)
+    P = batch.n_pairs
+    jmax = int(batch.lb.max()) + 1
+    jmax = ((jmax + 127) // 128) * 128
+    steps = ((int((batch.la + batch.lb).max()) + 8 + 3) // 4) * 4
+    fn = _traceback_compiled_wave(tb.shape[1], batch.gpv, batch.sw,
+                                  batch.rho0, steps, jmax)
+    scores_d, packed = fn(
+        jnp.asarray(tb), jnp.asarray(mle), jnp.asarray(mlo),
+        jnp.asarray(dlb), jnp.asarray(batch.la.astype(np.int32)),
+        jnp.asarray(batch.lb.astype(np.int32)),
+        jnp.asarray(batch.dlo.astype(np.int32)),
+        jnp.asarray(batch.bw.astype(np.int32)), jnp.asarray(dev.gp))
+    paths = decode_packed_ops(np.asarray(packed), P)
+    return np.asarray(scores_d)[:P], paths
