@@ -86,10 +86,18 @@ def _filter_one(seq: np.ndarray, qual: str, fq) -> Tuple[int, np.ndarray, str]:
 class Relabeler:
     """InitFastqRelabel/FastqRelabel (src/mergethread.cpp)."""
 
-    def __init__(self) -> None:
+    def __init__(self, input_filename: str = "") -> None:
         o = options()
         self.prefix = o.str("relabel", "")
-        if self.prefix == "-":
+        if self.prefix == "@":
+            # sample name from Illumina file name (src/mergethread.cpp:75-91)
+            import os
+            name = os.path.basename(input_filename)
+            n = name.find("_")
+            if n < 0:
+                n = name.find(".")
+            self.prefix = (name if n < 0 else name[:n]) + "."
+        elif self.prefix == "-":
             self.prefix = ""
         self.sample = o.str("sample", "") if o.filled("sample") else ""
         self.suffix = o.str("label_suffix", "")
@@ -118,7 +126,7 @@ def fastq_filter(input_path: Optional[str]) -> None:
     if not input_path:
         raise SystemExit("Missing input")
     fq = get_fastq()
-    rl = Relabeler()
+    rl = Relabeler(input_path)
 
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None

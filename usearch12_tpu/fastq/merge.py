@@ -307,7 +307,7 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
     ap = AlnParams.from_cmdline(True)
     ah = AlnHeuristics.from_cmdline(ap)
     hf = HSPFinder(ap, ah)
-    rl = Relabeler()
+    rl = Relabeler(fwd_path)
 
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None
