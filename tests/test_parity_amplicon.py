@@ -43,12 +43,15 @@ def chimera_fa(tmp_path_factory):
 
 
 def test_uchime3_denovo_parity(ref_bin, chimera_fa, tmp_path):
-    g = {k: str(tmp_path / f"g_{k}") for k in ("ch", "non", "tab")}
-    m = {k: str(tmp_path / f"m_{k}") for k in ("ch", "non", "tab")}
+    keys = ("ch", "non", "tab", "aln", "uca")
+    g = {k: str(tmp_path / f"g_{k}") for k in keys}
+    m = {k: str(tmp_path / f"m_{k}") for k in keys}
     run_ref(ref_bin, ["-uchime3_denovo", chimera_fa, "-chimeras", g["ch"],
-                      "-nonchimeras", g["non"], "-uchimeout", g["tab"]])
+                      "-nonchimeras", g["non"], "-uchimeout", g["tab"],
+                      "-alnout", g["aln"], "-uchimealnout", g["uca"]])
     assert cli_main(["-uchime3_denovo", chimera_fa, "-chimeras", m["ch"],
                      "-nonchimeras", m["non"], "-uchimeout", m["tab"],
+                     "-alnout", m["aln"], "-uchimealnout", m["uca"],
                      "-quiet"]) == 0
     for k in g:
         assert open(g[k]).read() == open(m[k]).read(), k

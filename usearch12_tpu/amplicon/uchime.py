@@ -240,12 +240,95 @@ def get_left_right(q: np.ndarray, t: np.ndarray, path: str):
     return diffs, pos_l0, pos_l1, pos_r0, pos_r1
 
 
+def _isgap(c: str) -> bool:
+    return c == "-" or c == "."
+
+
+def write_aln_pretty(f, a: np.ndarray, b: np.ndarray, path: str) -> None:
+    """WriteAlnPretty (src/logaln.cpp:198-236) with StripTermGaps=True:
+    80-col blocks of A row / annot row / B row, terminal gaps trimmed
+    (TrimTermGaps, src/logaln.cpp:9-44)."""
+    col_lo = col_hi = None
+    a_lo = b_lo = 0
+    i = j = 0
+    for k, c in enumerate(path):
+        if c == "M":
+            if col_lo is None:
+                col_lo = k
+                a_lo, b_lo = i, j
+            col_hi = k
+        if c in "MD":
+            i += 1
+        if c in "MI":
+            j += 1
+    if col_lo is None:
+        return
+
+    def annot(qa: int, qb: int) -> str:
+        ua, ub = TO_UPPER[qa], TO_UPPER[qb]
+        if ua == ub:
+            return "|"
+        # g_SubstMx[a][b] > 0 only for same nucleotide letter with a
+        # different character, i.e. the T/U pair (src/setnucmx.cpp)
+        if {chr(ua), chr(ub)} == {"T", "U"}:
+            return "+"
+        return " "
+
+    i, j = a_lo, b_lo
+    col_from = col_lo
+    while col_from <= col_hi:
+        col_to = min(col_from + 79, col_hi)
+        # A row
+        i0, j0 = i, j
+        out = ["%5u " % (i + 1)]
+        for k in range(col_from, col_to + 1):
+            c = path[k]
+            if c in "MD":
+                out.append(chr(a[i]))
+                i += 1
+            else:
+                out.append("-")
+        out.append(" %u\n" % i)
+        f.write("".join(out))
+        # annot row
+        ii, jj = i0, j0
+        out = ["      "]
+        for k in range(col_from, col_to + 1):
+            c = path[k]
+            if c == "M":
+                out.append(annot(int(a[ii]), int(b[jj])))
+                ii += 1
+                jj += 1
+            else:
+                if c == "D":
+                    ii += 1
+                else:
+                    jj += 1
+                out.append(" ")
+        out.append("\n")
+        f.write("".join(out))
+        # B row
+        out = ["%5u " % (j + 1)]
+        for k in range(col_from, col_to + 1):
+            c = path[k]
+            if c in "MI":
+                out.append(chr(b[j]))
+                j += 1
+            else:
+                out.append("-")
+        out.append(" %u\n" % j)
+        f.write("".join(out))
+        f.write("\n")
+        col_from += 80
+
+
 class DeParser:
     """src/deparser.cpp — classifies a query vs a parent candidate DB."""
 
     def __init__(self, aligner, nucleo: bool = True) -> None:
         self.aligner = aligner  # callable(q_seq, t_seq) -> path (never None)
         self.f_tab = None
+        self.f_aln = None
         self.clear()
 
     def clear(self) -> None:
@@ -282,6 +365,8 @@ class DeParser:
         self._classify()
         if self.f_tab is not None:
             self._write_tabbed()
+        if self.f_aln is not None:
+            self._write_aln()
         return self.cls
 
     def _parse_lo(self) -> None:
@@ -443,6 +528,124 @@ class DeParser:
             s = "DEP_error"
         return s
 
+    def _write_aln(self) -> None:
+        """WriteAln (src/deparser.cpp:1072-1099): pretty top alignment for
+        non-chimera classes, 3-way report for chimera classes."""
+        f = self.f_aln
+        if self.cls in (DEP_PERFECT, DEP_OFF_BY_ONE, DEP_SIMILAR):
+            self._write_top_aln_pretty(f)
+        elif self.cls in (DEP_PERFECT_CHIMERA, DEP_OFF_BY_ONE_CHIMERA):
+            self._write_3way_pretty(f)
+
+    def _write_top_aln_pretty(self, f) -> None:
+        """WriteTopAlnPretty (src/deparser.cpp:1045-1070)."""
+        f.write("\n")
+        f.write(f">>>>> {self.cls} <<<<<\n")
+        f.write("Query   (%5u nt) %s\n" % (len(self.q_seq), self.q_label))
+        if self.top == UINT_MAX:
+            f.write("  No hit found\n")
+            return
+        path = self.paths[self.top]
+        t_seq = self.db.seqs[self.top]
+        f.write("Top     (%5u nt) %s\n" % (len(t_seq),
+                                           self._label(self.top)))
+        f.write("\n")
+        write_aln_pretty(f, self.q_seq, t_seq, path)
+
+    def _write_3way_pretty(self, f) -> None:
+        """Write3WayPretty (src/deparser.cpp:783-942): L/Q/R 80-col blocks
+        with a Diffs annotation row ('L'/'R'/'X' depending on which side of
+        the crossover column ColEndFirst the difference falls)."""
+        q3, a3, b3 = self.q3, self.l3, self.r3
+        cols = len(q3)
+        lq = len(self.q_seq)
+        la = len(self.db.seqs[self.bimera_l])
+        lb = len(self.db.seqs[self.bimera_r])
+
+        col_lo = col_hi = None
+        col_end_first = None
+        qpos = 0
+        for col in range(cols):
+            if not _isgap(q3[col]):
+                if col_lo is None:
+                    col_lo = col
+                col_hi = col
+                qpos += 1
+                if qpos == self.qseg_len_l:
+                    col_end_first = col
+        apos = sum(0 if _isgap(a3[c]) else 1 for c in range(col_lo))
+        bpos = sum(0 if _isgap(b3[c]) else 1 for c in range(col_lo))
+        qpos = 0
+
+        f.write("\n")
+        f.write(f">>>>> {self.cls} <<<<<\n")
+        f.write("Query   (%5u nt) %s\n" % (lq, self.q_label))
+        f.write("Left    (%5u nt) %s\n" % (la, self._label(self.bimera_l)))
+        f.write("Right   (%5u nt) %s\n" % (lb, self._label(self.bimera_r)))
+
+        row_from = col_lo
+        while row_from <= col_hi:
+            f.write("\n")
+            row_to = min(row_from + 79, col_hi)
+            out = ["L %5u " % (apos + 1)]
+            for col in range(row_from, row_to + 1):
+                a = a3[col]
+                if a != q3[col]:
+                    a = a.lower()
+                out.append(a)
+                if not _isgap(a):
+                    apos += 1
+            out.append(" %u\n" % apos)
+            f.write("".join(out))
+
+            out = ["Q %5u " % (qpos + 1)]
+            for col in range(row_from, row_to + 1):
+                q = q3[col]
+                out.append(q)
+                if not _isgap(q):
+                    qpos += 1
+            out.append(" %u\n" % qpos)
+            f.write("".join(out))
+
+            out = ["R %5u " % (bpos + 1)]
+            for col in range(row_from, row_to + 1):
+                b = b3[col]
+                if b != q3[col]:
+                    b = b.lower()
+                out.append(b)
+                if not _isgap(b):
+                    bpos += 1
+            out.append(" %u\n" % bpos)
+            f.write("".join(out))
+
+            out = ["Diffs   "]
+            for col in range(row_from, row_to + 1):
+                q, a, b = q3[col], a3[col], b3[col]
+                c = " "
+                if col <= col_end_first:
+                    if q == a and q == b:
+                        c = " "
+                    elif q == a and q != b:
+                        c = "L"
+                    elif q == b and q != a:
+                        c = "X"
+                else:
+                    if q == a and q == b:
+                        c = " "
+                    elif q == b and q != a:
+                        c = "R"
+                    else:
+                        c = "X"
+                out.append(c)
+            out.append("\n")
+            f.write("".join(out))
+            row_from += 80
+        f.write("\n")
+        f.write("dQT %u, dQM %u, PctIdQT %.1f%%, PctIdQM %.1f%%,"
+                "  Div %.1f%%\n" % (
+                    self.diffs_qt, self.diffs_qm, self.pct_id_qt(),
+                    self.pct_id_qm(), self.get_div_pct()))
+
     def _write_tabbed(self) -> None:
         """WriteTabbed (src/deparser.cpp:1001-1043)."""
         f = self.f_tab
@@ -482,6 +685,12 @@ def uchime2_denovo(input_db: SeqDB, aligner=None
     dp = DeParser(aligner)
     if o.filled("uchimeout"):
         dp.f_tab = open(o.str("uchimeout"), "w")
+    if o.filled("alnout"):
+        dp.f_aln = open(o.str("alnout"), "w")
+    # -uchimealnout is opened but never written in the reference
+    # (src/uchime3denovo.cpp:55-57,152) => empty file
+    f_uca = open(o.str("uchimealnout"), "w") \
+        if o.filled("uchimealnout") else None
 
     min_abskew = o.flt("abskew", 16.0)
     is_chimera_vec: List[bool] = []
@@ -523,9 +732,14 @@ def uchime2_denovo(input_db: SeqDB, aligner=None
         info_strs.append(info)
         last_size = qsize
 
+    if f_uca is not None:
+        f_uca.close()
     if dp.f_tab is not None:
         dp.f_tab.close()
         dp.f_tab = None
+    if dp.f_aln is not None:
+        dp.f_aln.close()
+        dp.f_aln = None
     return is_chimera_vec, info_strs
 
 
