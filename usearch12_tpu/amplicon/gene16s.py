@@ -531,7 +531,7 @@ def search_16s(input_path: Optional[str]) -> None:
     if o.filled("output2"):
         gf.f_counts = open(o.str("output2"), "w")
 
-    for label, seq, _qual in read_fastx(input_path):
+    for label, seq, _qual in read_fastx(input_path, stream=True):
         if len(seq) == 0:
             continue
         gf.find(label, seq)

@@ -194,7 +194,7 @@ def sintax(query_path: Optional[str]) -> None:
 
     f = open(o.str("tabbedout"), "w") if o.filled("tabbedout") else None
     from ..io.fastx import read_fastx
-    for label, seq, _q in read_fastx(query_path):
+    for label, seq, _q in read_fastx(query_path, stream=True):
         if len(seq) == 0:
             continue
         pred_f, ps_f, twc_f = cls.classify(seq)

@@ -20,7 +20,7 @@ def fastx_get_sample_names(input_path: Optional[str]) -> None:
     from .otutab import sample_name_from_label
     o = options()
     samples = set()
-    for label, _seq, _q in read_fastx(input_path):
+    for label, _seq, _q in read_fastx(input_path, stream=True):
         s = sample_name_from_label(label)
         if not s:
             raise SystemExit("Empty sample name")

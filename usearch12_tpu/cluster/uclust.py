@@ -397,7 +397,7 @@ def cluster_mt(input_path: Optional[str]) -> None:
 
     from ..io.fastx import read_fastx
     pending = []
-    for label, seq, _qual in read_fastx(input_path):
+    for label, seq, _qual in read_fastx(input_path, stream=True):
         if len(seq) == 0:
             continue
         top = search_one(label, seq)

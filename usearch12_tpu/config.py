@@ -99,6 +99,7 @@ _STR_OPTS = [
     "sample_delim", "fastq_eeout_str", "constax_report", "clustout",
     "biom_json",
     "bitvec", "hitsout", "fragout", "start_motif", "end_motif",
+    "truncstr",
 ]
 _FLAG_OPTS = [
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
@@ -110,7 +111,7 @@ _FLAG_OPTS = [
     "verbose", "no_progress", "use_device", "use_cpu_oracle",
     "orf_plusonly",
     "ignore_label_mismatches", "notrunclabels", "fastq_forceq",
-    "fastq_noguess",
+    "fastq_noguess", "keepgaps",
 ]
 
 

@@ -169,7 +169,7 @@ def fastx_truncate(input_path: Optional[str]) -> None:
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     relabel = o.str("relabel", "")
     n_out = 0
-    for label, seq, qual in read_fastx(input_path):
+    for label, seq, qual in read_fastx(input_path, stream=True):
         if o.filled("stripleft"):
             n = o.uns("stripleft")
             if len(seq) <= n:

@@ -32,7 +32,7 @@ def fastx_orient(query_path: Optional[str]) -> None:
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     f_not = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
 
-    for label, seq, qual in read_fastx(query_path):
+    for label, seq, qual in read_fastx(query_path, stream=True):
         if len(seq) == 0:
             continue
         rc = revcomp(seq)

@@ -47,21 +47,66 @@ def sniff_format(path: str) -> str:
 UDB_MAGIC8 = (0x55444246).to_bytes(4, "little") + (0x55444246).to_bytes(4, "little")
 
 
-def read_fasta(path: str) -> Iterator[Record]:
+_ALPHA = frozenset(range(65, 91)) | frozenset(range(97, 123))
+_SPACE = frozenset(b" \t\v\f\r\n")
+
+
+def _seq_delete_table(stream: bool) -> bytes:
+    """Bytes removed from FASTA sequence lines (FastaSeqSource::GetNextLo,
+    src/fastaseqsource.cpp:80-111): whitespace always, '-'/'.' unless
+    -keepgaps, and any other non-alpha byte (BadByte).  -keepgaps is only
+    honored on streaming readers; SeqDB::FromFastx overrides StripGaps=true
+    (src/seqdbfromfasta.cpp:24-41, seqdb.h:148)."""
+    from ..config import options
+    keepgaps = stream and options().flag("keepgaps")
+    drop = []
+    for c in range(256):
+        if c in _ALPHA:
+            continue
+        if c in (ord("-"), ord(".")) and keepgaps:
+            continue
+        drop.append(c)
+    return bytes(drop)
+
+
+def _proc_label(raw: bytes, fastq: bool = False) -> str:
+    """-trunclabels (first whitespace) and, for FASTA, -truncstr
+    (src/fastaseqsource.cpp:58-78, src/fastqseqsource.cpp:52-63)."""
+    from ..config import options
+    o = options()
+    label = raw.decode("latin1")
+    if o.flag("trunclabels"):
+        for i, ch in enumerate(label):
+            if ch in " \t\v\f":
+                label = label[:i]
+                break
+    if not fastq and o.filled("truncstr"):
+        n = label.find(o.str("truncstr"))
+        if n >= 0:
+            label = label[:n]
+    return label
+
+
+def read_fasta(path: str, stream: bool = False) -> Iterator[Record]:
     label = None
     chunks = []
+    delete = _seq_delete_table(stream)
     with open_maybe_gz(path) as f:
         for raw in f:
             line = raw.rstrip(b"\r\n")
             if line.startswith(b">"):
                 if label is not None:
-                    yield label, _join_seq(chunks), None
-                label = line[1:].decode("latin1")
+                    seq = _join_seq(chunks, delete)
+                    if len(seq) > 0:  # empty seqs warned+skipped in reference
+                        yield label, seq, None
+                label = _proc_label(line[1:])
                 chunks = []
             elif line:
                 chunks.append(line)
         if label is not None:
-            yield label, _join_seq(chunks), None
+            seq = _join_seq(chunks, delete)
+            if len(seq) > 0:
+                yield label, seq, None
 
 
 def read_fastq(path: str) -> Iterator[Record]:
@@ -82,15 +127,15 @@ def read_fastq(path: str) -> Iterator[Record]:
             qual = f.readline().rstrip(b"\r\n")
             if len(qual) != len(seq):
                 raise ValueError("FASTQ seq/qual length mismatch")
-            yield (hdr[1:].decode("latin1"),
+            yield (_proc_label(hdr[1:], fastq=True),
                    np.frombuffer(seq, dtype=np.uint8).copy(),
                    qual.decode("latin1"))
 
 
-def read_fastx(path: str) -> Iterator[Record]:
+def read_fastx(path: str, stream: bool = False) -> Iterator[Record]:
     fmt = sniff_format(path)
     if fmt == "fasta":
-        return read_fasta(path)
+        return read_fasta(path, stream=stream)
     if fmt == "fastq":
         return read_fastq(path)
     if fmt == "empty":
@@ -98,10 +143,13 @@ def read_fastx(path: str) -> Iterator[Record]:
     raise ValueError(f"cannot stream records from {fmt} file: {path}")
 
 
-def _join_seq(chunks) -> np.ndarray:
+def _join_seq(chunks, delete: bytes = b"") -> np.ndarray:
     if not chunks:
         return np.zeros(0, dtype=np.uint8)
-    return np.frombuffer(b"".join(chunks), dtype=np.uint8).copy()
+    joined = b"".join(chunks)
+    if delete:
+        joined = joined.translate(None, delete)
+    return np.frombuffer(joined, dtype=np.uint8).copy()
 
 
 def write_fasta(f, label: str, seq: np.ndarray, cols: int = 80) -> None:

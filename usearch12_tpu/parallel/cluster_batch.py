@@ -201,7 +201,7 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
         pending.clear()
         counter.refresh(index)
 
-    records = [(label, seq) for label, seq, _q in read_fastx(input_path)
+    records = [(label, seq) for label, seq, _q in read_fastx(input_path, stream=True)
                if len(seq) > 0]
     counter.refresh(index)
     pending: List = []
