@@ -40,16 +40,25 @@ def fast_mask(seq: np.ndarray, nucleo: bool) -> np.ndarray:
     if L < 2:
         return out
 
+    from .native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        up = np.ascontiguousarray(TO_UPPER[seq])
+        lib.fast_mask_c(up.ctypes.data, out.ctypes.data, L,
+                        int(hardmask), hard_char)
+        return out
+
     k1, j1 = 5, 2
     k2, j2 = 5, 1
 
-    # comparisons always read toupper(original); `out` mutates independently
-    up = TO_UPPER[seq]
+    # the reference masks IN PLACE (MaskSeq(Seq,L,Type,Seq)), so with
+    # -hardmask later passes read 'N's written by earlier ones —
+    # comparisons read toupper() of the EVOLVING buffer
     # homopolymer runs
     lastc = -1
     start = -1  # reference uses UINT_MAX; first check yields tiny n1
     for i in range(L):
-        c = int(up[i])
+        c = int(TO_UPPER[out[i]])
         if c != lastc or i + 1 == L:
             n1 = i - start if start >= 0 else i + 1  # i - UINT_MAX == i+1 (mod 2^32)
             if n1 >= k1 and start >= 0:
@@ -67,8 +76,8 @@ def fast_mask(seq: np.ndarray, nucleo: bool) -> np.ndarray:
         last_pair = -1
         start = -(10 ** 9)  # UINT_MAX sentinel; n2 check below guards it
         for i in range(start_pos, L - 1, 2):
-            c1 = int(up[i])
-            c2 = int(up[i + 1])
+            c1 = int(TO_UPPER[out[i]])
+            c2 = int(TO_UPPER[out[i + 1]])
             pair = (c1 << 8) + c2
             if pair != last_pair:
                 n2 = i - start

@@ -101,8 +101,90 @@ def get_lib():
             u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+        lib.fast_mask_c.restype = None
+        lib.fast_mask_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_uint8]
+        lib.rank_scratch_create.restype = ctypes.c_void_p
+        lib.rank_scratch_destroy.argtypes = [ctypes.c_void_p]
+        lib.usort_rank_c.restype = ctypes.c_int64
+        lib.usort_rank_c.argtypes = [
+            ctypes.c_void_p,                          # scratch
+            ctypes.c_void_p, ctypes.c_uint32,         # seq, L
+            ctypes.c_void_p,                          # char_to_letter
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # CSR
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # sorted tier
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # pending tier
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]         # out_tix, out_counts
         _lib = lib
         return _lib
+
+
+class NativeRanker:
+    """Native USORT candidate ranking (usort_rank_c): query word
+    extraction + SetU over the LSM posting tiers + SetTopBump +
+    CountSortOrderDesc in one C call.  Exact counterpart of
+    search/usorted.py's host path (usearch12 src/udbusortedsearcher.cpp)."""
+
+    def __init__(self, index) -> None:
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self.lib = lib
+        self.index = index
+        from ..alpha import (CHAR_TO_LETTER_AMINO, CHAR_TO_LETTER_NUCLEO,
+                             IS_LOWER)
+        p = index.params
+        table = (CHAR_TO_LETTER_NUCLEO if p.is_nucleo
+                 else CHAR_TO_LETTER_AMINO).copy()
+        table[IS_LOWER] = 0xFF    # masked (lowercase) letters are bad
+        self._table = np.ascontiguousarray(table)
+        self._scratch = lib.rank_scratch_create()
+        self._out_tix = np.zeros(0, dtype=np.uint32)
+        self._out_counts = np.zeros(0, dtype=np.uint32)
+        self._ZI64 = np.zeros(0, dtype=np.int64)
+        self._ZI32 = np.zeros(0, dtype=np.int32)
+
+    def __del__(self):
+        try:
+            self.lib.rank_scratch_destroy(self._scratch)
+        except Exception:
+            pass
+
+    def rank(self, seq: np.ndarray, bump_pct: int, mode: int):
+        """mode 0 = SetTopBump(1,bump)+countsort; 1 = no-bump+countsort.
+        Returns (tix int64, counts uint32) in ranked order."""
+        ix = self.index
+        seq_count = ix.seq_count
+        if seq_count == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.uint32))
+        if len(self._out_tix) < seq_count:
+            cap = 2 * seq_count + 1024
+            self._out_tix = np.zeros(cap, dtype=np.uint32)
+            self._out_counts = np.zeros(cap, dtype=np.uint32)
+        seq = np.ascontiguousarray(seq, dtype=np.uint8)
+        has_csr = ix._postings is not None and len(ix._postings) > 0
+        sw = ix._sorted_w if ix._sorted_w is not None else self._ZI64
+        st = ix._sorted_t if ix._sorted_t is not None else self._ZI32
+        if ix._pending_words:
+            pw, pt = ix._pending_concat()
+        else:
+            pw, pt = self._ZI64, self._ZI32
+        p = ix.params
+        n = self.lib.usort_rank_c(
+            self._scratch,
+            seq.ctypes.data, len(seq), self._table.ctypes.data,
+            p.alpha_size, p.word_length, p.slot_count,
+            ix._starts.ctypes.data if has_csr else None,
+            ix._postings.ctypes.data if has_csr else None, int(has_csr),
+            sw.ctypes.data, st.ctypes.data, len(sw),
+            pw.ctypes.data, pt.ctypes.data, len(pw),
+            seq_count, bump_pct, mode,
+            self._out_tix.ctypes.data, self._out_counts.ctypes.data)
+        return (self._out_tix[:n].astype(np.int64),
+                self._out_counts[:n].copy())
 
 
 class NativeAligner:

@@ -1532,3 +1532,300 @@ int local_align_pos(XDScratch *s, const byte *Q, uint32_t ql, const byte *T,
     *evalue_out = evalue;
     return 1;
 }
+
+/* ---------------------------------------------------------------------------
+ * USORT candidate ranking (semantics of search/usorted.py, i.e. usearch12
+ * src/udbusortedsearcher.cpp SetU_NonCoded:375-410 + SetTopBump:230-267 and
+ * src/countsort.cpp CountSortOrderDesc).
+ *
+ * One RankScratch per (ranker, index) pair: reusable U array, per-word seen
+ * bitmap, touched-target list and output staging.  The postings view is the
+ * three-tier LSM layout of index/udb.py: a CSR base plus up to two
+ * word-sorted (word, tix) runs.
+ * ------------------------------------------------------------------------- */
+
+typedef struct {
+    uint32_t *u;          /* per-target shared-word counts */
+    uint32_t u_cap;
+    int32_t *touched;     /* first-touch target list (for clearing u) */
+    uint32_t touched_cap;
+    uint8_t *seen;        /* per-word bitmap */
+    int64_t seen_cap;     /* in bits */
+    int64_t *uw;          /* unique query words */
+    uint32_t uw_cap;
+    uint32_t *hist;       /* counting-sort histogram */
+    uint32_t hist_cap;
+} RankScratch;
+
+RankScratch *rank_scratch_create(void)
+{
+    return (RankScratch *)calloc(1, sizeof(RankScratch));
+}
+
+void rank_scratch_destroy(RankScratch *s)
+{
+    if (!s) return;
+    free(s->u); free(s->touched); free(s->seen); free(s->uw); free(s->hist);
+    free(s);
+}
+
+static void rank_alloc(RankScratch *s, uint32_t seq_count, int64_t slot_count,
+                       uint32_t max_words)
+{
+    if (seq_count > s->u_cap) {
+        uint32_t cap = seq_count * 2 + 1024;
+        free(s->u);
+        s->u = (uint32_t *)calloc(cap, sizeof(uint32_t));
+        free(s->touched);
+        s->touched = (int32_t *)malloc(cap * sizeof(int32_t));
+        s->u_cap = cap;
+        s->touched_cap = cap;
+    }
+    int64_t bits = slot_count;
+    if (bits > s->seen_cap) {
+        free(s->seen);
+        s->seen = (uint8_t *)calloc((size_t)((bits + 7) / 8), 1);
+        s->seen_cap = bits;
+    }
+    if (max_words > s->uw_cap) {
+        uint32_t cap = max_words * 2 + 64;
+        free(s->uw);
+        s->uw = (int64_t *)malloc(cap * sizeof(int64_t));
+        s->uw_cap = cap;
+    }
+}
+
+/* first index in w[0..n) with w[i] >= key (lower bound) */
+static int64_t lower_bound64(const int64_t *w, int64_t n, int64_t key)
+{
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (w[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+/* Ranked USORT candidates.
+ * mode 0: SetTopBump(min_u=1, bump_pct) + CountSortOrderDesc   (rank())
+ * mode 1: no bump (keep all u>=1)       + CountSortOrderDesc   (GetU)
+ * Returns candidate count; out_tix/out_counts caller-allocated with
+ * capacity seq_count. */
+int64_t usort_rank_c(
+    RankScratch *s,
+    const uint8_t *seq, uint32_t L,
+    const uint8_t *char_to_letter,   /* 256; 0xFF = invalid (incl. masked) */
+    uint32_t alpha_size, uint32_t wlen, int64_t slot_count,
+    const int64_t *starts, const int32_t *postings, int has_csr,
+    const int64_t *sw, const int32_t *st, int64_t n_sorted,
+    const int64_t *pw, const int32_t *pt, int64_t n_pending,
+    uint32_t seq_count,
+    uint32_t bump_pct, int mode,
+    uint32_t *out_tix, uint32_t *out_counts)
+{
+    if (seq_count == 0 || L < wlen)
+        return 0;
+    rank_alloc(s, seq_count, slot_count, L);
+
+    /* -- query unique words (SetQueryUniqueWords) -- */
+    int64_t pow_w = 1;
+    for (uint32_t k = 1; k < wlen; ++k) pow_w *= alpha_size;
+    uint32_t nuw = 0;
+    int64_t word = 0;
+    uint32_t run = 0;
+    for (uint32_t i = 0; i < L; ++i) {
+        uint8_t let = char_to_letter[seq[i]];
+        if (let == 0xFF) { run = 0; word = 0; continue; }
+        if (run >= wlen) word -= (word / pow_w) * pow_w; /* drop high digit */
+        word = word * alpha_size + let;
+        if (++run >= wlen) {
+            if (!(s->seen[word >> 3] & (1u << (word & 7)))) {
+                s->seen[word >> 3] |= (uint8_t)(1u << (word & 7));
+                s->uw[nuw++] = word;
+            }
+        }
+    }
+    for (uint32_t k = 0; k < nuw; ++k)   /* clear bitmap (touched only) */
+        s->seen[s->uw[k] >> 3] = 0;
+
+    /* -- SetU: scatter-add over the three posting tiers -- */
+    uint32_t *u = s->u;
+    int32_t *touched = s->touched;
+    uint32_t nt = 0;
+    for (uint32_t k = 0; k < nuw; ++k) {
+        int64_t w = s->uw[k];
+        if (has_csr) {
+            int64_t lo = starts[w], hi = starts[w + 1];
+            for (int64_t p = lo; p < hi; ++p) {
+                int32_t t = postings[p];
+                if ((uint32_t)t < seq_count) {
+                    if (u[t]++ == 0) touched[nt++] = t;
+                }
+            }
+        }
+        if (n_sorted) {
+            int64_t lo = lower_bound64(sw, n_sorted, w);
+            int64_t hi = lower_bound64(sw, n_sorted, w + 1);
+            for (int64_t p = lo; p < hi; ++p) {
+                int32_t t = st[p];
+                if ((uint32_t)t < seq_count) {
+                    if (u[t]++ == 0) touched[nt++] = t;
+                }
+            }
+        }
+        if (n_pending) {
+            int64_t lo = lower_bound64(pw, n_pending, w);
+            int64_t hi = lower_bound64(pw, n_pending, w + 1);
+            for (int64_t p = lo; p < hi; ++p) {
+                int32_t t = pt[p];
+                if ((uint32_t)t < seq_count) {
+                    if (u[t]++ == 0) touched[nt++] = t;
+                }
+            }
+        }
+    }
+
+    /* -- SetTopBump / SetTop: dense index-order scan -- */
+    uint32_t n_cand = 0;
+    uint32_t max_u_seen = 0;
+    if (mode == 0 && bump_pct != 0) {
+        uint32_t cur_min = 1;
+        for (uint32_t t = 0; t < seq_count; ++t) {
+            uint32_t v = u[t];
+            if (v > max_u_seen) {
+                if (v >= cur_min) {
+                    out_tix[n_cand] = t;
+                    out_counts[n_cand++] = v;
+                    uint32_t nm = (uint32_t)((uint64_t)v * bump_pct / 100);
+                    if (cur_min < nm && nm < max_u_seen) cur_min = nm;
+                }
+                max_u_seen = v;
+            } else if (v >= cur_min) {
+                out_tix[n_cand] = t;
+                out_counts[n_cand++] = v;
+            }
+        }
+    } else {
+        for (uint32_t t = 0; t < seq_count; ++t) {
+            uint32_t v = u[t];
+            if (v >= 1) {
+                out_tix[n_cand] = t;
+                out_counts[n_cand++] = v;
+                if (v > max_u_seen) max_u_seen = v;
+            }
+        }
+    }
+
+    for (uint32_t k = 0; k < nt; ++k)    /* clear u via touched list */
+        u[touched[k]] = 0;
+
+    if (n_cand == 0)
+        return 0;
+
+    /* -- CountSortOrderDesc: stable desc, cutoff NextValue/2 -- */
+    uint32_t maxv = 0, nextv = 0;
+    for (uint32_t i = 0; i < n_cand; ++i) {
+        uint32_t v = out_counts[i];
+        if (v > maxv) { nextv = maxv; maxv = v; }
+    }
+    uint32_t minv = nextv / 2;
+    if (maxv + 1 > s->hist_cap) {
+        free(s->hist);
+        s->hist_cap = maxv * 2 + 64;
+        s->hist = (uint32_t *)malloc(s->hist_cap * sizeof(uint32_t));
+    }
+    uint32_t *hist = s->hist;
+    memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
+    uint32_t n_keep = 0;
+    for (uint32_t i = 0; i < n_cand; ++i) {
+        uint32_t v = out_counts[i];
+        if (v >= minv) { ++hist[v]; ++n_keep; }
+    }
+    /* descending prefix offsets */
+    uint32_t off = 0;
+    for (int64_t v = maxv; v >= (int64_t)minv; --v) {
+        uint32_t c = hist[v];
+        hist[v] = off;
+        off += c;
+    }
+    /* stage kept (tix,count) into touched/u-scratch order buffers */
+    uint32_t *otix = (uint32_t *)s->touched;   /* reuse as staging */
+    for (uint32_t i = 0; i < n_cand; ++i)
+        otix[i] = out_tix[i];
+    uint32_t *ocnt = s->u;                     /* u is all zeros now */
+    for (uint32_t i = 0; i < n_cand; ++i)
+        ocnt[i] = out_counts[i];
+    for (uint32_t i = 0; i < n_cand; ++i) {
+        uint32_t v = ocnt[i];
+        if (v < minv) continue;
+        uint32_t pos = hist[v]++;
+        out_tix[pos] = otix[i];
+        out_counts[pos] = v;
+    }
+    /* re-zero the borrowed u prefix */
+    memset(ocnt, 0, n_cand * sizeof(uint32_t));
+    return (int64_t)n_keep;
+}
+
+/* FastMaskSeq (semantics of usearch12 src/fastmask.cpp FastMaskSeq):
+ * homopolymer runs >=5 masked from start+2; tandem 2-mers (both phases)
+ * >=5 cols masked (hardmask from start+1, soft from start+2); no
+ * end-of-loop flush for the tandem scan.  The reference masks IN PLACE
+ * (MaskSeq(Seq,L,Type,Seq), src/seqdb.cpp:446), so with -hardmask the
+ * tandem passes read 'N's written by earlier passes — comparisons must
+ * read toupper(out[i]) of the evolving buffer, not the original seq. */
+#define MASK_UPPER(c) (((c) >= 'a' && (c) <= 'z') ? (uint8_t)((c) - 32) : (c))
+
+void fast_mask_c(const uint8_t *up_unused, uint8_t *out, int64_t L,
+                 int hardmask, uint8_t hard_char)
+{
+    (void)up_unused;
+    if (L < 2)
+        return;
+    const int64_t k1 = 5, j1 = 2, k2 = 5, j2 = 1;
+
+    int lastc = -1;
+    int64_t start = -1;
+    for (int64_t i = 0; i < L; ++i) {
+        int c = MASK_UPPER(out[i]);
+        if (c != lastc || i + 1 == L) {
+            int64_t n1 = (start >= 0) ? i - start : i + 1;
+            if (n1 >= k1 && start >= 0) {
+                int64_t lo = start + j1;
+                for (int64_t j = lo; j < i; ++j) {
+                    if (hardmask)
+                        out[j] = hard_char;
+                    else if (out[j] >= 'A' && out[j] <= 'Z')
+                        out[j] = (uint8_t)(out[j] + 32);
+                }
+            }
+            start = i;
+        }
+        lastc = c;
+    }
+
+    for (int64_t phase = 0; phase <= 1; ++phase) {
+        int32_t last_pair = -1;
+        start = -((int64_t)1 << 40);
+        for (int64_t i = phase; i < L - 1; i += 2) {
+            int32_t pair = ((int32_t)MASK_UPPER(out[i]) << 8)
+                           + MASK_UPPER(out[i + 1]);
+            if (pair != last_pair) {
+                int64_t n2 = i - start;
+                if (start >= 0 && n2 >= k2) {
+                    /* reference quirk: hardmask from start+j2, soft from
+                     * start+2*j2 (src/fastmask.cpp:144-151) */
+                    int64_t lo = start + (hardmask ? j2 : 2 * j2);
+                    for (int64_t j = lo; j < i; ++j) {
+                        if (hardmask)
+                            out[j] = hard_char;
+                        else if (out[j] >= 'A' && out[j] <= 'Z')
+                            out[j] = (uint8_t)(out[j] + 32);
+                    }
+                }
+                start = i;
+            }
+            last_pair = pair;
+        }
+    }
+}

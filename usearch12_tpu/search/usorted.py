@@ -92,14 +92,22 @@ class USortedRanker:
 
     def __init__(self, index: UDBIndex) -> None:
         self.index = index
+        self._native = None
+        try:
+            from ..native import NativeRanker
+            self._native = NativeRanker(index)
+        except Exception:
+            pass
 
     def rank(self, query_seq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (ordered_target_indexes, their word counts)."""
+        o = options()
+        bump = o.uns("bump")
+        if self._native is not None and not o.flag("quicksort"):
+            return self._native.rank(query_seq, bump, 0)
         params = self.index.params
         uw = params.unique_words(query_seq)
         u = self.index.count_u(uw)
-        o = options()
-        bump = o.uns("bump")
         if bump != 0:
             top_u, top_tix = set_top_bump(u, 1, bump)
         else:
@@ -114,13 +122,16 @@ class USortedRanker:
                      query_label: str = "", labels=None):
         """GetU (src/udbusortedsearcher.cpp:489-532): no-bump top list,
         optionally deleting the query itself from the tied-top block."""
-        params = self.index.params
-        uw = params.unique_words(query_seq)
-        u = self.index.count_u(uw)
-        top_u, top_tix = set_top_no_bump(u, 1)
-        order = count_sort_order_desc(top_u)
-        tix = top_tix[order]
-        counts = top_u[order]
+        if self._native is not None:
+            tix, counts = self._native.rank(query_seq, 0, 1)
+        else:
+            params = self.index.params
+            uw = params.unique_words(query_seq)
+            u = self.index.count_u(uw)
+            top_u, top_tix = set_top_no_bump(u, 1)
+            order = count_sort_order_desc(top_u)
+            tix = top_tix[order]
+            counts = top_u[order]
         if self_delete and len(tix) > 0 and labels is not None:
             top_count = counts[0]
             for i in range(len(tix)):
