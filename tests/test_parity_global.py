@@ -142,3 +142,54 @@ def test_udb_db_input_parity(ref_bin, amplicons_small_fa, tmp_path):
     run_ref(ref_bin, base + ["-blast6out", g])
     assert cli_main(base + ["-blast6out", m, "-quiet"]) == 0
     assert open(g).read() == open(m).read()
+
+
+def test_mask_variants_udb_parity(ref_bin, tmp_path):
+    """dust (nt) and seg (aa) masking, soft and hard, compared via the
+    .udb file which embeds the masked SeqDB byte-for-byte."""
+    import numpy as np
+    rng = np.random.default_rng(41)
+    nt = str(tmp_path / "nt.fa")
+    with open(nt, "w") as f:
+        for i in range(12):
+            parts = []
+            while sum(len(p) for p in parts) < 220:
+                r = rng.random()
+                if r < 0.3:
+                    parts.append("ACGT"[int(rng.integers(0, 4))]
+                                 * int(rng.integers(2, 14)))
+                elif r < 0.5:
+                    d = ("ACGT"[int(rng.integers(0, 4))]
+                         + "ACGT"[int(rng.integers(0, 4))])
+                    parts.append(d * int(rng.integers(2, 9)))
+                else:
+                    parts.append("".join(
+                        "ACGT"[int(j)]
+                        for j in rng.integers(0, 4, int(rng.integers(4, 25)))))
+            f.write(f">n{i}\n{''.join(parts)[:220]}\n")
+    aa = str(tmp_path / "aa.fa")
+    AA = "ACDEFGHIKLMNPQRSTVWY"
+    with open(aa, "w") as f:
+        for i in range(12):
+            parts = []
+            while sum(len(p) for p in parts) < 180:
+                r = rng.random()
+                if r < 0.3:
+                    parts.append(AA[int(rng.integers(0, 20))]
+                                 * int(rng.integers(3, 14)))
+                else:
+                    parts.append("".join(
+                        AA[int(j)]
+                        for j in rng.integers(0, 20,
+                                              int(rng.integers(4, 25)))))
+            f.write(f">p{i}\n{''.join(parts)[:180]}\n")
+    for path, mk in ((nt, "dust"), (aa, "seg"), (nt, "fastnucleo"),
+                     (aa, "fastamino")):
+        for hm in ([], ["-hardmask"]):
+            g = str(tmp_path / "g.udb")
+            m = str(tmp_path / "m.udb")
+            run_ref(ref_bin, ["-makeudb_usearch", path, "-output", g,
+                              "-dbmask", mk] + hm)
+            run_mine(["-makeudb_usearch", path, "-output", m,
+                      "-dbmask", mk] + hm)
+            assert open(g, "rb").read() == open(m, "rb").read(), (mk, hm)

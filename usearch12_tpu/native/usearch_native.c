@@ -1829,3 +1829,104 @@ void fast_mask_c(const uint8_t *up_unused, uint8_t *out, int64_t L,
         }
     }
 }
+
+/* DUST low-complexity masking (semantics of usearch12 src/duster.h:31-140,
+ * the classic Tatusov/Lipman dust): 64-wide windows stepped by 32; triplet
+ * counting over every suffix; score v=10*sum/j; regions with v>level=20
+ * masked (soft tolower / hardmask 'N').  Unmasked bytes keep their
+ * original case (memcpy, no touppering). */
+static int dust_counts[32 * 32 * 32];
+static int dust_iis[32 * 32 * 32];
+static int dust_mv, dust_iv, dust_jv;
+
+static void dust_wo1(int len, const uint8_t *s, int ivv)
+{
+    int n1 = 32 * 32 * 32 - 1;
+    int nis = 0, i = 0, ii = 0, sum = 0, v = 0;
+    for (int j = 0; j < len; ++j, ++s) {
+        ii <<= 5;
+        uint8_t c = *s;
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+            ii |= (c >= 'a') ? (c - 'a') : (c - 'A');
+        } else {
+            i = 0;
+            continue;
+        }
+        ii &= n1;
+        ++i;
+        if (i >= 3) {
+            int js;
+            for (js = 0; js < nis && dust_iis[js] != ii; ++js)
+                ;
+            if (js == nis) {
+                dust_iis[nis++] = ii;
+                dust_counts[ii] = 0;
+            }
+            int t = dust_counts[ii];
+            if (t > 0) {
+                sum += t;
+                v = 10 * sum / j;
+                if (dust_mv < v) {
+                    dust_mv = v;
+                    dust_iv = ivv;
+                    dust_jv = j;
+                }
+            }
+            dust_counts[ii]++;
+        }
+    }
+}
+
+static int dust_wo(int len, const uint8_t *s, int *beg, int *end)
+{
+    int l1 = len - 3 + 1;
+    if (l1 < 0) {
+        *beg = 0;
+        *end = len - 1;
+        return 0;
+    }
+    dust_mv = 0;
+    dust_iv = 0;
+    dust_jv = 0;
+    for (int i = 0; i < l1; ++i)
+        dust_wo1(len - i, s + i, i);
+    *beg = dust_iv;
+    *end = dust_iv + dust_jv;
+    return dust_mv;
+}
+
+void dust_mask_c(const uint8_t *s, int64_t ulen, uint8_t *t, int hardmask)
+{
+    const int window = 64, window2 = 32, level = 20;
+    int len = (int)ulen;
+    if (t != s)
+        memcpy(t, s, (size_t)len);
+    int from = 0, to = -1;
+    for (int i = 0; i < len; i += window2) {
+        from -= window2;
+        to -= window2;
+        int l = (len > i + window) ? window : len - i;
+        int a, b;
+        int v = dust_wo(l, s + i, &a, &b);
+        int j;
+        for (j = from; j <= to; ++j) {
+            if (hardmask)
+                t[i + j] = 'N';
+            else if (t[i + j] >= 'A' && t[i + j] <= 'Z')
+                t[i + j] = (uint8_t)(t[i + j] + 32);
+        }
+        if (v > level) {
+            for (j = a; j <= b && j < window2; ++j) {
+                if (hardmask)
+                    t[i + j] = 'N';
+                else if (t[i + j] >= 'A' && t[i + j] <= 'Z')
+                    t[i + j] = (uint8_t)(t[i + j] + 32);
+            }
+            from = j;
+            to = b;
+        } else {
+            from = 0;
+            to = -1;
+        }
+    }
+}
