@@ -55,7 +55,27 @@ class AlignResult:
         counting semantics as the reference's per-column loop)."""
         if self._filled:
             return
-        path_b = np.frombuffer(self.path.encode("ascii"), dtype=np.uint8)
+        from ..native import path_stats
+        pb = self.path.encode("ascii")
+        st = path_stats(pb, np.ascontiguousarray(self.query_seq),
+                        np.ascontiguousarray(self.target_seq),
+                        self.loi, self.loj, self.nucleo)
+        if st is not None:
+            (first_m, last_m, self.first_m_qpos, self.first_m_tpos,
+             self.last_m_qpos, self.last_m_tpos, id_count, diff_a,
+             m_cols, gap_opens) = (int(v) for v in st)
+            self.id_count = id_count
+            self.mismatch_count = m_cols - id_count
+            self.diff_count_a = diff_a
+            self.first_m_col = first_m
+            self.last_m_col = last_m
+            self.aln_length = last_m - first_m + 1
+            self.int_gap_count = self.aln_length - m_cols
+            self.term_gap_count = len(pb) - self.aln_length
+            self._gap_opens = gap_opens
+            self._filled = True
+            return
+        path_b = np.frombuffer(pb, dtype=np.uint8)
         col_count = len(path_b)
         is_m = path_b == 77          # 'M'
         m_cols = np.nonzero(is_m)[0]
@@ -115,6 +135,9 @@ class AlignResult:
     def get_gap_open_count(self) -> int:
         """src/arscorer.cpp:554-569 (within FirstMCol..LastMCol)."""
         self._fill()
+        cached = getattr(self, "_gap_opens", None)
+        if cached is not None:
+            return cached
         n = 0
         lastc = "M"
         for col in range(self.first_m_col, self.last_m_col + 1):

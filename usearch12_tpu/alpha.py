@@ -83,29 +83,28 @@ def _is_gap(i: int) -> bool:
 
 
 def _build_match_mxs():
-    """256x256 char-indexed identity matrices (src/alpha2.cpp:220-280)."""
-    amino = np.zeros((256, 256), dtype=bool)
-    nucleo = np.zeros((256, 256), dtype=bool)
-    up = np.array([ord(chr(i).upper()) if _is_alpha_ascii(i) else i
-                   for i in range(256)])
-    for i in range(256):
-        ai = _is_alpha_ascii(i)
-        for j in range(256):
-            aj = _is_alpha_ascii(j)
-            if not ai or not aj:
-                eq = _is_gap(i) and _is_gap(j)
-                amino[i, j] = eq
-                nucleo[i, j] = eq
-                continue
-            if up[i] == up[j]:
-                amino[i, j] = True
-                nucleo[i, j] = True
-                continue
-            amino[i, j] = (up[i] == ord("X")) or (up[j] == ord("X"))
-            # IUPAC_Eq(i,j) = bit(i) & bits(j); symmetric OR
-            eq_ij = (_NUCLEO_CHAR_TO_BIT[i] & _IUPAC_CHAR_TO_BITS[j]) != 0
-            eq_ji = (_NUCLEO_CHAR_TO_BIT[j] & _IUPAC_CHAR_TO_BITS[i]) != 0
-            nucleo[i, j] = eq_ij or eq_ji
+    """256x256 char-indexed identity matrices (src/alpha2.cpp:220-280),
+    vectorized (import-time hot: runs on every process start)."""
+    idx = np.arange(256)
+    is_alpha = ((idx >= ord("A")) & (idx <= ord("Z"))) | \
+               ((idx >= ord("a")) & (idx <= ord("z")))
+    is_gap = (idx == ord("-")) | (idx == ord("."))
+    up = np.where((idx >= ord("a")) & (idx <= ord("z")), idx - 32, idx)
+
+    both_alpha = is_alpha[:, None] & is_alpha[None, :]
+    gap_eq = is_gap[:, None] & is_gap[None, :]
+    same_up = up[:, None] == up[None, :]
+
+    amino = np.where(both_alpha,
+                     same_up | (up[:, None] == ord("X"))
+                     | (up[None, :] == ord("X")),
+                     gap_eq)
+    # IUPAC_Eq(i,j) = bit(i) & bits(j); symmetric OR
+    bit = _NUCLEO_CHAR_TO_BIT.astype(np.int64)
+    bits = _IUPAC_CHAR_TO_BITS.astype(np.int64)
+    iupac = ((bit[:, None] & bits[None, :]) != 0) | \
+            ((bit[None, :] & bits[:, None]) != 0)
+    nucleo = np.where(both_alpha, same_up | iupac, gap_eq)
     # B = N or D, Z = Q or E (uppercase only, matching reference)
     for a, b in (("B", "N"), ("B", "D"), ("Z", "Q"), ("Z", "E")):
         amino[ord(a), ord(b)] = True

@@ -105,6 +105,11 @@ def get_lib():
         lib.fast_mask_c.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_uint8]
+        lib.path_stats_c.restype = ctypes.c_int
+        lib.path_stats_c.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.dust_mask_c.restype = None
         lib.dust_mask_c.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
@@ -156,18 +161,19 @@ class NativeRanker:
         except Exception:
             pass
 
-    def rank(self, seq: np.ndarray, bump_pct: int, mode: int):
-        """mode 0 = SetTopBump(1,bump)+countsort; 1 = no-bump+countsort.
-        Returns (tix int64, counts uint32) in ranked order."""
+    def _db_args(self, seq_count: int):
+        """Cache the DB-view argument tuple; it only changes when the
+        index's posting tiers or seq_count change."""
         ix = self.index
-        seq_count = ix.seq_count
-        if seq_count == 0:
-            return (np.zeros(0, np.int64), np.zeros(0, np.uint32))
+        key = (id(ix._postings), id(ix._sorted_w), ix._pending_total,
+               seq_count)
+        cached = getattr(self, "_db_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         if len(self._out_tix) < seq_count:
             cap = 2 * seq_count + 1024
             self._out_tix = np.zeros(cap, dtype=np.uint32)
             self._out_counts = np.zeros(cap, dtype=np.uint32)
-        seq = np.ascontiguousarray(seq, dtype=np.uint8)
         has_csr = ix._postings is not None and len(ix._postings) > 0
         sw = ix._sorted_w if ix._sorted_w is not None else self._ZI64
         st = ix._sorted_t if ix._sorted_t is not None else self._ZI32
@@ -176,15 +182,29 @@ class NativeRanker:
         else:
             pw, pt = self._ZI64, self._ZI32
         p = ix.params
+        args = (self._table.ctypes.data,
+                p.alpha_size, p.word_length, p.slot_count,
+                ix._starts.ctypes.data if has_csr else None,
+                ix._postings.ctypes.data if has_csr else None, int(has_csr),
+                sw.ctypes.data, st.ctypes.data, len(sw),
+                pw.ctypes.data, pt.ctypes.data, len(pw),
+                seq_count)
+        # hold refs so the pointers stay alive
+        self._db_cache = (key, args, (sw, st, pw, pt))
+        return args
+
+    def rank(self, seq: np.ndarray, bump_pct: int, mode: int):
+        """mode 0 = SetTopBump(1,bump)+countsort; 1 = no-bump+countsort.
+        Returns (tix int64, counts uint32) in ranked order."""
+        seq_count = self.index.seq_count
+        if seq_count == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.uint32))
+        args = self._db_args(seq_count)
+        if not seq.flags["C_CONTIGUOUS"]:
+            seq = np.ascontiguousarray(seq)
         n = self.lib.usort_rank_c(
-            self._scratch,
-            seq.ctypes.data, len(seq), self._table.ctypes.data,
-            p.alpha_size, p.word_length, p.slot_count,
-            ix._starts.ctypes.data if has_csr else None,
-            ix._postings.ctypes.data if has_csr else None, int(has_csr),
-            sw.ctypes.data, st.ctypes.data, len(sw),
-            pw.ctypes.data, pt.ctypes.data, len(pw),
-            seq_count, bump_pct, mode,
+            self._scratch, seq.ctypes.data, len(seq), *args,
+            bump_pct, mode,
             self._out_tix.ctypes.data, self._out_counts.ctypes.data)
         return (self._out_tix[:n].astype(np.int64),
                 self._out_counts[:n].copy())
@@ -275,3 +295,33 @@ class NativeAligner:
         if n == -3:
             return "fulldp", None
         return "chain", hsps[:n].copy()
+
+
+_ps_tables = None
+
+
+def path_stats(path_b: bytes, q: np.ndarray, t: np.ndarray,
+               loi: int, loj: int, nucleo: bool):
+    """C-backed AlignResult._fill core.  Returns an int64[10] array
+    (first_m_col, last_m_col, first_m_qpos, first_m_tpos, last_m_qpos,
+    last_m_tpos, id_count, diff_count_a, m_col_count, gap_open_count)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    global _ps_tables
+    if _ps_tables is None:
+        from ..alpha import MATCH_MX_AMINO, MATCH_MX_NUCLEO, TO_UPPER
+        _ps_tables = (
+            np.ascontiguousarray(MATCH_MX_NUCLEO.astype(np.uint8)),
+            np.ascontiguousarray(MATCH_MX_AMINO.astype(np.uint8)),
+            np.ascontiguousarray(TO_UPPER),
+        )
+    mx = _ps_tables[0] if nucleo else _ps_tables[1]
+    out = np.zeros(10, dtype=np.int64)
+    rc = lib.path_stats_c(path_b, len(path_b), q.ctypes.data,
+                          t.ctypes.data, loi, loj, mx.ctypes.data,
+                          _ps_tables[2].ctypes.data, out.ctypes.data)
+    if rc != 0:
+        raise AssertionError("path with no M columns")
+    return out

@@ -1930,3 +1930,61 @@ void dust_mask_c(const uint8_t *s, int64_t ulen, uint8_t *t, int hardmask)
         }
     }
 }
+
+/* Alignment path statistics (semantics of align/result.py AlignResult._fill
+ * / usearch12 src/arscorer.cpp FillLo:201-296 + gap opens :554-569).
+ * out[0..9] = first_m_col, last_m_col, first_m_qpos, first_m_tpos,
+ * last_m_qpos, last_m_tpos, id_count, diff_count_a, m_col_count,
+ * gap_open_count.  Returns 0, or -1 if the path has no M column. */
+int path_stats_c(const uint8_t *path, int64_t col_count,
+                 const uint8_t *q, const uint8_t *t,
+                 int64_t loi, int64_t loj,
+                 const uint8_t *match_mx, const uint8_t *to_upper,
+                 int64_t *out)
+{
+    int64_t qpos = loi, tpos = loj;
+    int64_t first_m = -1, last_m = -1;
+    int64_t id_count = 0, diff_a = 0, m_cols = 0;
+    for (int64_t k = 0; k < col_count; ++k) {
+        uint8_t c = path[k];
+        if (c == 'M') {
+            if (first_m < 0) {
+                first_m = k;
+                out[2] = qpos;
+                out[3] = tpos;
+            }
+            last_m = k;
+            out[4] = qpos;
+            out[5] = tpos;
+            uint8_t a = q[qpos], b = t[tpos];
+            if (match_mx[(size_t)a * 256 + b])
+                ++id_count;
+            if (to_upper[a] != to_upper[b])
+                ++diff_a;
+            ++m_cols;
+            ++qpos;
+            ++tpos;
+        } else if (c == 'D') {
+            ++qpos;
+        } else {
+            ++tpos;
+        }
+    }
+    if (first_m < 0)
+        return -1;
+    int64_t gap_opens = 0;
+    uint8_t lastc = 'M';
+    for (int64_t k = first_m; k <= last_m; ++k) {
+        uint8_t c = path[k];
+        if (c != 'M' && lastc == 'M')
+            ++gap_opens;
+        lastc = c;
+    }
+    out[0] = first_m;
+    out[1] = last_m;
+    out[6] = id_count;
+    out[7] = diff_a;
+    out[8] = m_cols;
+    out[9] = gap_opens;
+    return 0;
+}
