@@ -101,6 +101,19 @@ def get_lib():
             u8p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+        lib.search_ranked_c.restype = ctypes.c_int64
+        lib.search_ranked_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(GapParams),
+            ctypes.c_void_p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int64]
         lib.fast_mask_c.restype = None
         lib.fast_mask_c.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -273,6 +286,64 @@ class NativeAligner:
         if n < 0:
             raise RuntimeError(f"global_align_c error {n}")
         return self._path_buf.raw[:n].decode("ascii")
+
+    def set_db_view(self, seqs) -> None:
+        """Concatenate the target DB once for the C search loop."""
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        self._db_concat = (np.concatenate(seqs).astype(np.uint8, copy=False)
+                           if len(seqs) else np.zeros(0, np.uint8))
+        self._db_offs = offs
+        self._db_lens = lens
+        from ..alpha import MATCH_MX_AMINO, MATCH_MX_NUCLEO
+        self._id_mx = np.ascontiguousarray(
+            (MATCH_MX_NUCLEO if self.ap.nucleo else MATCH_MX_AMINO)
+            .astype(np.uint8))
+
+    def search_ranked(self, cand: np.ndarray, min_id: float, max_id: float,
+                      has_max_id: bool, maxaccepts: int, maxrejects: int,
+                      full_dp_always: bool, fail_if_no_hsps: bool):
+        """C fast-path per-strand loop (search_ranked_c): align ranked
+        candidates, -id accept, maxaccepts/maxrejects terminate.  The
+        query must have been set with set_a.  Returns [(tix, path)]."""
+        n_cand = len(cand)
+        if n_cand == 0:
+            return []
+        cand32 = np.ascontiguousarray(cand, dtype=np.uint32)
+        acc_tix = np.zeros(n_cand, dtype=np.uint32)
+        acc_off = np.zeros(n_cand + 1, dtype=np.int64)
+        ah = self.ah
+        cap = 1 << 20
+        while True:
+            if cap > len(self._path_buf):
+                self._path_buf = ctypes.create_string_buffer(cap)
+            na = self.lib.search_ranked_c(
+                self._hf, self._scratch, ctypes.byref(self._gp),
+                self._match.ctypes.data,
+                ah.band_radius, ah.min_global_hsp_length,
+                ah.min_global_hsp_fract_id, ah.min_global_hsp_score,
+                ah.xdrop_global_hsp, int(full_dp_always),
+                int(fail_if_no_hsps),
+                self._db_concat.ctypes.data, self._db_offs.ctypes.data,
+                self._db_lens.ctypes.data,
+                cand32.ctypes.data, n_cand,
+                self._id_mx.ctypes.data,
+                min_id, max_id, int(has_max_id),
+                maxaccepts, maxrejects,
+                acc_tix.ctypes.data, acc_off.ctypes.data,
+                self._path_buf, len(self._path_buf))
+            if na >= 0:
+                break
+            cap = 2 * len(self._path_buf)
+        base = ctypes.addressof(self._path_buf)
+        out = []
+        for k in range(na):
+            lo, hi = int(acc_off[k]), int(acc_off[k + 1])
+            out.append((int(acc_tix[k]),
+                        ctypes.string_at(base + lo, hi - lo)
+                        .decode("ascii")))
+        return out
 
     def global_chain(self, full_dp_always: bool = False,
                      fail_if_no_hsps: bool = True):

@@ -1988,3 +1988,85 @@ int path_stats_c(const uint8_t *path, int64_t col_count,
     out[9] = gap_opens;
     return 0;
 }
+
+/* Fast-path per-strand search loop (semantics of search/driver.py
+ * _search_strand + accepter.py -id check + terminator.py counters, i.e.
+ * usearch12 Searcher::Align / IsAcceptLo / Terminator::Terminate for the
+ * common option set: -id only, no pair-rejection options, no
+ * termid/termidd).  Aligns ranked candidates in order, accepting when
+ * fract_id >= min_id (and <= max_id when has_max_id), stopping at
+ * maxaccepts/maxrejects.  Paths are concatenated into path_buf with
+ * acc_off[0..n] offsets.  Returns accepted count, or -1 if path_buf is
+ * too small (caller retries with a bigger buffer). */
+int64_t search_ranked_c(
+    HSPFinderC *hf, AlignScratch *s, const GapParams *gp,
+    const uint8_t *match_mx,
+    uint32_t band_radius, uint32_t min_hsp_len, float min_hsp_fract,
+    float min_hsp_score, float xdrop_g, int full_dp_always,
+    int fail_if_no_hsps,
+    const uint8_t *tconcat, const int64_t *toffs, const int64_t *tlens,
+    const uint32_t *cand, int64_t n_cand,
+    const uint8_t *id_mx256,
+    float min_id, float max_id, int has_max_id,
+    int64_t maxaccepts, int64_t maxrejects,
+    uint32_t *acc_tix, int64_t *acc_off, char *path_buf, int64_t path_cap)
+{
+    int64_t na = 0, nrej = 0, cur = 0;
+    acc_off[0] = 0;
+    const uint8_t *q = hf->a;
+    for (int64_t k = 0; k < n_cand; ++k) {
+        uint32_t t = cand[k];
+        const uint8_t *tseq = tconcat + toffs[t];
+        int64_t tl = tlens[t];
+        if (cur + (int64_t)hf->la + tl + 2 > path_cap)
+            return -1;
+        hsp_set_b(hf, tseq, (uint32_t)tl);
+        float fract_unused = 0.0f;
+        int n = global_align_c(hf, s, gp, match_mx, band_radius,
+                               min_hsp_len, min_hsp_fract, min_hsp_score,
+                               xdrop_g, full_dp_always, fail_if_no_hsps,
+                               path_buf + cur, &fract_unused);
+        int accept = 0;
+        if (n > 0) {
+            /* GetFractId over the path (arscorer.cpp GetFractId):
+             * id M-cols / (last_m - first_m + 1) */
+            const char *p = path_buf + cur;
+            int64_t qpos = 0, tpos = 0;
+            int64_t first_m = -1, last_m = -1, idc = 0;
+            for (int64_t c = 0; c < n; ++c) {
+                char op = p[c];
+                if (op == 'M') {
+                    if (first_m < 0)
+                        first_m = c;
+                    last_m = c;
+                    if (id_mx256[(size_t)q[qpos] * 256 + tseq[tpos]])
+                        ++idc;
+                    ++qpos;
+                    ++tpos;
+                } else if (op == 'D') {
+                    ++qpos;
+                } else {
+                    ++tpos;
+                }
+            }
+            double fract = 0.0;
+            if (first_m >= 0)
+                fract = (double)idc / (double)(last_m - first_m + 1);
+            accept = !(fract < (double)min_id);
+            if (accept && has_max_id && fract > (double)max_id)
+                accept = 0;
+        }
+        if (accept) {
+            acc_tix[na] = t;
+            cur += n;
+            acc_off[++na] = cur;
+            if (maxaccepts > 0 && na == maxaccepts)
+                break;
+        } else {
+            ++nrej;
+            if (maxrejects > 0 && nrej == maxrejects)
+                break;
+        }
+    }
+    return na;
+}

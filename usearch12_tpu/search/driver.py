@@ -108,6 +108,56 @@ class SearchContext:
                                 orf=(frame, lo, hi, nuc_l))
         return hm.hits
 
+    def _fast_loop_ok(self) -> bool:
+        """True when the accept/terminate logic reduces to the C fast
+        path: -id (+ default maxid) only, counter-based termination."""
+        cached = getattr(self, "_fast_ok", None)
+        if cached is not None:
+            return cached
+        ok = self.native is not None and not self.accepter.accept_all
+        if ok:
+            o = options()
+            for opt in ("evalue", "query_cov", "max_query_cov",
+                        "target_cov", "max_target_cov", "abskew",
+                        "min_sizeratio", "minqt", "maxqt", "minsl",
+                        "maxsl", "termid", "termidd", "mincols",
+                        "maxgaps", "maxdiffs", "mindiffs"):
+                if o.filled(opt):
+                    ok = False
+                    break
+            if ok and (o.flag("self") or o.flag("notself")
+                       or o.flag("selfid")):
+                ok = False
+        if ok:
+            self.native.set_db_view(self.db.seqs)
+        self._fast_ok = ok
+        return ok
+
+    def _search_strand_fast(self, q_label: str, q_seq: np.ndarray,
+                            revcomp: bool, tix_order, orf) -> None:
+        """C fast path: align+accept+terminate in one native call, then
+        materialize the accepted AlignResults."""
+        o = options()
+        if len(self.native._db_lens) != len(self.db.seqs):
+            self.native.set_db_view(self.db.seqs)   # DB grew: rebuild view
+        self.native.set_a(q_seq)
+        min_id = o.flt("id") if o.filled("id") else -1.0
+        has_max_id = o.filled("maxid")
+        max_id = o.flt("maxid") if has_max_id else 1.0
+        hits = self.native.search_ranked(
+            tix_order, min_id, max_id, has_max_id,
+            self.terminator.max_accepts, self.terminator.max_rejects,
+            self.ah.full_dp_always, not o.flag("gaforce"))
+        db = self.db
+        for tix, path in hits:
+            ar = AlignResult(query_label=q_label, target_label=db.labels[tix],
+                             query_seq=q_seq, target_seq=db.seqs[tix],
+                             path=path, nucleo=self.nucleo,
+                             target_index=tix, query_revcomp=revcomp)
+            if orf is not None:
+                ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi, ar.orf_nuc_l = orf
+            self.hitmgr.append_hit(ar)
+
     def _search_strand(self, q_label: str, q_seq: np.ndarray,
                        revcomp: bool, orf=None) -> None:
         tix_order, _counts = self.ranker.rank(q_seq)
@@ -116,6 +166,9 @@ class SearchContext:
         if self.local:
             self._search_strand_local(q_label, q_seq, revcomp, tix_order,
                                       orf=orf)
+            return
+        if self._fast_loop_ok():
+            self._search_strand_fast(q_label, q_seq, revcomp, tix_order, orf)
             return
         aligner = self.native if self.native is not None else self.hf
         aligner.set_a(q_seq)
