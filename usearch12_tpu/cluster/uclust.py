@@ -178,6 +178,11 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
 
     centroid_seqs: List[np.ndarray] = []  # index-aligned with state clusters
 
+    from ..search.driver import fast_loop_eligible, fast_search_hits
+    fast = native is not None and fast_loop_eligible(accepter)
+    if fast:
+        native.db_view_clear()
+
     for unique_index in order:
         q_label = unique_db.labels[unique_index]
         q_seq = unique_db.seqs[unique_index]
@@ -193,6 +198,22 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
                 terminator.on_new_query()
             tix_order, _counts = ranker.rank(q_strand_seq)
             if len(tix_order) == 0:
+                continue
+            if fast:
+                hits = fast_search_hits(native, q_strand_seq, tix_order,
+                                        terminator.max_accepts,
+                                        terminator.max_rejects,
+                                        ah.full_dp_always)
+                for tix, path in hits:
+                    hm.append_hit(AlignResult(
+                        query_label=q_label,
+                        target_label=state.centroid_labels[tix],
+                        query_seq=q_strand_seq,
+                        target_seq=centroid_seqs[tix], path=path,
+                        nucleo=nucleo, target_index=tix,
+                        query_revcomp=is_rc))
+                if hits and not rev_comp:
+                    break
                 continue
             if native is not None:
                 native.set_a(q_strand_seq)
@@ -229,6 +250,8 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
             centroid_seqs.append(q_seq)
             index.add_seq(ci, q_seq)
             index.seq_count = ci + 1
+            if fast:
+                native.db_view_append(q_seq)
 
         # UC records (OutputSink::OnQueryDone order: sorted hits then
         # matched/unmatched extras)
@@ -351,11 +374,27 @@ def cluster_mt(input_path: Optional[str]) -> None:
     f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
     fail = not o.flag("gaforce")
 
+    from ..search.driver import fast_loop_eligible, fast_search_hits
+    fast = native is not None and fast_loop_eligible(accepter)
+    if fast:
+        native.db_view_clear()
+
     def search_one(q_label, q_seq):
         """Search vs current centroids; returns top hit AR or None."""
         hm = HitMgr()
         terminator.on_new_query()
         tix_order, _c = ranker.rank(q_seq)
+        if len(tix_order) and fast:
+            hits = fast_search_hits(native, q_seq, tix_order,
+                                    terminator.max_accepts,
+                                    terminator.max_rejects,
+                                    ah.full_dp_always)
+            for tix, path in hits:
+                hm.append_hit(AlignResult(
+                    query_label=q_label, target_label=centroid_labels[tix],
+                    query_seq=q_seq, target_seq=centroid_seqs[tix],
+                    path=path, nucleo=nucleo, target_index=tix))
+            return hm.top_hit()
         if len(tix_order):
             if native is not None:
                 native.set_a(q_seq)
@@ -393,6 +432,8 @@ def cluster_mt(input_path: Optional[str]) -> None:
         centroid_seqs.append(q_seq)
         index.add_seq(ci, q_seq)
         index.seq_count = ci + 1
+        if fast:
+            native.db_view_append(q_seq)
         return ci
 
     from ..io.fastx import read_fastx

@@ -95,6 +95,7 @@ class UDBIndex:
         self._pending_words: List[np.ndarray] = []
         self._pending_tix: List[np.ndarray] = []
         self._pending_cache = None
+        self._pending_raw_cache = None
         self._pending_total = 0
         # word-sorted middle tier (between the raw tail and the CSR)
         self._sorted_w: Optional[np.ndarray] = None
@@ -124,6 +125,7 @@ class UDBIndex:
         self.seq_count = max(self.seq_count, seq_index + 1)
         self._flat_dirty = True
         self._pending_cache = None
+        self._pending_raw_cache = None
         self._pending_total += len(words)
         if self._pending_total >= 8192:
             base = len(self._postings) if self._postings is not None else 0
@@ -165,6 +167,7 @@ class UDBIndex:
         self._pending_words = []
         self._pending_tix = []
         self._pending_cache = None
+        self._pending_raw_cache = None
         self._pending_total = 0
 
     def _flatten(self) -> None:
@@ -206,6 +209,7 @@ class UDBIndex:
         self._pending_words = []
         self._pending_tix = []
         self._pending_cache = None
+        self._pending_raw_cache = None
         self._pending_total = 0
         self._sorted_w = None
         self._sorted_t = None
@@ -274,6 +278,20 @@ class UDBIndex:
         tix = pt[base_idx + offs]
         tix = tix[tix < seq_count]
         np.add.at(u, tix, 1)
+
+    def _pending_raw(self):
+        """(words, seq indexes) of the raw pending tail, UNSORTED — the
+        native rank kernel scans it linearly against the query-word
+        bitmap, so no per-admit argsort is needed."""
+        if self._pending_raw_cache is None:
+            if self._pending_words:
+                self._pending_raw_cache = (
+                    np.concatenate(self._pending_words),
+                    np.concatenate(self._pending_tix))
+            else:
+                self._pending_raw_cache = (np.zeros(0, np.int64),
+                                           np.zeros(0, np.int32))
+        return self._pending_raw_cache
 
     def _pending_concat(self):
         """(sorted tail words, their seq indexes) — the raw tail stays

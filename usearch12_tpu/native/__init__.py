@@ -191,7 +191,7 @@ class NativeRanker:
         sw = ix._sorted_w if ix._sorted_w is not None else self._ZI64
         st = ix._sorted_t if ix._sorted_t is not None else self._ZI32
         if ix._pending_words:
-            pw, pt = ix._pending_concat()
+            pw, pt = ix._pending_raw()
         else:
             pw, pt = self._ZI64, self._ZI32
         p = ix.params
@@ -287,19 +287,54 @@ class NativeAligner:
             raise RuntimeError(f"global_align_c error {n}")
         return self._path_buf.raw[:n].decode("ascii")
 
+    def _ensure_id_mx(self) -> None:
+        if getattr(self, "_id_mx", None) is None:
+            from ..alpha import MATCH_MX_AMINO, MATCH_MX_NUCLEO
+            self._id_mx = np.ascontiguousarray(
+                (MATCH_MX_NUCLEO if self.ap.nucleo else MATCH_MX_AMINO)
+                .astype(np.uint8))
+
     def set_db_view(self, seqs) -> None:
-        """Concatenate the target DB once for the C search loop."""
+        """Concatenate the target DB for the C search loop."""
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
-        offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+        offs = np.zeros(max(len(seqs) + 1, 1), dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
         self._db_concat = (np.concatenate(seqs).astype(np.uint8, copy=False)
                            if len(seqs) else np.zeros(0, np.uint8))
         self._db_offs = offs
         self._db_lens = lens
-        from ..alpha import MATCH_MX_AMINO, MATCH_MX_NUCLEO
-        self._id_mx = np.ascontiguousarray(
-            (MATCH_MX_NUCLEO if self.ap.nucleo else MATCH_MX_AMINO)
-            .astype(np.uint8))
+        self._db_n = len(seqs)
+        self._db_total = int(offs[self._db_n])
+        self._ensure_id_mx()
+
+    def db_view_clear(self) -> None:
+        """Growable DB view for clustering (centroid DB grows per admit);
+        amortized O(1) appends via geometric growth."""
+        self._db_concat = np.zeros(1 << 16, dtype=np.uint8)
+        self._db_offs = np.zeros(1025, dtype=np.int64)
+        self._db_lens = np.zeros(1024, dtype=np.int64)
+        self._db_n = 0
+        self._db_total = 0
+        self._ensure_id_mx()
+
+    def db_view_append(self, seq: np.ndarray) -> None:
+        n = self._db_n
+        L = len(seq)
+        if n + 1 >= len(self._db_lens):
+            self._db_lens = np.resize(self._db_lens, 2 * len(self._db_lens))
+            self._db_offs = np.resize(self._db_offs,
+                                      2 * len(self._db_offs))
+        if self._db_total + L > len(self._db_concat):
+            cap = max(2 * len(self._db_concat), self._db_total + L)
+            new = np.zeros(cap, dtype=np.uint8)
+            new[:self._db_total] = self._db_concat[:self._db_total]
+            self._db_concat = new
+        self._db_concat[self._db_total:self._db_total + L] = seq
+        self._db_lens[n] = L
+        self._db_offs[n] = self._db_total
+        self._db_total += L
+        self._db_offs[n + 1] = self._db_total
+        self._db_n = n + 1
 
     def search_ranked(self, cand: np.ndarray, min_id: float, max_id: float,
                       has_max_id: bool, maxaccepts: int, maxrejects: int,

@@ -1645,9 +1645,6 @@ int64_t usort_rank_c(
             }
         }
     }
-    for (uint32_t k = 0; k < nuw; ++k)   /* clear bitmap (touched only) */
-        s->seen[s->uw[k] >> 3] = 0;
-
     /* -- SetU: scatter-add over the three posting tiers -- */
     uint32_t *u = s->u;
     int32_t *touched = s->touched;
@@ -1673,17 +1670,20 @@ int64_t usort_rank_c(
                 }
             }
         }
-        if (n_pending) {
-            int64_t lo = lower_bound64(pw, n_pending, w);
-            int64_t hi = lower_bound64(pw, n_pending, w + 1);
-            for (int64_t p = lo; p < hi; ++p) {
-                int32_t t = pt[p];
-                if ((uint32_t)t < seq_count) {
-                    if (u[t]++ == 0) touched[nt++] = t;
-                }
+    }
+    /* pending tier is RAW (unsorted, small): one linear pass testing each
+     * pair's word against the query-word bitmap */
+    for (int64_t p = 0; p < n_pending; ++p) {
+        int64_t w = pw[p];
+        if (s->seen[w >> 3] & (1u << (w & 7))) {
+            int32_t t = pt[p];
+            if ((uint32_t)t < seq_count) {
+                if (u[t]++ == 0) touched[nt++] = t;
             }
         }
     }
+    for (uint32_t k = 0; k < nuw; ++k)   /* clear bitmap (touched only) */
+        s->seen[s->uw[k] >> 3] = 0;
 
     /* -- SetTopBump / SetTop: dense index-order scan -- */
     uint32_t n_cand = 0;

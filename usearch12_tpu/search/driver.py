@@ -24,6 +24,42 @@ from .terminator import Terminator
 from .hitmgr import HitMgr
 from .usorted import USortedRanker
 
+# options that force the Python accept/terminate loop (anything beyond
+# -id/-maxid, counter-based termination)
+_FAST_LOOP_BLOCKERS = (
+    "evalue", "query_cov", "max_query_cov", "target_cov",
+    "max_target_cov", "abskew", "min_sizeratio", "minqt", "maxqt",
+    "minsl", "maxsl", "termid", "termidd", "mincols", "maxgaps",
+    "maxdiffs", "mindiffs")
+
+
+def fast_loop_eligible(accepter) -> bool:
+    """True when accept/reject/terminate semantics reduce to the C
+    fast-path loop (search_ranked_c)."""
+    if accepter.accept_all:
+        return False
+    o = options()
+    for opt in _FAST_LOOP_BLOCKERS:
+        if o.filled(opt):
+            return False
+    if o.flag("self") or o.flag("notself") or o.flag("selfid"):
+        return False
+    return True
+
+
+def fast_search_hits(native, q_seq, tix_order, max_accepts: int,
+                     max_rejects: int, full_dp_always: bool):
+    """Run the C fast-path loop for one strand; returns [(tix, path)].
+    The native aligner's DB view must be current."""
+    o = options()
+    native.set_a(q_seq)
+    min_id = o.flt("id") if o.filled("id") else -1.0
+    has_max_id = o.filled("maxid")
+    max_id = o.flt("maxid") if has_max_id else 1.0
+    return native.search_ranked(
+        tix_order, min_id, max_id, has_max_id, max_accepts, max_rejects,
+        full_dp_always, not o.flag("gaforce"))
+
 
 @dataclass
 class SearchContext:
@@ -114,20 +150,8 @@ class SearchContext:
         cached = getattr(self, "_fast_ok", None)
         if cached is not None:
             return cached
-        ok = self.native is not None and not self.accepter.accept_all
-        if ok:
-            o = options()
-            for opt in ("evalue", "query_cov", "max_query_cov",
-                        "target_cov", "max_target_cov", "abskew",
-                        "min_sizeratio", "minqt", "maxqt", "minsl",
-                        "maxsl", "termid", "termidd", "mincols",
-                        "maxgaps", "maxdiffs", "mindiffs"):
-                if o.filled(opt):
-                    ok = False
-                    break
-            if ok and (o.flag("self") or o.flag("notself")
-                       or o.flag("selfid")):
-                ok = False
+        ok = self.native is not None and \
+            fast_loop_eligible(self.accepter)
         if ok:
             self.native.set_db_view(self.db.seqs)
         self._fast_ok = ok
@@ -137,17 +161,12 @@ class SearchContext:
                             revcomp: bool, tix_order, orf) -> None:
         """C fast path: align+accept+terminate in one native call, then
         materialize the accepted AlignResults."""
-        o = options()
-        if len(self.native._db_lens) != len(self.db.seqs):
+        if self.native._db_n != len(self.db.seqs):
             self.native.set_db_view(self.db.seqs)   # DB grew: rebuild view
-        self.native.set_a(q_seq)
-        min_id = o.flt("id") if o.filled("id") else -1.0
-        has_max_id = o.filled("maxid")
-        max_id = o.flt("maxid") if has_max_id else 1.0
-        hits = self.native.search_ranked(
-            tix_order, min_id, max_id, has_max_id,
-            self.terminator.max_accepts, self.terminator.max_rejects,
-            self.ah.full_dp_always, not o.flag("gaforce"))
+        hits = fast_search_hits(self.native, q_seq, tix_order,
+                                self.terminator.max_accepts,
+                                self.terminator.max_rejects,
+                                self.ah.full_dp_always)
         db = self.db
         for tix, path in hits:
             ar = AlignResult(query_label=q_label, target_label=db.labels[tix],
