@@ -80,12 +80,16 @@ def uparse_big_fa(tmp_path_factory):
 def test_cluster_otus_parity(ref_bin, uparse_fa, tmp_path):
     g_fa, g_up = str(tmp_path / "g.fa"), str(tmp_path / "g.up")
     m_fa, m_up = str(tmp_path / "m.fa"), str(tmp_path / "m.up")
+    g_aln, m_aln = str(tmp_path / "g.aln"), str(tmp_path / "m.aln")
     run_ref(ref_bin, ["-cluster_otus", uparse_fa, "-otus", g_fa,
-                      "-uparseout", g_up, "-relabel", "Otu"])
+                      "-uparseout", g_up, "-uparsealnout", g_aln,
+                      "-relabel", "Otu"])
     assert cli_main(["-cluster_otus", uparse_fa, "-otus", m_fa,
-                     "-uparseout", m_up, "-relabel", "Otu", "-quiet"]) == 0
+                     "-uparseout", m_up, "-uparsealnout", m_aln,
+                     "-relabel", "Otu", "-quiet"]) == 0
     assert open(g_up).read() == open(m_up).read()
     assert open(g_fa).read() == open(m_fa).read()
+    assert open(g_aln).read() == open(m_aln).read()
 
 
 def test_cluster_otus_chunked_parity(ref_bin, uparse_big_fa, tmp_path):

@@ -200,6 +200,8 @@ class ParseResult:
         self.q_col_lo: int = 0
         self.q_col_hi: int = 0
         self.msa: Optional[np.ndarray] = None
+        self.top_seg_index: Optional[int] = None
+        self.second_seg_index: Optional[int] = None
 
 
 def _uparse_dp(res: ParseResult, msa: np.ndarray) -> None:
@@ -305,6 +307,20 @@ def _uparse_dp(res: ParseResult, msa: np.ndarray) -> None:
         res.seg_lengths.append(seg_length)
         res.seg_col_los.append(seg_col_lo)
     res.seg_count = len(res.seg_lengths)
+
+    # longest seg / second-longest seg (src/uparsedp.cpp:272-286)
+    res.top_seg_index = None
+    res.second_seg_index = None
+    for si in range(res.seg_count):
+        if res.top_seg_index is None or \
+                res.seg_lengths[si] > res.seg_lengths[res.top_seg_index]:
+            res.top_seg_index = si
+    for si in range(res.seg_count):
+        if si == res.top_seg_index:
+            continue
+        if res.second_seg_index is None or \
+                res.seg_lengths[si] > res.seg_lengths[res.second_seg_index]:
+            res.second_seg_index = si
 
     # seg start positions in ungapped parent coords (ColToUngappedPos)
     res.seg_los = []
@@ -540,6 +556,319 @@ def get_info_str(res: ParseResult, mod: str) -> str:
     return s
 
 
+# ---------------------------------------------------------------------------
+# -uparsealnout pretty report (src/uparsepretty.cpp)
+# ---------------------------------------------------------------------------
+
+def _seg_char(res: ParseResult, seg_index: int) -> str:
+    """GetSegChar (src/uparsepretty.cpp:238-249)."""
+    cand = res.seg_cand_indexes[seg_index]
+    if cand == res.top_cand_index:
+        return "T"
+    for i in range(seg_index + 1):
+        if res.seg_cand_indexes[i] == cand:
+            return chr(ord("A") + i)
+    return "!"
+
+
+def _parent_dupe(res: ParseResult, seg_index: int) -> bool:
+    cand = res.seg_cand_indexes[seg_index]
+    return cand in res.seg_cand_indexes[:seg_index]
+
+
+def _top_hit_is_parent(res: ParseResult) -> bool:
+    return res.top_cand_index in res.seg_cand_indexes
+
+
+def _seg_parent_pct_id(res: ParseResult, seg_index: int) -> float:
+    """GetSegParentPctId (src/uparsepretty.cpp:8-30): raw char compare
+    (NOT the match matrix) over QColLo..QColHi, skipping dual '-' cols."""
+    msa = res.msa
+    q = TO_UPPER[msa[msa.shape[0] - 1]]
+    t = TO_UPPER[msa[res.seg_cand_indexes[seg_index]]]
+    diffs = 0
+    n = 0
+    for col in range(res.q_col_lo, res.q_col_hi + 1):
+        if q[col] == _GAP and t[col] == _GAP:
+            continue
+        n += 1
+        if q[col] != t[col]:
+            diffs += 1
+    return 100.0 * (1.0 - diffs / n)
+
+
+def _seg_votes(res: ParseResult, seg_index: int):
+    """GetSegVotes (src/uparsepretty.cpp:297-347)."""
+    msa = res.msa
+    lo = res.seg_col_los[seg_index]
+    hi = _seg_col_hi(res, seg_index)
+    q = TO_UPPER[msa[msa.shape[0] - 1]]
+    top_row = TO_UPPER[msa[res.seg_cand_indexes[res.top_seg_index]]]
+    y = n = a = 0
+    if seg_index == res.top_seg_index:
+        other = TO_UPPER[msa[res.seg_cand_indexes[res.second_seg_index]]]
+        for col in range(lo, hi + 1):
+            qc, tc, p2 = q[col], top_row[col], other[col]
+            if qc == tc and qc == p2:
+                pass
+            elif qc == tc and qc != p2:
+                y += 1
+            elif qc != tc and qc == p2:
+                n += 1
+            else:
+                a += 1
+        return y, n, a
+    parent = TO_UPPER[msa[res.seg_cand_indexes[seg_index]]]
+    for col in range(lo, hi + 1):
+        qc, pc, tc = q[col], parent[col], top_row[col]
+        if qc == pc and qc == tc:
+            pass
+        elif qc == pc and qc != tc:
+            y += 1
+        elif qc != pc and qc == tc:
+            n += 1
+        else:
+            a += 1
+    return y, n, a
+
+
+def _write_segs_table(f, res: ParseResult, query_L: int,
+                      query_label: str) -> None:
+    """WriteSegs (src/uparsepretty.cpp:62-143)."""
+    if res.seg_count < 1:
+        return
+    f.write("\n")
+    f.write("Parent      Lo      Hi  SegLen  Diffs  Yes   No  Abs"
+            "  SegPctId  ParentPctId  Label\n")
+    f.write("------  ------  ------  ------  -----  ---  ---  ---"
+            "  --------  -----------  -----\n")
+    sum_length = sum_diffs = sum_y = sum_n = sum_a = 0
+    for si in range(res.seg_count):
+        cand = res.seg_cand_indexes[si]
+        parent_label = res.candidates[cand].target_label
+        c = _seg_char(res, si)
+        pos = res.seg_los[si]
+        seg_len = res.seg_lengths[si]
+        diffs = _get_seg_diffs(res, si)
+        seg_pct = 100.0 * (1.0 - diffs / seg_len)
+        parent_pct = _seg_parent_pct_id(res, si)
+        y, n, a = _seg_votes(res, si)
+        sum_y += y
+        sum_n += n
+        sum_a += a
+        sum_length += seg_len
+        sum_diffs += diffs
+        f.write("%6c  %6u  %6u  %6u  %5u" % (
+            c, pos + 1, pos + seg_len, seg_len, diffs))
+        f.write("  %3u  %3u  %3u" % (y, n, a))
+        f.write("  %8.1f  %11.1f  %s\n" % (seg_pct, parent_pct,
+                                           parent_label))
+    if sum_length != query_L:
+        f.write("\nWARNING SumLength %u, QL %u >%s\n" % (
+            sum_length, query_L, query_label))
+        return
+    if not _top_hit_is_parent(res):
+        top_label = res.candidates[res.top_cand_index].target_label
+        f.write("%6c                          %5u" % ("T", res.diffs_qt))
+        f.write("               ")
+        f.write("            %11.1f  %s\n" % (res.pct_id_qt, top_label))
+    if res.seg_count > 1:
+        model_pct = 100.0 * (1.0 - sum_diffs / sum_length)
+        f.write("                        ------  -----  ---  ---  ---"
+                "  --------  -----------\n")
+        f.write("                        %6u  %5u  %3u  %3u  %3u"
+                "  %8.1f\n" % (sum_length, sum_diffs, sum_y, sum_n,
+                               sum_a, model_pct))
+
+
+def _vote_char(qc: int, tc: int, pc: int) -> str:
+    """GetVoteChar (src/uparsepretty.cpp:394-409): q vs parent vs top."""
+    if qc == pc and qc == tc:
+        return "_"
+    if qc == pc and qc != tc:
+        return "+"
+    if qc == tc and qc != pc:
+        return "X"
+    return "o"
+
+
+def _x_col_lo_hi(res: ParseResult):
+    """GetXColLoHi (src/uparsepretty.cpp:436-527): crossover column range
+    for 2-segment models."""
+    msa = res.msa
+    q = TO_UPPER[msa[msa.shape[0] - 1]]
+    ca, cb = res.seg_cand_indexes[0], res.seg_cand_indexes[1]
+    lo_a, lo_b = res.seg_col_los[0], res.seg_col_los[1]
+    hi_a, hi_b = _seg_col_hi(res, 0), _seg_col_hi(res, 1)
+    if lo_b < lo_a:
+        ca, cb = cb, ca
+        lo_a, lo_b = lo_b, lo_a
+        hi_a, hi_b = hi_b, hi_a
+    lo_a = max(lo_a, res.q_col_lo)
+    hi_b = min(hi_b, res.q_col_hi)
+    ra = TO_UPPER[msa[ca]]
+    rb = TO_UPPER[msa[cb]]
+    x_lo = x_hi = None
+    for col in range(hi_a, lo_a - 1, -1):
+        if q[col] == ra[col] and q[col] == rb[col]:
+            x_lo = col
+            if x_hi is None:
+                x_hi = col
+        else:
+            break
+    for col in range(lo_b, hi_b + 1):
+        if q[col] == ra[col] and q[col] == rb[col]:
+            x_hi = col
+            if x_lo is None:
+                x_lo = col
+        else:
+            break
+    return x_lo, x_hi
+
+
+def _write_uparse_msa(f, res: ParseResult) -> None:
+    """WriteMSA (src/uparsepretty.cpp:625-706): 80-col blocks of parent /
+    model / vote / query rows, all-gap columns dropped."""
+    if res.seg_count < 2:
+        return
+    msa = res.msa
+    qrow_full = msa[msa.shape[0] - 1]
+    lo, hi = res.q_col_lo, res.q_col_hi
+    col_count = hi - lo + 1
+
+    query_row = "".join(chr(c) for c in qrow_full[lo:hi + 1])
+
+    # model row: seg letters, 'X' over the 2-seg crossover range
+    model = []
+    for si in range(res.seg_count):
+        c = _seg_char(res, si)
+        a = max(lo, res.seg_col_los[si])
+        b = min(hi, _seg_col_hi(res, si))
+        model.extend(c * (b - a + 1))
+    if res.seg_count == 2:
+        x_lo, x_hi = _x_col_lo_hi(res)
+        if x_lo is not None and x_hi is not None:
+            for col in range(x_lo - lo, x_hi - lo + 1):
+                model[col] = "X"
+    model_row = "".join(model)
+
+    # vote row (GetVoteRow reads the TOP-HIT candidate row, unlike
+    # GetSegVotes which reads the top SEGMENT's parent row)
+    q_up = TO_UPPER[qrow_full]
+    top_row_up = TO_UPPER[msa[res.top_cand_index]]
+    vote = []
+    for si in range(res.seg_count):
+        a = max(lo, res.seg_col_los[si])
+        b = min(hi, _seg_col_hi(res, si))
+        cand = res.seg_cand_indexes[si]
+        if cand == res.top_cand_index:
+            other = TO_UPPER[msa[res.seg_cand_indexes[res.second_seg_index]]]
+            for col in range(a, b + 1):
+                vote.append(_vote_char(int(q_up[col]), int(other[col]),
+                                       int(top_row_up[col])))
+        else:
+            parent = TO_UPPER[msa[cand]]
+            for col in range(a, b + 1):
+                vote.append(_vote_char(int(q_up[col]), int(top_row_up[col]),
+                                       int(parent[col])))
+    vote_row = "".join(vote)
+
+    # parent rows ('.' where equal to query and not '-')
+    parent_rows = []
+    for si in range(res.seg_count):
+        if _parent_dupe(res, si):
+            continue
+        cand = res.seg_cand_indexes[si]
+        p_up = TO_UPPER[msa[cand]]
+        row = []
+        for col in range(lo, hi + 1):
+            p, q = int(p_up[col]), int(q_up[col])
+            row.append("." if (q == p and q != _GAP) else chr(p))
+        parent_rows.append("".join(row))
+
+    col_all_gaps = []
+    for col in range(col_count):
+        if query_row[col] != "-":
+            col_all_gaps.append(False)
+            continue
+        col_all_gaps.append(all(pr[col] == "." for pr in parent_rows))
+
+    def write_row(tag, row, a, b):
+        f.write(tag + "  ")
+        for col in range(a, b + 1):
+            if not col_all_gaps[col]:
+                f.write(row[col])
+        f.write("\n")
+
+    block = 80
+    col_lo = 0
+    while True:
+        n = 0
+        col_hi = col_lo
+        col = col_lo
+        while col < col_count and n < block:
+            if not col_all_gaps[col]:
+                col_hi = col
+                n += 1
+            col += 1
+        if n == 0:
+            break
+        f.write("\n")
+        pi = 0
+        for si in range(res.seg_count):
+            if _parent_dupe(res, si):
+                continue
+            write_row(_seg_char(res, pi), parent_rows[pi], col_lo, col_hi)
+            pi += 1
+        if res.seg_count > 1:
+            write_row("M", model_row, col_lo, col_hi)
+            write_row("+", vote_row, col_lo, col_hi)
+        write_row("Q", query_row, col_lo, col_hi)
+        col_lo = col_hi + 1
+
+
+def write_uparse_aln(f, res: ParseResult, query_label: str,
+                     query_seq: np.ndarray, mod: str,
+                     is_cluster_otus: bool) -> None:
+    """WriteAln (src/uparsepretty.cpp:211-236 + WriteOneSeg/Footer)."""
+    f.write("\n")
+    f.write("=" * 75 + "\n")
+    f.write("\n")
+    f.write("Query %unt >%s\n" % (len(query_seq), query_label))
+    mod_str = mod_to_str(mod, is_cluster_otus)
+    if res.seg_count == 1:
+        ar = res.candidates[res.top_cand_index]
+        from ..amplicon.uchime import write_aln_pretty
+        f.write("\n")
+        f.write("Q (%u) >%s\n" % (len(ar.query_seq), ar.query_label))
+        f.write("T (%u) >%s\n" % (len(ar.target_seq), ar.target_label))
+        write_aln_pretty(f, ar.query_seq, ar.target_seq, ar.path)
+        f.write("Non-chimeric, diffs %u Id %.1f%% [%s]\n" % (
+            res.diffs_qt, res.pct_id_qt, mod_str))
+        return
+    if res.seg_count is not None and 2 <= res.seg_count <= 3:
+        _write_segs_table(f, res, len(query_seq), query_label)
+        _write_uparse_msa(f, res)
+        # footer (WriteAlnFooter, src/uparsepretty.cpp:167-199)
+        if res.seg_count >= 2:
+            y = n = a = 0
+            for si in range(res.seg_count):
+                sy, sn, sa = _seg_votes(res, si)
+                y += sy
+                n += sn
+                a += sa
+            f.write("\n")
+            f.write("%u segs, M %u diffs (%.1f%%), T %u diffs (%.1f%%),"
+                    " +%u diffs (+%.1f%%) %u/%u/%u [%s]\n" % (
+                        res.seg_count, res.diffs_qm, res.pct_id_qm,
+                        res.diffs_qt, res.pct_id_qt,
+                        res.diffs_qt - res.diffs_qm,
+                        res.pct_id_qm - res.pct_id_qt,
+                        y, n, a, mod_str))
+        return
+    f.write("No alignment\n")
+
+
 def _psasc(label: str, field: str) -> str:
     """Psasc (src/myutils.cpp:824-840): ';'-separated append."""
     if label and not label.endswith(";"):
@@ -700,6 +1029,8 @@ def cluster_otus(input_path: Optional[str]) -> None:
 
     f_tab = open(o.str("uparseout"), "w") if o.filled("uparseout") else None
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
+    f_aln = open(o.str("uparsealnout"), "w") \
+        if o.filled("uparsealnout") else None
     tab_otu_count = 0
 
     prev_size = None
@@ -726,6 +1057,9 @@ def cluster_otus(input_path: Optional[str]) -> None:
         mod = calc_mod(res, query_size, is_cluster_otus=True)
 
         info = get_info_str(res, mod)
+        if f_aln is not None:
+            write_uparse_aln(f_aln, res, label, seq, mod,
+                             is_cluster_otus=True)
         if f_tab is not None:
             # WriteTab (src/uparsesink.cpp:411-430)
             if mod == MOD_OTHER:
