@@ -26,6 +26,7 @@ class AlignResult:
     nucleo: bool
     target_index: int = -1
     query_revcomp: bool = False
+    target_revcomp: bool = False
     local: bool = False
     # translated-search ORF metadata (0 frame == not an ORF)
     orf_frame: int = 0

@@ -192,8 +192,20 @@ def _int_str(n: int) -> str:
     return f"{float(n):.3g}"
 
 
+_merge_mx_cache = None
+
+
+def _merge_subst_mx():
+    global _merge_mx_cache
+    if _merge_mx_cache is None:
+        from ..scoring import AlnParams
+        _merge_mx_cache = AlnParams.from_cmdline(True).subst_mx
+    return _merge_mx_cache
+
+
 def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
-               fq, stats: "MergeStats" = None):
+               fq, stats: "MergeStats" = None, f_aln=None,
+               labels=("", "")):
     """Returns (merged_seq, merged_qual, hsp, diff_count) or (None, reason).
     seq2 is the raw reverse read (revcomp applied here)."""
     o = options()
@@ -229,6 +241,37 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
         stats.staggered += 1
     if o.flag("fastq_nostagger") and stag:
         return None, "staggered"
+
+    if f_aln is not None:
+        # -alnout: local ungapped AR over the overlap
+        # (src/mergealign.cpp:268-282 + alnout.cpp WriteAln)
+        from ..align.result import AlignResult
+        from ..out.alnout import write_aln
+        ar = AlignResult(query_label=labels[0], target_label=labels[1],
+                         query_seq=seq1, target_seq=s2rc,
+                         path="M" * length, nucleo=True, local=True,
+                         loi=loi, loj=loj, target_revcomp=True)
+        ar.leni_local = length
+        ar.lenj_local = length
+        mx = _merge_subst_mx()
+        raw = 0.0
+        for k in range(length):
+            raw += float(mx[seq1[loi + k], s2rc[loj + k]])
+        ar.raw_score = raw
+        write_aln(f_aln, ar)
+        if stag:
+            # WriteStagger (src/mergealign.cpp:169-203); note the
+            # reference prints the FWD read for the Rev row too
+            fwd_lo = hii - 10 if hii > 10 else 0
+            fwd_hi = len(seq1) - 1
+            rev_hi = min(loj + 10, len(s2rc) - 1)
+            f_aln.write("Staggered\n")
+            f_aln.write("Fwd trim %u-%u: " % (fwd_lo, fwd_hi))
+            f_aln.write(seq1[fwd_lo:fwd_hi + 1].tobytes().decode("latin1"))
+            f_aln.write("\n")
+            f_aln.write("Rev trim %u-%u: " % (0, rev_hi))
+            f_aln.write(seq1[0:rev_hi + 1].tobytes().decode("latin1"))
+            f_aln.write("\n")
 
     # MergeSI (src/mergealign.cpp:44-123)
     out_seq = []
@@ -295,6 +338,8 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
 
 def fastq_mergepairs(fwd_path: Optional[str]) -> None:
     o = options()
+    # oset_unsd(OPT_fastq_minlen, 64) (src/fastqmerge.cpp:121)
+    o.set_default("fastq_minlen", 64)
     if o.filled("fastq_maxee"):
         raise SystemExit("maxee filtering not supported, use fastq_filter")
     rev_path = o.str("reverse")
@@ -321,6 +366,11 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
         if o.filled("fastaout_notmerged_rev") else None
 
     f_rep = open(o.str("report"), "w") if o.filled("report") else None
+    f_aln = open(o.str("alnout"), "w") if o.filled("alnout") else None
+    # -eetabbedout is opened but never written by the reference merger
+    # (src/fastqmerge.cpp:146-147,201) => empty file
+    f_ee = open(o.str("eetabbedout"), "w") \
+        if o.filled("eetabbedout") else None
     stats = MergeStats()
     if f_rep:
         # src/fastqmerge.cpp:54-68
@@ -366,7 +416,8 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
                 ok = False
         if ok:
             result, _reason = merge_pair(s1t, q1t, s2t, q2t, hf, ah, fq,
-                                         stats)
+                                         stats, f_aln=f_aln,
+                                         labels=(l1, l2))
         if result is not None:
             mseq, mqual, _hsp, _d = result
             stats.out_recs += 1
@@ -406,6 +457,6 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
         f_rep.close()
 
     for f in (f_fq, f_fa, f_nm_fwd_fq, f_nm_rev_fq, f_nm_fwd_fa,
-              f_nm_rev_fa):
+              f_nm_rev_fa, f_aln, f_ee):
         if f:
             f.close()

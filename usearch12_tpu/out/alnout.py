@@ -143,7 +143,8 @@ def write_aln(f, ar, subst_mx=None) -> None:
             tpos += 1
 
         strand_q = f" {q_strand}" if show_strand else ""
-        strand_t = f" +" if show_strand else ""
+        t_strand = "-" if getattr(ar, "target_revcomp", False) else "+"
+        strand_t = f" {t_strand}" if show_strand else ""
         pad = "  " if show_strand else ""
         f.write(f"Qry {q_from:>{w}}{strand_q} {qrow[col:hi]:>{n}}"
                 f" {q_to}\n")
