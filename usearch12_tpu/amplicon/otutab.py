@@ -89,7 +89,16 @@ def otutab(query_path: Optional[str]) -> None:
     from ..search.hitmgr import HitMgr
     o = options()
     from ..commands import load_db
-    db, db_index = load_db(o.str("db"))
+    # DB filename from -db, -otus or -zotus (src/searchcmd.cpp:29-37)
+    if o.filled("db"):
+        db_path = o.str("db")
+    elif o.filled("otus"):
+        db_path = o.str("otus")
+    elif o.filled("zotus"):
+        db_path = o.str("zotus")
+    else:
+        raise SystemExit("Must specify OTU FASTA -db, -otus or -zotus")
+    db, db_index = load_db(db_path)
     table = OTUTable()
     f_map = open(o.str("mapout"), "w") if o.filled("mapout") else None
     f_uc = open(o.str("uc"), "w") if o.filled("uc") else None

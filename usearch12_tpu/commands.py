@@ -234,11 +234,22 @@ def cmd_sintax(input_path: Optional[str]) -> None:
 
 
 def cmd_otutab(input_path: Optional[str]) -> None:
+    # cmd_otutab per-command defaults (src/searchcmd.cpp:21-27)
+    o = options()
+    o.set_default("id", 0.97)
+    o.set_default("maxaccepts", 3)
+    o.set_default("maxrejects", 32)
+    o.set_default("stepwords", 0)
+    o.set_default("strand", "both")
     from .amplicon.otutab import otutab
     otutab(input_path)
 
 
 def cmd_closed_ref(input_path: Optional[str]) -> None:
+    # cmd_closed_ref per-command defaults (src/searchcmd.cpp:10-16)
+    o = options()
+    o.set_default("id", 0.97)
+    o.set_default("stepwords", 0)
     from .amplicon.otutab import closed_ref
     closed_ref(input_path)
 
