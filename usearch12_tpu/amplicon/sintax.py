@@ -178,15 +178,17 @@ def sintax(query_path: Optional[str]) -> None:
     db_path = o.str("db")
     from ..commands import load_db
     db, index = load_db(db_path)
-    if not db.get_is_nucleo():
-        raise SystemExit("sintax supports nucleotide DBs only (for now)")
+    nucleo = db.get_is_nucleo()
     if index is None:
         index = UDBIndex.from_seqdb(db)
 
-    strand = o.str("strand", "")
-    if not strand:
-        raise SystemExit("Must specify -strand plus or both with nt db")
-    both = strand == "both"
+    if nucleo:
+        strand = o.str("strand", "")
+        if not strand:
+            raise SystemExit("Must specify -strand plus or both with nt db")
+        both = strand == "both"
+    else:
+        both = False   # amino DB: single plus-strand classify
 
     grand = GlobalRand(o.uns("randseed"))
     cls = SintaxClassifier(db, index, grand)
