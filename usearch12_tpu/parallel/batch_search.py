@@ -64,7 +64,7 @@ def batch_search_file(cmd: str, query_path: str, db: SeqDB,
     K = None if unbounded else ma + mr
 
     records = [(label, seq) for label, seq, _q in read_fastx(query_path, stream=True)
-               if o.uns("minseqlength") <= len(seq) <= o.uns("maxseqlength")]
+               ]
 
     from ..alpha import revcomp as rc
     pos = 0

@@ -270,11 +270,9 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
             raise SystemExit("Invalid -strand, must be plus or both")
     # GetXlat (src/search.cpp:44-49): nt query vs aa DB => 6-frame ORFs
     xlat = (not ctx.nucleo) and file_is_nucleo(query_path)
+    # the reference does NOT length-filter search queries (minseqlength
+    # is consumed only by fastx_truncate, src/fastxtruncate.cpp)
     for label, seq, _qual in read_fastx(query_path, stream=True):
-        if len(seq) < o.uns("minseqlength"):
-            continue
-        if len(seq) > o.uns("maxseqlength"):
-            continue
         if xlat:
             hits = ctx.search_query_xlat(label, seq)
         else:
