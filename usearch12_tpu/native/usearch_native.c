@@ -2070,3 +2070,34 @@ int64_t search_ranked_c(
     }
     return na;
 }
+
+/* ScoreLocalPathIgnoreMask (semantics of search/local.py score_local_path /
+ * usearch12 src/alnparams.cpp:447-505): M cols score the char-indexed
+ * matrix; a gap col scores local_open when the previous col was M, else
+ * local_ext.  Accumulates in double, caller casts to f32. */
+double score_local_path_c(const uint8_t *q, const uint8_t *t,
+                          const char *path, int64_t n,
+                          const float *mx,
+                          float local_open, float local_ext)
+{
+    double total = 0.0;
+    int64_t qp = 0, tp = 0;
+    char last = 'M';
+    for (int64_t k = 0; k < n; ++k) {
+        char c = path[k];
+        if (c == 'M') {
+            total += (double)mx[(size_t)q[qp] * 256 + t[tp]];
+            ++qp;
+            ++tp;
+        } else {
+            total += (last == 'M') ? (double)local_open
+                                   : (double)local_ext;
+            if (c == 'D')
+                ++qp;
+            else
+                ++tp;
+        }
+        last = c;
+    }
+    return total;
+}

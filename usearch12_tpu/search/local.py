@@ -152,12 +152,12 @@ class LocalAligner2:
         self.scratch = self.lib.xd_create()
         self.query_seq = None
         self.query_label = ""
-        self.word_to_pos = {}
         self.min_ungapped = 0.0
         self._hsp_out = np.zeros(4, dtype=np.uint32)
         self._score = ctypes.c_float(0)
         self._evalue = ctypes.c_double(0)
         self._path_buf = ctypes.create_string_buffer(1 << 20)
+        self._tword_cache = {}   # id(target seq) -> (ref, words)
 
     def _bind(self) -> None:
         lib = self.lib
@@ -168,6 +168,10 @@ class LocalAligner2:
         u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C")
         lib.xd_create.restype = ctypes.c_void_p
         lib.xd_destroy.argtypes = [ctypes.c_void_p]
+        lib.score_local_path_c.restype = ctypes.c_double
+        lib.score_local_path_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_int64, f32p, ctypes.c_float, ctypes.c_float]
         lib.local_align_pos.restype = ctypes.c_int
         lib.local_align_pos.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_uint32, u8p, ctypes.c_uint32,
@@ -192,12 +196,17 @@ class LocalAligner2:
         self.query_seq = np.ascontiguousarray(seq)
         self.min_ungapped = float(f32(
             self.es.min_ungapped_raw_score(len(seq))))
-        d = {}
+        # sorted word array + stable position order; lookups via
+        # vectorized searchsorted in align_multi (positions ascend per
+        # word thanks to the stable argsort)
         if len(seq) > self.word_length:
             words = _rolling_words(seq, self.word_length, self.nucleo)
-            for pos, w in enumerate(words.tolist()):
-                d.setdefault(w, []).append(pos)
-        self.word_to_pos = d
+            order = np.argsort(words, kind="stable")
+            self._q_sorted_words = words[order]
+            self._q_pos_order = order
+        else:
+            self._q_sorted_words = np.zeros(0, dtype=np.int64)
+            self._q_pos_order = np.zeros(0, dtype=np.int64)
 
     def _align_pos(self, q, ql, t, tl, qpos, tpos, max_evalue):
         need = 2 * (ql + tl) + 16
@@ -228,17 +237,26 @@ class LocalAligner2:
         ql = len(q)
         t = np.ascontiguousarray(t_seq)
         tl = len(t)
-        twords = _rolling_words(t, w, self.nucleo)
+        cached = self._tword_cache.get(id(t_seq))
+        if cached is None:
+            twords = _rolling_words(t, w, self.nucleo)
+            self._tword_cache[id(t_seq)] = (t_seq, twords)
+        else:
+            twords = cached[1]
         n_tw = len(twords)
         max_evalue = options().flt("evalue")
         hsps: List[HSP] = []
 
+        sw = self._q_sorted_words
+        qorder = self._q_pos_order
+        lo_all = np.searchsorted(sw, twords, "left")
+        hi_all = np.searchsorted(sw, twords, "right")
         tpos = 0
         while tpos < n_tw:
-            positions = self.word_to_pos.get(int(twords[tpos]))
+            lo, hi = lo_all[tpos], hi_all[tpos]
             kept_here = False
-            if positions:
-                for qpos in positions:
+            if hi > lo:
+                for qpos in qorder[lo:hi].tolist():
                     if not self._align_pos(q, ql, t, tl, qpos, tpos,
                                            max_evalue):
                         continue
@@ -249,10 +267,10 @@ class LocalAligner2:
                            for kept in hsps):
                         continue  # KeepAR==false: try next query pos
                     path = self._path_buf.value.decode("ascii")
-                    raw = score_local_path(
-                        q[hsp.loi:hsp.loi + hsp.leni],
-                        t[hsp.loj:hsp.loj + hsp.lenj], path, self.mx,
-                        self.ap.local_open, self.ap.local_ext)
+                    raw = float(f32(self.lib.score_local_path_c(
+                        q[hsp.loi:].ctypes.data, t[hsp.loj:].ctypes.data,
+                        path.encode("ascii"), len(path), self.mx,
+                        self.ap.local_open, self.ap.local_ext)))
                     ar = AlignResult(
                         query_label=self.query_label,
                         target_label=t_label, query_seq=q,
