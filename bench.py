@@ -112,7 +112,9 @@ def bench_cpu(pairs):
 
 
 def main():
-    n_pairs = int(os.environ.get("BENCH_PAIRS", "2048"))
+    # large default batch: per-dispatch overhead dominates below ~16k
+    # pairs on the tunneled dev rig (2048 pairs ~5 Gcells/s, 65536 ~30)
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "65536"))
     pairs = make_pairs(n_pairs)
     gcells_dev, pairs_dev = bench_device(pairs)
     cpu_pairs = pairs[: max(256, n_pairs // 8)]
