@@ -128,3 +128,21 @@ def test_wavefront_device_traceback():
     for k in range(len(pairs)):
         assert np.float32(s_d[k]) == np.float32(s_h[k])
         assert p_d[k] == p_h[k]
+
+
+def test_wavefront_sharded_matches_single():
+    """run_batch_sharded over an 8-device mesh is bit-identical to the
+    single-device run_batch (pure data parallelism over WaveBatch rows)."""
+    import jax
+    from jax.sharding import Mesh
+    from usearch12_tpu.ops.wavefront_nw import WavefrontNWDevice, pack_wave
+    ap = make_ap()
+    rng = np.random.default_rng(3)
+    pairs = rand_pairs(rng, 9)
+    dev = WavefrontNWDevice(ap, pb=8)
+    batch = pack_wave(pairs, True, 16, dev.chunk)
+    single = dev.run_batch(batch)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharded = dev.run_batch_sharded(batch, mesh)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a, b)

@@ -449,6 +449,45 @@ class WavefrontNWDevice:
         tb = tb.reshape(tb.shape[0], -1, LANES)
         return tb[:R], mle[:R], mlo[:R], dlb[:R]
 
+    def run_batch_sharded(self, batch: WaveBatch, mesh, axis: str = "data"):
+        """Multi-chip run_batch: WaveBatch rows shard over `axis` of the
+        mesh (pure data parallelism — each chip runs the wavefront kernel
+        on its row block; no cross-chip communication is needed because
+        pairs are independent).  Same outputs as run_batch."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        ndev = mesh.shape[axis]
+        R = batch.nrows
+        pad = (-R) % (self.pb * ndev)
+
+        def padr(x, fill):
+            if pad == 0:
+                return x
+            return np.concatenate(
+                [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+        fn = _compiled(batch.steps, self.chunk, self.pb, batch.rho0,
+                       batch.sw, self.match, self.mismatch, self.interpret)
+        spec = P(axis)
+        sharded = shard_map(
+            lambda *a: fn(*a), mesh=mesh,
+            in_specs=(spec,) * 9 + (P(),),
+            out_specs=(spec,) * 4, check_rep=False)
+        ins = padr(batch.ins, 4).astype(np.int32)
+        outs = sharded(jnp.asarray(padr(batch.la_b, 1)),
+                       jnp.asarray(padr(batch.lb_b, 1)),
+                       jnp.asarray(padr(batch.ib, -10**6)),
+                       jnp.asarray(padr(batch.jb, -10**6)),
+                       jnp.asarray(padr(batch.umax_e, -1)),
+                       jnp.asarray(padr(batch.umax_o, -1)),
+                       jnp.asarray(padr(batch.a_init, 4)),
+                       jnp.asarray(padr(batch.b_init, 4)),
+                       jnp.asarray(ins), jnp.asarray(self.gp))
+        tb, mle, mlo, dlb = (np.asarray(o) for o in outs)
+        tb = tb.reshape(tb.shape[0], -1, LANES)
+        return tb[:R], mle[:R], mlo[:R], dlb[:R]
+
     def _mlast_row(self, batch: WaveBatch, mle_q, mlo_q, p):
         """M values of row la-1 indexed by j (NEG outside band).  Even t
         (rho == rho0) was captured into mle, odd t into mlo."""
