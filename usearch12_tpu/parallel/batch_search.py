@@ -33,7 +33,7 @@ from ..ops.batch_align import BatchedGlobalAligner
 
 
 def batch_search_file(cmd: str, query_path: str, db: SeqDB,
-                      on_query_done: Callable, window: int = 2048) -> None:
+                      on_query_done: Callable, window: int = 8192) -> None:
     o = options()
     nucleo = db.get_is_nucleo()
     ap = AlnParams.from_cmdline(nucleo)
