@@ -77,10 +77,43 @@ class UDBParams:
 
     def unique_words(self, seq: np.ndarray) -> np.ndarray:
         """SetQueryUniqueWords: first-occurrence order dedup."""
+        out = _unique_words_native(self, seq)
+        if out is not None:
+            return out
         words = self.valid_words(seq)
         # np.unique sorts; need first-occurrence order (stable)
         _, idx = np.unique(words, return_index=True)
         return words[np.sort(idx)]
+
+
+_UW_CACHE = {}
+
+
+def _unique_words_native(params, seq: np.ndarray):
+    """C first-occurrence unique-word extraction (unique_words_c);
+    returns None when the native library is unavailable."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = (params.is_nucleo, params.word_length)
+    ent = _UW_CACHE.get(key)
+    if ent is None:
+        from ..alpha import IS_LOWER
+        table = (CHAR_TO_LETTER_NUCLEO if params.is_nucleo
+                 else CHAR_TO_LETTER_AMINO).copy()
+        table[IS_LOWER] = 0xFF
+        ent = (lib.rank_scratch_create(), np.ascontiguousarray(table))
+        _UW_CACHE[key] = ent
+    scratch, table = ent
+    if not seq.flags["C_CONTIGUOUS"]:
+        seq = np.ascontiguousarray(seq)
+    out = np.empty(max(len(seq), 1), dtype=np.int64)
+    n = lib.unique_words_c(scratch, seq.ctypes.data, len(seq),
+                           table.ctypes.data, params.alpha_size,
+                           params.word_length, params.slot_count,
+                           out.ctypes.data)
+    return out[:n]
 
 
 class UDBIndex:

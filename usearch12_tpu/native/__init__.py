@@ -126,6 +126,11 @@ def get_lib():
         lib.dust_mask_c.restype = None
         lib.dust_mask_c.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+        lib.unique_words_c.restype = ctypes.c_int64
+        lib.unique_words_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_int64, ctypes.c_void_p]
         lib.rank_scratch_create.restype = ctypes.c_void_p
         lib.rank_scratch_destroy.argtypes = [ctypes.c_void_p]
         lib.usort_rank_c.restype = ctypes.c_int64

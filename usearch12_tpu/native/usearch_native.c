@@ -2101,3 +2101,44 @@ double score_local_path_c(const uint8_t *q, const uint8_t *t,
     }
     return total;
 }
+
+/* Unique query/target words in first-occurrence order (semantics of
+ * index/udb.py UDBParams.unique_words: rolling word over valid letters,
+ * lowercase/invalid letters break the window).  Returns count; out must
+ * have capacity L.  Uses the rank scratch's seen bitmap. */
+int64_t unique_words_c(RankScratch *s,
+                       const uint8_t *seq, int64_t L,
+                       const uint8_t *char_to_letter,
+                       uint32_t alpha_size, uint32_t wlen,
+                       int64_t slot_count, int64_t *out)
+{
+    if (L < (int64_t)wlen)
+        return 0;
+    rank_alloc(s, 0, slot_count, 0);
+    int64_t pow_w = 1;
+    for (uint32_t k = 1; k < wlen; ++k)
+        pow_w *= alpha_size;
+    int64_t n = 0;
+    int64_t word = 0;
+    uint32_t run = 0;
+    for (int64_t i = 0; i < L; ++i) {
+        uint8_t let = char_to_letter[seq[i]];
+        if (let == 0xFF) {
+            run = 0;
+            word = 0;
+            continue;
+        }
+        if (run >= wlen)
+            word -= (word / pow_w) * pow_w;
+        word = word * alpha_size + let;
+        if (++run >= wlen) {
+            if (!(s->seen[word >> 3] & (1u << (word & 7)))) {
+                s->seen[word >> 3] |= (uint8_t)(1u << (word & 7));
+                out[n++] = word;
+            }
+        }
+    }
+    for (int64_t k = 0; k < n; ++k)
+        s->seen[out[k] >> 3] = 0;
+    return n;
+}
