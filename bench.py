@@ -42,7 +42,8 @@ def bench_device(pairs, reps=10):
     import jax.numpy as jnp
     from usearch12_tpu.scoring import AlnParams, nuc_mx
     from usearch12_tpu.ops.wavefront_nw import (WavefrontNWDevice,
-                                                pack_wave, _compiled)
+                                                pack_wave, pack_ins,
+                                                _compiled)
     ap = AlnParams(nucleo=True, subst_mx=nuc_mx(1.0, -2.0))
     ap.init4(-10.0, -1.0, -0.5, -0.5)
     dev = WavefrontNWDevice(ap, pb=32, chunk=64)
@@ -67,7 +68,7 @@ def bench_device(pairs, reps=10):
             jnp.asarray(padr(batch.umax_o, -1)),
             jnp.asarray(padr(batch.a_init, 4)),
             jnp.asarray(padr(batch.b_init, 4)),
-            jnp.asarray(padr(batch.ins, 4).astype(np.int32)),
+            jnp.asarray(pack_ins(padr(batch.ins, 4))),
             jnp.asarray(dev.gp))
     out = fn(*args)
     _ = float(out[1][0, 0])  # warm + sync (block_until_ready is unreliable

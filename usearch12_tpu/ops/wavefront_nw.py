@@ -171,6 +171,18 @@ def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
 
 # ---------------------------------------------------------------------------
 
+def pack_ins(ins_i8: np.ndarray) -> np.ndarray:
+    """Pack the (nrows, steps, 128) int8 insert tiles 4 steps per int32
+    word (little-endian byte k = step t with t%4 == k): 4x less HBM/ICI
+    traffic; the kernel unpacks with a static shift per unrolled step."""
+    n, steps, lanes = ins_i8.shape
+    assert steps % 4 == 0
+    x = ins_i8.astype(np.uint32).reshape(n, steps // 4, 4, lanes)
+    w = (x[:, :, 0] | (x[:, :, 1] << 8) | (x[:, :, 2] << 16)
+         | (x[:, :, 3] << 24))
+    return w.reshape(n, -1).astype(np.int32)
+
+
 def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
                  match: float, mismatch: float):
     import jax
@@ -246,7 +258,8 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             s = t - r
 
             delta_r = 1 - rho   # rho(t-1) = 1 - rho(t)
-            ins_tile = ins_ref[:, pl.ds(t_off * LANES, LANES)].astype(f32)
+            ins_word = ins_ref[:, pl.ds((t_off // 4) * LANES, LANES)]
+            ins_tile = ((ins_word >> (8 * (t_off % 4))) & 0xFF).astype(f32)
             m_in = m2
             if rho == 1:
                 packed = jnp.concatenate([d_buf, dlb, b_win], axis=0)
@@ -379,7 +392,7 @@ def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
         grid = (R // pb, n_cc)
         row_spec = pl.BlockSpec((pb, LANES), lambda g, c: (g, 0))
         in_specs = [row_spec] * 8 + [
-            pl.BlockSpec((pb, chunk * LANES), lambda g, c: (g, c)),
+            pl.BlockSpec((pb, (chunk // 4) * LANES), lambda g, c: (g, c)),
             pl.BlockSpec((1, 16), lambda g, c: (0, 0)),
         ]
         out_shape = (
@@ -397,8 +410,7 @@ def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, scratch_shapes=scratch,
             interpret=interpret,
-        )(la_b, lb_b, ib, jb, ume, umo, a_init, b_init,
-          ins.reshape(R, -1), gp)
+        )(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp)
 
     return jax.jit(run)
 
@@ -435,7 +447,7 @@ class WavefrontNWDevice:
                 [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
         fn = _compiled(batch.steps, self.chunk, self.pb, batch.rho0,
                        batch.sw, self.match, self.mismatch, self.interpret)
-        ins = padr(batch.ins, 4).astype(np.int32)
+        ins = pack_ins(padr(batch.ins, 4))
         outs = fn(jnp.asarray(padr(batch.la_b, 1)),
                   jnp.asarray(padr(batch.lb_b, 1)),
                   jnp.asarray(padr(batch.ib, -10**6)),
@@ -474,7 +486,7 @@ class WavefrontNWDevice:
             lambda *a: fn(*a), mesh=mesh,
             in_specs=(spec,) * 9 + (P(),),
             out_specs=(spec,) * 4, check_rep=False)
-        ins = padr(batch.ins, 4).astype(np.int32)
+        ins = pack_ins(padr(batch.ins, 4))
         outs = sharded(jnp.asarray(padr(batch.la_b, 1)),
                        jnp.asarray(padr(batch.lb_b, 1)),
                        jnp.asarray(padr(batch.ib, -10**6)),
