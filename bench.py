@@ -46,7 +46,7 @@ def bench_device(pairs, reps=10):
                                                 _compiled)
     ap = AlnParams(nucleo=True, subst_mx=nuc_mx(1.0, -2.0))
     ap.init4(-10.0, -1.0, -0.5, -0.5)
-    dev = WavefrontNWDevice(ap, pb=32, chunk=64)
+    dev = WavefrontNWDevice(ap, pb=64, chunk=128)
     batch = pack_wave(pairs, True, 16, dev.chunk)
     cells = float(np.sum(batch.bw.astype(np.int64) * batch.la))
     R = batch.nrows
