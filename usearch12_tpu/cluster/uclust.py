@@ -179,11 +179,16 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
     centroid_seqs: List[np.ndarray] = []  # index-aligned with state clusters
 
     from ..search.driver import fast_loop_eligible, fast_search_hits
+    from .. import progress
     fast = native is not None and fast_loop_eligible(accepter)
     if fast:
         native.db_view_clear()
 
+    progress.start("Clustering")
+    n_done = 0
     for unique_index in order:
+        n_done += 1
+        progress.tick(n_done, len(order))
         q_label = unique_db.labels[unique_index]
         q_seq = unique_db.seqs[unique_index]
         hm = HitMgr()
@@ -271,6 +276,8 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
                         lbl = dr.input_db.labels[si]
                         f_uc.write(f"H\t{ci}\t{L}\t100.0\t.\t0\t{L}\t=\t"
                                    f"{lbl}\t{q_label}\n")
+
+    progress.done(f"{len(state.cluster_sizes)} clusters")
 
     # C records + centroids output (ClusterSink::OnAllDone)
     if f_uc:

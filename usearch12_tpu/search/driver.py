@@ -272,11 +272,20 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
     xlat = (not ctx.nucleo) and file_is_nucleo(query_path)
     # the reference does NOT length-filter search queries (minseqlength
     # is consumed only by fastx_truncate, src/fastxtruncate.cpp)
+    from .. import progress
+    progress.start("Searching")
+    n_q = 0
+    n_hit = 0
     for label, seq, _qual in read_fastx(query_path, stream=True):
         if xlat:
             hits = ctx.search_query_xlat(label, seq)
         else:
             hits = ctx.search_query(label, seq, revcomp=strand_both)
+        n_q += 1
+        if hits:
+            n_hit += 1
+        progress.tick(n_q, 0)
         on_query_done(label, seq, hits)
         ctx.hitmgr.on_query_done(label, None)
+    progress.done(f"{n_q} queries, {n_hit} with hits")
     return ctx
