@@ -37,3 +37,57 @@ def test_batch_search_matches_host(amplicons_small_fa, tmp_path, extra):
                             "-quiet"]) == 0
     assert cli_main(base + ["-blast6out", h_b6, "-quiet"]) == 0
     assert open(d_b6).read() == open(h_b6).read()
+
+
+def test_cluster_checkpoint_resume(tmp_path):
+    """A run killed mid-stream (no buffer flush) and resumed from its
+    -checkpoint produces byte-identical -uc/-centroids output."""
+    import subprocess
+    import sys
+    import numpy as np
+    from usearch12_tpu.cli import parse_argv
+    from usearch12_tpu.parallel.cluster_batch import cluster_mt_batched
+
+    rng = np.random.default_rng(5)
+    conv = np.frombuffer(b"ACGT", np.uint8)
+    in_fa = str(tmp_path / "in.fa")
+    with open(in_fa, "w") as f:
+        tpls = [conv[rng.integers(0, 4, 150)] for _ in range(6)]
+        for k in range(120):
+            t = tpls[k % 6].copy()
+            t[rng.integers(0, 150, 3)] = conv[rng.integers(0, 4, 3)]
+            f.write(f">r{k}\n{t.tobytes().decode()}\n")
+
+    full_uc, full_fa = str(tmp_path / "f.uc"), str(tmp_path / "f.fa")
+    parse_argv(["-cluster_mt", in_fa, "-id", "0.95", "-maxpending", "8",
+                "-uc", full_uc, "-centroids", full_fa, "-quiet"])
+    cluster_mt_batched(in_fa)
+
+    part_uc, part_fa = str(tmp_path / "p.uc"), str(tmp_path / "p.fa")
+    ck = str(tmp_path / "ck.npz")
+    crash = f"""
+import numpy as np, os
+import usearch12_tpu.cli as cli
+import usearch12_tpu.parallel.cluster_batch as CB
+cli.parse_argv(["-cluster_mt", {in_fa!r}, "-id", "0.95", "-maxpending",
+                "8", "-uc", {part_uc!r}, "-centroids", {part_fa!r},
+                "-checkpoint", {ck!r}, "-quiet"])
+calls = [0]
+orig = CB.DeviceUCounter.count
+def bomb(self, *a, **k):
+    calls[0] += 1
+    if calls[0] == 6:
+        os._exit(137)
+    return orig(self, *a, **k)
+CB.DeviceUCounter.count = bomb
+CB.cluster_mt_batched({in_fa!r})
+"""
+    r = subprocess.run([sys.executable, "-c", crash])
+    assert r.returncode == 137
+
+    parse_argv(["-cluster_mt", in_fa, "-id", "0.95", "-maxpending", "8",
+                "-uc", part_uc, "-centroids", part_fa,
+                "-checkpoint", ck, "-quiet"])
+    cluster_mt_batched(in_fa)
+    assert open(full_uc).read() == open(part_uc).read()
+    assert open(full_fa).read() == open(part_fa).read()

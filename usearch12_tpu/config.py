@@ -99,7 +99,7 @@ _STR_OPTS = [
     "sample_delim", "fastq_eeout_str", "constax_report", "clustout",
     "biom_json",
     "bitvec", "hitsout", "fragout", "start_motif", "end_motif",
-    "truncstr",
+    "truncstr", "checkpoint",
 ]
 _FLAG_OPTS = [
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",

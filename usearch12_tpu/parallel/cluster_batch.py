@@ -19,6 +19,8 @@ tests/test_parity_cluster.py::test_cluster_mt_device_batch).
 
 from __future__ import annotations
 
+import os
+
 from typing import List, Optional
 
 import numpy as np
@@ -135,7 +137,9 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
 
     centroid_labels: List[str] = []
     centroid_seqs: List[np.ndarray] = []
-    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
+    # -uc opens later: a checkpoint resume must preserve the records
+    # already on disk instead of truncating them
+    f_uc = None
 
     def align_candidates(q_label, q_seq, tix_order):
         """Terminator/accepter replay in candidate-rank order."""
@@ -203,10 +207,49 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
 
     records = [(label, seq) for label, seq, _q in read_fastx(input_path, stream=True)
                if len(seq) > 0]
-    counter.refresh(index)
     pending: List = []
     pos = 0
     window = max_pending
+
+    # -- checkpoint/resume (SURVEY §5.4): the batch-synchronous round is
+    # the natural checkpoint unit — after every flush the full run state
+    # is (queries consumed, centroid set, -uc bytes written).  A resumed
+    # run replays from the last flush and produces byte-identical output.
+    ckpt_path = o.str("checkpoint") if o.filled("checkpoint") else None
+    resumed = False
+    if ckpt_path is not None and os.path.exists(ckpt_path):
+        data = np.load(ckpt_path, allow_pickle=True)
+        pos = int(data["pos"])
+        uc_offset = int(data["uc_offset"])
+        labels = list(data["labels"])
+        seqs = list(data["seqs"])
+        for lbl, s in zip(labels, seqs):
+            admit(str(lbl), np.asarray(s, dtype=np.uint8))
+        if o.filled("uc"):
+            # keep the pre-checkpoint records; drop anything written
+            # after the last checkpoint
+            with open(o.str("uc"), "r+b") as fh:
+                fh.truncate(uc_offset)
+            f_uc = open(o.str("uc"), "a")
+        resumed = True
+    if not resumed and o.filled("uc"):
+        f_uc = open(o.str("uc"), "w")
+
+    def save_checkpoint():
+        if ckpt_path is None:
+            return
+        if f_uc is not None:
+            f_uc.flush()
+            off = f_uc.tell()
+        else:
+            off = 0
+        np.savez(ckpt_path + ".tmp.npz",
+                 pos=pos, uc_offset=off,
+                 labels=np.array(centroid_labels, dtype=object),
+                 seqs=np.array(centroid_seqs, dtype=object))
+        os.replace(ckpt_path + ".tmp.npz", ckpt_path)
+
+    counter.refresh(index)
     while pos < len(records):
         batch = records[pos:pos + window]
         u_rows = counter.count(index, [s for _l, s in batch])
@@ -221,6 +264,7 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
                     # re-window from the next unprocessed query
                     flush(pending)
                     pos += b + 1
+                    save_checkpoint()
                     flushed = True
                     break
             else:
