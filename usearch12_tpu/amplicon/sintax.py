@@ -123,21 +123,37 @@ class SintaxClassifier:
              else self.boot_subset)
 
         tax_to_count = {}
-        r = self.randseed
         top_word_count = 0
-        for _boot in range(self.boots):
-            u = np.zeros(seq_count, dtype=np.uint32)
-            for _k in range(m):
-                r = _next_rand(r)
-                w = int(uw[r % nuw])
-                row = postings[starts[w]:starts[w] + sizes[w]]
-                np.add.at(u, row, 1)
-            top_u = int(u.max()) if seq_count else 0
+
+        # draw all boots*m word picks up front (the LCG is sequential but
+        # cheap); count every boot's U in ONE scatter-add over a
+        # (boots, seq_count) matrix instead of per-word np.add.at calls
+        r = self.randseed
+        picks = np.empty(self.boots * m, dtype=np.int64)
+        for k in range(self.boots * m):
+            r = _next_rand(r)
+            picks[k] = r % nuw
+        words = uw[picks]
+        seg_sizes = sizes[words]
+        total = int(seg_sizes.sum())
+        U = np.zeros((self.boots, seq_count), dtype=np.int32)
+        if total:
+            base = np.repeat(starts[words], seg_sizes)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(seg_sizes) - seg_sizes, seg_sizes)
+            flat = postings[base + offs]
+            pick_boot = np.arange(self.boots * m) // m
+            boot_ids = np.repeat(pick_boot, seg_sizes)
+            np.add.at(U, (boot_ids, flat), 1)
+
+        top_us = U.max(axis=1) if seq_count else np.zeros(self.boots, int)
+        for boot in range(self.boots):
+            top_u = int(top_us[boot])
             if top_u == 0:
                 # all-zero: every index ties at 0 -> reference pushes all
                 tops = np.arange(seq_count, dtype=np.int64)
             else:
-                tops = np.nonzero(u == top_u)[0]
+                tops = np.nonzero(U[boot] == top_u)[0]
             n_top = len(tops)
             if n_top == 0:
                 continue
@@ -166,7 +182,10 @@ class SintaxClassifier:
             for j in range(1, len(tax_strs)):
                 if name_in_tax_str(tax_strs[j], name):
                     cnt += counts[j]
-            p = cnt / self.boots
+            # the reference is compiled -ffast-math: cnt/BOOT_ITERS is
+            # emitted as cnt * (1/BOOT_ITERS), which differs in the last
+            # ulp and can flip the 4th printed decimal
+            p = cnt * (1.0 / self.boots)
             prod_p *= p
             ps.append(prod_p)
         return pred, ps, top_word_count
