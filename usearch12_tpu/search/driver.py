@@ -273,6 +273,12 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
     # the reference does NOT length-filter search queries (minseqlength
     # is consumed only by fastx_truncate, src/fastxtruncate.cpp)
     from .. import progress
+    n_threads = o.uns("threads") if o.filled("threads") else 1
+    if n_threads > 1 and not xlat and not ctx.local \
+            and not options().flag("use_device"):
+        _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
+                              strand_both, n_threads)
+        return ctx
     progress.start("Searching")
     n_q = 0
     n_hit = 0
@@ -289,3 +295,66 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
         ctx.hitmgr.on_query_done(label, None)
     progress.done(f"{n_q} queries, {n_hit} with hits")
     return ctx
+
+
+def _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
+                          strand_both, n_threads) -> None:
+    """Thread fan-out over queries (the reference's per-thread Searcher
+    scheme, src/search.cpp:51-128): each worker owns its ranker/aligner
+    scratch; the DB and posting index are shared read-only; results are
+    delivered to the sinks in input order.  The hot per-query work (rank
+    + align + accept) runs in the C library, which releases the GIL."""
+    import threading
+    from ..config import options as _options, set_options
+    from .. import progress
+
+    main_opts = _options()
+    records = list(read_fastx(query_path, stream=True))
+    results: List = [None] * len(records)
+    nxt = [0]
+    lock = threading.Lock()
+    ctx.index._flatten()   # freeze the LSM tiers before sharing
+
+    errors: List = []
+
+    def worker():
+        try:
+            set_options(main_opts)
+            wctx = SearchContext.build(cmd, db, index=ctx.index)
+            while True:
+                with lock:
+                    i = nxt[0]
+                    if i >= len(records):
+                        return
+                    nxt[0] = i + 1
+                label, seq, _qual = records[i]
+                results[i] = list(
+                    wctx.search_query(label, seq, revcomp=strand_both))
+        except BaseException as e:   # surface worker failures
+            errors.append(e)
+            with lock:
+                nxt[0] = len(records)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    progress.start("Searching")
+    n_hit = 0
+    for i, (label, seq, _qual) in enumerate(records):
+        while results[i] is None:
+            if errors:
+                raise errors[0]
+            if not any(t.is_alive() for t in threads):
+                break
+            import time as _t
+            _t.sleep(0.001)
+        if errors:
+            raise errors[0]
+        hits = results[i] or []
+        if hits:
+            n_hit += 1
+        progress.tick(i + 1, len(records))
+        on_query_done(label, seq, hits)
+    for t in threads:
+        t.join()
+    progress.done(f"{len(records)} queries, {n_hit} with hits")
