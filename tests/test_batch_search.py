@@ -91,3 +91,48 @@ CB.cluster_mt_batched({in_fa!r})
     cluster_mt_batched(in_fa)
     assert open(full_uc).read() == open(part_uc).read()
     assert open(full_fa).read() == open(part_fa).read()
+
+
+def test_sintax_boot_counts_sharded(tmp_path):
+    """Device SINTAX boot counting (single-device and sharded over a
+    2x4 mesh) equals the host scatter-add exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from usearch12_tpu.io.seqdb import SeqDB
+    from usearch12_tpu.index.udb import UDBIndex
+    from usearch12_tpu.parallel.search_step import (build_incidence,
+                                                    sintax_boot_counts)
+    from usearch12_tpu.amplicon.sintax import _next_rand
+
+    rng = np.random.default_rng(0)
+    conv = np.frombuffer(b"ACGT", np.uint8)
+    db = SeqDB()
+    db.set_is_nucleo(True)
+    for i in range(23):
+        db.add(f"t{i};tax=g:G{i};", conv[rng.integers(0, 4, 180)])
+    idx = UDBIndex.from_seqdb(db)
+    inc = build_incidence(idx)
+
+    Q, BOOTS, M = 4, 6, 8
+    words = np.zeros((Q, BOOTS, M), np.int32)
+    host_u = np.zeros((Q, BOOTS, idx.seq_count), np.int32)
+    for q in range(Q):
+        seq = conv[rng.integers(0, 4, 200)]
+        uw = idx.params.unique_words(seq)
+        r = 1
+        for b in range(BOOTS):
+            for k in range(M):
+                r = _next_rand(r)
+                w = int(uw[r % len(uw)])
+                words[q, b, k] = w
+                row = idx.postings[idx.starts[w]:idx.starts[w]
+                                   + idx.sizes[w]]
+                np.add.at(host_u[q, b], row, 1)
+
+    assert np.array_equal(sintax_boot_counts(inc, words), host_u)
+    devs = np.array(jax.devices())
+    n_db = 4 if len(devs) % 4 == 0 else 1
+    mesh = Mesh(devs.reshape(len(devs) // n_db, n_db), ("data", "db"))
+    assert np.array_equal(sintax_boot_counts(inc, words, mesh=mesh),
+                          host_u)

@@ -240,3 +240,47 @@ def make_sharded_search_step(mesh, amax: int = 256):
         out_specs=(P("data"), P("data"), P("data")),
         check_rep=False)
     return step
+
+
+def sintax_boot_counts(incidence, words, mesh=None):
+    """Device SINTAX boot counting: U[q, boot, t] = sum over the boot's
+    sampled words of incidence[word, t] (the scatter-add in
+    src/sintaxsearcher.cpp SetUShuffle as dense gathers).
+
+    incidence: (V, T) float32; words: (Q, BOOTS, M) int32 sampled word ids
+    (host LCG, sequential for parity).  With a mesh, targets shard over
+    its "db" axis and each chip counts its target block (no cross-chip
+    traffic; the host concatenates per-shard results).  Returns
+    (Q, BOOTS, T) int32 counts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def count(inc, w):
+        q, boots, m = w.shape
+
+        def body(acc, k):
+            acc = acc + jnp.take(inc, w[:, :, k], axis=0)
+            return acc, None
+
+        init = jnp.zeros((q, boots, inc.shape[1]), jnp.float32)
+        acc, _ = jax.lax.scan(body, init, jnp.arange(m))
+        return acc.astype(jnp.int32)
+
+    if mesh is None:
+        return np.asarray(jax.jit(count)(jnp.asarray(incidence),
+                                         jnp.asarray(words)))
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    axis = "db" if "db" in mesh.axis_names else mesh.axis_names[-1]
+    n_db = mesh.shape[axis]
+    t = incidence.shape[1]
+    pad = (-t) % n_db
+    inc = np.pad(incidence, ((0, 0), (0, pad)))
+    specs = {a: None for a in mesh.axis_names}
+    fn = shard_map(count, mesh=mesh,
+                   in_specs=(P(None, axis), P()),
+                   out_specs=P(None, None, axis), check_rep=False)
+    with mesh:
+        out = np.asarray(jax.jit(fn)(jnp.asarray(inc), jnp.asarray(words)))
+    return out[:, :, :t]
