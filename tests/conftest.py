@@ -1,9 +1,15 @@
 import os
 import sys
 
-# Virtual 8-device CPU mesh for sharding tests; must be set before jax import.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual 8-device CPU mesh for sharding tests; must be set before jax
+# import.  Forced (not setdefault): the environment profile exports
+# JAX_PLATFORMS=axon, which would silently run the whole suite over the
+# tunneled TPU (slow, flaky, 1 device).  TPU hardware coverage comes from
+# bench.py and the driver's dryrun instead.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
