@@ -45,6 +45,31 @@ def _load_db(path: str) -> SeqDB:
     return load_db(path)[0]
 
 
+def _engine_device():
+    """Wavefront DP device for the batch engine: real TPU hardware only
+    (interpret-mode Pallas on CPU is for tests, via -engine_device)."""
+    o = options()
+    if o.flag("no_engine_device"):
+        return None
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None
+    interpret = False
+    if platform not in ("tpu", "axon"):
+        if not o.flag("engine_device"):
+            return None
+        interpret = True   # CPU test path
+    from .scoring import AlnParams
+    from .io.seqdb import SeqDB as _S
+    from .ops.wavefront_nw import WavefrontNWDevice
+    # the per-class devices are derived from the command AlnParams by
+    # BatchEngine._class_device; this base instance carries pb/chunk
+    ap = AlnParams.from_cmdline(True)
+    return WavefrontNWDevice(ap, pb=32, chunk=64, interpret=interpret)
+
+
 def cmd_usearch_global(query_path: Optional[str]) -> None:
     """usearch_global: UDB global search with USORT ranking
     (src/searchcmd.cpp:6-50, src/search.cpp:89-141)."""
@@ -127,9 +152,25 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             if f_nm:
                 write_fasta(f_nm, label, seq, o.uns("fasta_cols"))
 
+    from .io.fastx import file_is_nucleo
+    from .engine import BatchEngine, engine_eligible
+    xlat = (not db.get_is_nucleo()) and file_is_nucleo(query_path)
     if o.flag("use_device"):
         from .parallel.batch_search import batch_search_file
         batch_search_file("usearch_global", query_path, db, on_query_done)
+    elif engine_eligible("usearch_global", db.get_is_nucleo(), xlat) \
+            and not o.flag("use_serial_driver"):
+        eng = BatchEngine("usearch_global", db, index=db_index,
+                          device=_engine_device())
+        only_b6 = (f_b6 is not None and dbhit is None
+                   and not any((f_aln, f_uc, f_m, f_nm, f_fp, f_user,
+                                f_qseg, f_tseg, f_trim)))
+        if only_b6:
+            from .engine.emit import Blast6Emitter
+            em = Blast6Emitter(f_b6, db, o.flag("output_no_hits"))
+            eng.run_file(query_path, on_query_done, fast_emit=em.emit)
+        else:
+            eng.run_file(query_path, on_query_done)
     else:
         search_file("usearch_global", query_path, db, on_query_done,
                     index=db_index)

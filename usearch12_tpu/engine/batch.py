@@ -1,0 +1,513 @@
+"""Batch search engine orchestrator.
+
+Pipeline per query window (default 8192 records):
+
+  1. bulk FASTA parse (fasta_parse_c) — label/seq offset arrays, no
+     per-record Python objects
+  2. rank_batch_c — USORT candidate ranking for every (record, strand)
+     job, capped at K = maxaccepts + maxrejects (the most the lazy loop
+     can consume, SURVEY.md §7 "early termination economics")
+  3. candidate rounds: chain_batch_c HSP-chains the next candidate(s) of
+     every live job; small inter-HSP holes are banded-NW'd inline in C,
+     large holes are batched to the device wavefront kernel
+     (ops/wavefront_nw.py) — the production DP path on TPU
+  4. finish_replay_c — splice paths, compute stats, replay the exact
+     accept/terminate loop; jobs that terminated drop out
+  5. emit hits per record in input order
+
+Outputs are bit-identical to the serial driver (search/driver.py); the
+parity suite runs both.  Reference semantics: src/search.cpp:89-141,
+src/udbusortedsearcher.cpp:122-152, src/globalalignmem.cpp:129-236.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..config import options
+from ..io.seqdb import SeqDB
+from ..scoring import AlnParams, AlnHeuristics
+from ..index.udb import UDBIndex
+from ..search.terminator import Terminator
+from ..search.driver import fast_loop_eligible
+from ..align.result import AlignResult
+from ..native import GapParams, get_lib
+from .. import progress
+
+_STAT_FIELDS = ("first_m_col", "last_m_col", "first_m_qpos",
+                "first_m_tpos", "last_m_qpos", "last_m_tpos")
+
+
+def engine_eligible(cmd: str, nucleo: bool, xlat: bool) -> bool:
+    """True when the batch engine reproduces the serial driver exactly:
+    global search, bounded terminator, -id-only acceptance."""
+    o = options()
+    if get_lib() is None or xlat:
+        return False
+    if cmd not in ("usearch_global", "otutab", "closed_ref"):
+        return False
+    if o.flag("quicksort"):
+        return False   # C rank path implements count-sort order only
+    from ..search.accepter import Accepter
+    acc = Accepter(is_global=True)
+    if not fast_loop_eligible(acc):
+        return False
+    term = Terminator(cmd)
+    if term.max_accepts <= 0 or term.max_rejects <= 0:
+        return False
+    return True
+
+
+class _FastaWindows:
+    """Bulk-parsed FASTA file: offset arrays over one byte buffer."""
+
+    def __init__(self, path: str) -> None:
+        from ..io.fastx import open_maybe_gz, _seq_delete_table
+        lib = get_lib()
+        with open_maybe_gz(path) as f:
+            raw = f.read()
+        self.buf = np.frombuffer(raw, dtype=np.uint8)
+        n = len(self.buf)
+        keep = np.ones(256, dtype=np.uint8)
+        for c in _seq_delete_table(True):
+            keep[c] = 0
+        max_rec = max(n // 8, 1024)
+        while True:
+            seq_buf = np.empty(n if n else 1, dtype=np.uint8)
+            seq_off = np.empty(max_rec + 1, dtype=np.int64)
+            lbl_off = np.empty(max_rec, dtype=np.int64)
+            lbl_end = np.empty(max_rec, dtype=np.int64)
+            n_empty = np.zeros(1, dtype=np.int64)
+            nrec = lib.fasta_parse_c(
+                self.buf.ctypes.data, n, keep.ctypes.data,
+                seq_buf.ctypes.data, len(seq_buf), seq_off.ctypes.data,
+                lbl_off.ctypes.data, lbl_end.ctypes.data, max_rec,
+                n_empty.ctypes.data)
+            if nrec >= 0:
+                break
+            max_rec *= 4
+        self.n = int(nrec)
+        self.seq_buf = seq_buf
+        self.seq_off = seq_off[:self.n + 1]
+        self.lbl_off = lbl_off[:self.n]
+        self.lbl_end = lbl_end[:self.n]
+        if int(n_empty[0]) and not options().flag("quiet"):
+            import sys
+            print(f"WARNING: {int(n_empty[0])} zero-length sequences "
+                  "skipped", file=sys.stderr)
+        self._raw = raw
+
+    def label(self, i: int) -> str:
+        from ..io.fastx import _proc_label
+        return _proc_label(bytes(self.buf[self.lbl_off[i]:self.lbl_end[i]]))
+
+    def seq(self, i: int) -> np.ndarray:
+        return self.seq_buf[self.seq_off[i]:self.seq_off[i + 1]]
+
+
+class BatchEngine:
+    """Window-batched global search vs a fixed SeqDB."""
+
+    def __init__(self, cmd: str, db: SeqDB,
+                 index: Optional[UDBIndex] = None,
+                 device: Optional[object] = None) -> None:
+        o = options()
+        self.lib = get_lib()
+        self.db = db
+        self.nucleo = db.get_is_nucleo()
+        self.ap = AlnParams.from_cmdline(self.nucleo)
+        self.ah = AlnHeuristics.from_cmdline(self.ap)
+        self.index = index if index is not None else UDBIndex.from_seqdb(db)
+        self.index._flatten()
+        term = Terminator(cmd)
+        self.max_accepts = term.max_accepts
+        self.max_rejects = term.max_rejects
+        self.K = self.max_accepts + self.max_rejects
+        self.min_id = o.flt("id") if o.filled("id") else -1.0
+        self.has_max_id = o.filled("maxid")
+        self.max_id = o.flt("maxid") if self.has_max_id else 1.0
+        self.full_dp_always = self.ah.full_dp_always
+        self.fail_if_no_hsps = not o.flag("gaforce")
+        self.bump = o.uns("bump")
+        self.quicksort = o.flag("quicksort")
+
+        from ..alpha import (CHAR_TO_COMP_CHAR, CHAR_TO_LETTER_AMINO,
+                             CHAR_TO_LETTER_NUCLEO, IS_LOWER,
+                             MATCH_MX_AMINO, MATCH_MX_NUCLEO, TO_UPPER)
+        ap = self.ap
+        self._sub_mx = np.ascontiguousarray(ap.subst_mx, dtype=np.float32)
+        ctl = (CHAR_TO_LETTER_NUCLEO if ap.nucleo
+               else CHAR_TO_LETTER_AMINO)
+        self._ctl_aln = np.ascontiguousarray(ctl)
+        rank_tbl = ctl.copy()
+        rank_tbl[IS_LOWER] = 0xFF
+        self._ctl_rank = np.ascontiguousarray(rank_tbl)
+        self._match = np.ascontiguousarray(
+            (MATCH_MX_NUCLEO if ap.nucleo else MATCH_MX_AMINO)
+            .astype(np.uint8))
+        self._to_upper = np.ascontiguousarray(TO_UPPER)
+        self._comp = CHAR_TO_COMP_CHAR
+        self._gp = GapParams.from_alnparams(ap)
+
+        lib = self.lib
+        self._hf = lib.hsp_create(self.ah.hsp_word_length,
+                                  4 if ap.nucleo else 20,
+                                  self._sub_mx, self._ctl_aln)
+        self._as = lib.scratch_create()
+        self._rs = lib.rank_scratch_create()
+        self._es = lib.engine_scratch_create()
+
+        # db view
+        seqs = db.seqs
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        self._db_concat = (np.ascontiguousarray(np.concatenate(seqs))
+                          if len(seqs) else np.zeros(1, np.uint8))
+        self._db_off = offs
+        self._db_len = lens
+
+        # device hole alignment
+        self.device = device
+        self._class_devices = {}
+        self.dev_min_cells = 1 << 62
+        if device is not None:
+            self.dev_min_cells = int(o.str("dev_min_cells")) \
+                if o.filled("dev_min_cells") else 2048
+
+        # growable batch buffers
+        self._seg_cap = 1 << 16
+        self._hole_cap = 1 << 12
+        self._lit_cap = 1 << 20
+        self._hitpath_cap = 1 << 20
+        self._alloc_round_bufs()
+
+    def __del__(self):
+        try:
+            self.lib.hsp_destroy(self._hf)
+            self.lib.scratch_destroy(self._as)
+            self.lib.rank_scratch_destroy(self._rs)
+            self.lib.engine_scratch_destroy(self._es)
+        except Exception:
+            pass
+
+    def _alloc_round_bufs(self) -> None:
+        self._seg_kind = np.empty(self._seg_cap, np.uint8)
+        self._seg_val = np.empty(self._seg_cap, np.int64)
+        self._seg_val2 = np.empty(self._seg_cap, np.int64)
+        self._hole_pair = np.empty(self._hole_cap, np.int32)
+        self._hole_aoff = np.empty(self._hole_cap, np.int64)
+        self._hole_boff = np.empty(self._hole_cap, np.int64)
+        self._hole_alen = np.empty(self._hole_cap, np.int32)
+        self._hole_blen = np.empty(self._hole_cap, np.int32)
+        self._hole_cls = np.empty(self._hole_cap, np.uint8)
+        self._lit_buf = np.empty(self._lit_cap, np.uint8)
+
+    # -- one window ------------------------------------------------------
+    def _rank_jobs(self, jbuf: np.ndarray, j_off: np.ndarray):
+        lib = self.lib
+        ix = self.index
+        p = ix.params
+        n_jobs = len(j_off) - 1
+        K = self.K
+        cand = np.empty((n_jobs, K), np.uint32)
+        cnts = np.empty((n_jobs, K), np.uint32)
+        out_n = np.empty(n_jobs, np.int32)
+        out_more = np.empty(n_jobs, np.uint8)
+        has_csr = ix._postings is not None and len(ix._postings) > 0
+        Z64 = np.zeros(1, np.int64)
+        Z32 = np.zeros(1, np.int32)
+        sw = ix._sorted_w if ix._sorted_w is not None else Z64
+        st = ix._sorted_t if ix._sorted_t is not None else Z32
+        n_sorted = len(sw) if ix._sorted_w is not None else 0
+        if ix._pending_words:
+            pw, pt = ix._pending_raw()
+        else:
+            pw, pt = Z64, Z32
+        n_pending = len(pw) if ix._pending_words else 0
+        # mode 0 = SetTopBump + count-sort, the rank() path (quicksort is
+        # rejected by engine_eligible)
+        lib.rank_batch_c(
+            self._rs, self._es,
+            jbuf.ctypes.data, j_off.ctypes.data, n_jobs,
+            self._ctl_rank.ctypes.data, p.alpha_size, p.word_length,
+            p.slot_count,
+            ix._starts.ctypes.data if has_csr else None,
+            ix._postings.ctypes.data if has_csr else None, int(has_csr),
+            sw.ctypes.data, st.ctypes.data, n_sorted,
+            pw.ctypes.data, pt.ctypes.data, n_pending,
+            ix.seq_count, self.bump, 0, K,
+            cand.ctypes.data, cnts.ctypes.data, out_n.ctypes.data,
+            out_more.ctypes.data)
+        self._keep_alive = (sw, st, pw, pt)
+        return cand, cnts, out_n
+
+    def _chain_round(self, jbuf, j_off, pair_j, pair_t):
+        """chain_batch_c with capacity retry; returns packed plan."""
+        lib = self.lib
+        ah = self.ah
+        n_pairs = len(pair_j)
+        status = np.empty(n_pairs, np.uint8)
+        pair_seg_off = np.empty(n_pairs + 1, np.int64)
+        while True:
+            n_hole = lib.chain_batch_c(
+                self._hf, self._as, self._es,
+                ctypes.byref(self._gp), self._sub_mx.ctypes.data,
+                self._match.ctypes.data,
+                ah.band_radius, ah.min_global_hsp_length,
+                ah.min_global_hsp_fract_id, ah.min_global_hsp_score,
+                ah.xdrop_global_hsp, int(self.full_dp_always),
+                int(self.fail_if_no_hsps),
+                jbuf.ctypes.data, j_off.ctypes.data,
+                self._db_concat.ctypes.data, self._db_off.ctypes.data,
+                self._db_len.ctypes.data,
+                pair_j.ctypes.data, pair_t.ctypes.data, n_pairs,
+                self.dev_min_cells,
+                status.ctypes.data,
+                self._seg_kind.ctypes.data, self._seg_val.ctypes.data,
+                self._seg_val2.ctypes.data, pair_seg_off.ctypes.data,
+                self._seg_cap,
+                self._hole_pair.ctypes.data, self._hole_aoff.ctypes.data,
+                self._hole_boff.ctypes.data, self._hole_alen.ctypes.data,
+                self._hole_blen.ctypes.data, self._hole_cls.ctypes.data,
+                self._hole_cap,
+                self._lit_buf.ctypes.data, self._lit_cap)
+            if n_hole >= 0:
+                return status, pair_seg_off, int(n_hole)
+            if n_hole == -1:
+                self._seg_cap *= 4
+            elif n_hole == -2:
+                self._hole_cap *= 4
+            elif n_hole == -3:
+                self._lit_cap *= 4
+            else:
+                raise RuntimeError("chain_batch_c DP error")
+            self._alloc_round_bufs()
+
+    def _align_holes(self, jbuf, n_hole: int):
+        """Device wavefront alignment of the emitted holes, grouped by
+        terminal class (ops/batch_align.py semantics).  Returns
+        (hole_paths bytes, hole_off int64)."""
+        if n_hole == 0:
+            return np.zeros(1, np.uint8), np.zeros(1, np.int64)
+        paths: List[Optional[bytes]] = [None] * n_hole
+        cls = self._hole_cls[:n_hole]
+        aoff = self._hole_aoff[:n_hole]
+        boff = self._hole_boff[:n_hole]
+        alen = self._hole_alen[:n_hole]
+        blen = self._hole_blen[:n_hole]
+        db = self._db_concat
+        for c in np.unique(cls):
+            idx = np.nonzero(cls == c)[0]
+            sub_pairs = [(jbuf[aoff[h]:aoff[h] + alen[h]],
+                          db[boff[h]:boff[h] + blen[h]]) for h in idx]
+            d = self._class_device(int(c))
+            _scores, ps = d.align(sub_pairs, self.ah.band_radius,
+                                  nucleo=self.ap.nucleo)
+            for k, h in enumerate(idx):
+                paths[h] = ps[k].encode("ascii")
+        hole_off = np.zeros(n_hole + 1, np.int64)
+        np.cumsum([len(p) for p in paths], out=hole_off[1:])
+        return np.frombuffer(b"".join(paths), dtype=np.uint8), hole_off
+
+    def _class_device(self, cls_bits: int):
+        """Wavefront device with the hole's terminal-penalty class
+        (ops/batch_align.py _class_device semantics)."""
+        dev = self._class_devices.get(cls_bits)
+        if dev is None:
+            from ..ops.wavefront_nw import WavefrontNWDevice
+            local_ap = self.ap.hole_params(
+                bool(cls_bits & 1), bool(cls_bits & 2), bool(cls_bits & 4),
+                bool(cls_bits & 8))
+            dev = WavefrontNWDevice(local_ap, pb=self.device.pb,
+                                    chunk=self.device.chunk,
+                                    interpret=self.device.interpret)
+            self._class_devices[cls_bits] = dev
+        return dev
+
+    def _finish_round(self, jbuf, j_off, pair_j, pair_t, status,
+                      pair_seg_off, hole_paths, hole_off, job_state):
+        lib = self.lib
+        n_pairs = len(pair_j)
+        max_hits = n_pairs + 1
+        while True:
+            # finish_replay_c mutates job_state/out_used as it replays, so
+            # capacity retries must run on a fresh copy and commit at the
+            # end
+            job_state_try = job_state.copy()
+            out_used = np.zeros(len(j_off) - 1, np.int32)
+            hit_job = np.empty(max_hits, np.int32)
+            hit_tix = np.empty(max_hits, np.uint32)
+            hit_paths = np.empty(self._hitpath_cap, np.uint8)
+            hit_path_off = np.empty(max_hits + 1, np.int64)
+            hit_stats = np.empty((max_hits, 10), np.int64)
+            n_hits = lib.finish_replay_c(
+                self._es,
+                status.ctypes.data,
+                self._seg_kind.ctypes.data, self._seg_val.ctypes.data,
+                self._seg_val2.ctypes.data, pair_seg_off.ctypes.data,
+                pair_j.ctypes.data, pair_t.ctypes.data, n_pairs,
+                self._lit_buf.ctypes.data,
+                hole_paths.ctypes.data, hole_off.ctypes.data,
+                jbuf.ctypes.data, j_off.ctypes.data,
+                self._db_concat.ctypes.data, self._db_off.ctypes.data,
+                self._db_len.ctypes.data,
+                self._match.ctypes.data, self._to_upper.ctypes.data,
+                self.min_id, self.max_id, int(self.has_max_id),
+                self.max_accepts, self.max_rejects,
+                job_state_try.ctypes.data, out_used.ctypes.data,
+                hit_job.ctypes.data, hit_tix.ctypes.data,
+                hit_paths.ctypes.data, hit_path_off.ctypes.data,
+                self._hitpath_cap, hit_stats.ctypes.data, max_hits)
+            if n_hits >= 0:
+                break
+            self._hitpath_cap *= 4
+        job_state[:] = job_state_try
+        return (hit_job[:n_hits], hit_tix[:n_hits], hit_paths,
+                hit_path_off[:n_hits + 1], hit_stats[:n_hits], out_used)
+
+    def search_window(self, jbuf: np.ndarray, j_off: np.ndarray,
+                      collect_hits: Callable) -> None:
+        """Run all jobs to termination.  collect_hits(j, tix, path_bytes,
+        stats_row) is called per accepted hit in acceptance order."""
+        n_jobs = len(j_off) - 1
+        cand, cnts, out_n = self._rank_jobs(jbuf, j_off)
+        job_state = np.zeros((n_jobs, 3), np.int32)
+        ptr = np.zeros(n_jobs, np.int32)
+        depth = 1
+        while True:
+            live = np.nonzero((job_state[:, 2] == 0) & (ptr < out_n))[0]
+            if len(live) == 0:
+                break
+            take = np.minimum(out_n[live] - ptr[live], depth)
+            pair_j = np.repeat(live, take).astype(np.int32)
+            # candidate indexes ptr[j] .. ptr[j]+take-1 per job
+            csum = np.concatenate(([0], np.cumsum(take)))
+            within = np.arange(csum[-1]) - np.repeat(csum[:-1], take)
+            pair_k = np.repeat(ptr[live], take) + within
+            pair_t = np.ascontiguousarray(cand[pair_j, pair_k])
+            status, pair_seg_off, n_hole = self._chain_round(
+                jbuf, j_off, pair_j, pair_t)
+            hole_paths, hole_off = self._align_holes(jbuf, n_hole)
+            (hit_job, hit_tix, hit_paths, hit_path_off, hit_stats,
+             out_used) = self._finish_round(
+                jbuf, j_off, pair_j, pair_t, status, pair_seg_off,
+                hole_paths, hole_off, job_state)
+            ptr[live] += take
+            for k in range(len(hit_job)):
+                lo, hi = hit_path_off[k], hit_path_off[k + 1]
+                collect_hits(int(hit_job[k]), int(hit_tix[k]),
+                             hit_paths[lo:hi].tobytes(), hit_stats[k])
+            if self.device is not None:
+                depth = min(depth * 2, 8)   # fewer device round trips
+            # no device: depth stays 1 (zero speculation waste)
+
+    # -- file driver -----------------------------------------------------
+    def run_file(self, query_path: str, on_query_done: Callable,
+                 window: int = 8192, fast_emit=None) -> None:
+        """Stream the query file through the engine.  on_query_done(label,
+        seq, hits) per record in input order (hits = AlignResult list in
+        acceptance order, fwd strand first — identical to the serial
+        driver).  fast_emit, when given, is called as
+        fast_emit(win, rec_lo, rec_hi, per_rec_hits) instead of building
+        AlignResult objects."""
+        o = options()
+        strand_both = False
+        if self.nucleo:
+            if not o.filled("strand"):
+                raise SystemExit(
+                    "Must specify -strand plus or both with nt db")
+            s = o.str("strand")
+            if s == "both":
+                strand_both = True
+            elif s != "plus":
+                raise SystemExit("Invalid -strand, must be plus or both")
+        win = _FastaWindows(query_path)
+        n = win.n
+        progress.start("Searching")
+        db = self.db
+        # fast label decode (slow _proc_label only when options demand)
+        trunclabels = o.flag("trunclabels")
+        truncstr = o.str("truncstr") if o.filled("truncstr") else None
+        buf = win.buf
+
+        def label_of(i):
+            raw = bytes(buf[win.lbl_off[i]:win.lbl_end[i]])
+            if trunclabels or truncstr is not None:
+                from ..io.fastx import _proc_label
+                return _proc_label(raw)
+            return raw.decode("latin1")
+
+        for lo in range(0, n, window):
+            hi = min(lo + window, n)
+            nrec = hi - lo
+            soff = win.seq_off
+            if strand_both:
+                parts = []
+                for r in range(lo, hi):
+                    s = win.seq_buf[soff[r]:soff[r + 1]]
+                    parts.append(s)
+                    parts.append(self._comp[s][::-1])
+                jbuf = (np.concatenate(parts) if parts
+                        else np.zeros(1, np.uint8))
+                lens = np.repeat(soff[lo + 1:hi + 1] - soff[lo:hi], 2)
+                j_off = np.zeros(2 * nrec + 1, np.int64)
+                np.cumsum(lens, out=j_off[1:])
+                jobs_per_rec = 2
+            else:
+                jbuf = np.ascontiguousarray(win.seq_buf[soff[lo]:soff[hi]])
+                j_off = (soff[lo:hi + 1] - soff[lo]).astype(np.int64)
+                jobs_per_rec = 1
+
+            per_job_hits: List[List] = [[] for _ in range(
+                nrec * jobs_per_rec)]
+
+            def collect(j, tix, path_b, stats):
+                per_job_hits[j].append((tix, path_b, stats))
+
+            self.search_window(jbuf, j_off, collect)
+
+            if fast_emit is not None:
+                fast_emit(label_of, lo, hi, per_job_hits, jobs_per_rec,
+                          j_off, jbuf)
+            else:
+                for r in range(nrec):
+                    label = label_of(lo + r)
+                    seq = win.seq(lo + r)
+                    hits = []
+                    for s in range(jobs_per_rec):
+                        j = r * jobs_per_rec + s
+                        is_rc = s == 1
+                        qseq = (jbuf[j_off[j]:j_off[j + 1]] if is_rc
+                                else seq)
+                        for tix, path_b, stats in per_job_hits[j]:
+                            hits.append(self._make_ar(
+                                label, qseq, int(tix),
+                                path_b.decode("ascii"), stats, is_rc))
+                    on_query_done(label, seq, hits)
+            progress.tick(hi, n)
+        progress.done(f"{n} queries")
+
+    def _make_ar(self, label, qseq, tix, path, stats, is_rc):
+        db = self.db
+        ar = AlignResult(query_label=label, target_label=db.labels[tix],
+                         query_seq=qseq, target_seq=db.seqs[tix],
+                         path=path, nucleo=self.nucleo, target_index=tix,
+                         query_revcomp=is_rc)
+        (first_m, last_m, ar.first_m_qpos, ar.first_m_tpos,
+         ar.last_m_qpos, ar.last_m_tpos, id_count, diff_a, m_cols,
+         gap_opens) = (int(v) for v in stats)
+        ar.id_count = id_count
+        ar.mismatch_count = m_cols - id_count
+        ar.diff_count_a = diff_a
+        ar.first_m_col = first_m
+        ar.last_m_col = last_m
+        ar.aln_length = last_m - first_m + 1
+        ar.int_gap_count = ar.aln_length - m_cols
+        ar.term_gap_count = len(path) - ar.aln_length
+        ar._gap_opens = gap_opens
+        ar._filled = True
+        return ar

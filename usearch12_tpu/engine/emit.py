@@ -1,0 +1,71 @@
+"""Vectorized sink emitters for the batch engine.
+
+The generic sink path builds AlignResult objects per hit (~75us/query of
+Python); when a run's only output is one tabular file, these emitters
+format straight from the packed hit arrays.  Field semantics are
+identical to the per-AR writers (out/blast6.py, out/uc.py) — parity is
+asserted by the test suite running both paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..search.hitmgr import quick_sort_order
+
+
+def _order_hits(stats_list):
+    """Replay the HitMgr output order (QuickSortOrderDesc over float32
+    fract-id scores, src/hitmgr.cpp / sort.h:62-101)."""
+    n = len(stats_list)
+    if n <= 1:
+        return range(n)
+    scores = [np.float32(s[6] / (s[1] - s[0] + 1)) for s in stats_list]
+    if n == 2:
+        # Hoare partition with middle pivot: ties put the later hit first
+        return (0, 1) if scores[1] < scores[0] else (1, 0)
+    return quick_sort_order(scores, desc=True)
+
+
+class Blast6Emitter:
+    """blast6 lines straight from packed hits (out/blast6.py semantics:
+    global search => qlo..qhi = 1..LA always, tlo..thi flipped for a
+    revcomp query, evalue/bitscore = '*')."""
+
+    def __init__(self, f, db, output_no_hits: bool) -> None:
+        self.f = f
+        self.db = db
+        self.no_hits = output_no_hits
+        self._tlabels = db.labels
+        self._tlens = [len(s) for s in db.seqs]
+
+    def emit(self, label_of, lo, hi, per_job_hits, jobs_per_rec, j_off,
+             jbuf) -> None:
+        out = []
+        tl = self._tlabels
+        tn = self._tlens
+        for r in range(hi - lo):
+            j0 = r * jobs_per_rec
+            hits = []
+            for s in range(jobs_per_rec):
+                j = j0 + s
+                la = int(j_off[j + 1] - j_off[j])
+                for tix, _path, st in per_job_hits[j]:
+                    hits.append((tix, st, s == 1, la))
+            if not hits:
+                if self.no_hits:
+                    out.append(f"{label_of(lo + r)}\t*\t0\t0\t0\t0\t0\t0"
+                               "\t0\t0\t*\t0\n")
+                continue
+            label = label_of(lo + r)
+            for k in _order_hits([h[1] for h in hits]):
+                tix, st, is_rc, la = hits[k]
+                alnlen = int(st[1] - st[0] + 1)
+                pct = 100.0 * (int(st[6]) / alnlen)
+                mism = int(st[8] - st[6])
+                gapo = int(st[9])
+                lb = tn[tix]
+                tlo, thi = (lb, 1) if is_rc else (1, lb)
+                out.append(f"{label}\t{tl[tix]}\t{pct:.1f}\t{alnlen}\t"
+                           f"{mism}\t{gapo}\t1\t{la}\t{tlo}\t{thi}\t*\t*\n")
+        self.f.write("".join(out))

@@ -175,10 +175,16 @@ class UDBIndex:
         if params is None:
             params = UDBParams.global_usearch(db.get_is_nucleo())
         idx = cls(params)
+        # bulk build: collect every sequence's unique words, then build
+        # the CSR with ONE stable sort (no LSM churn for a static DB)
         for i, seq in enumerate(db.seqs):
-            idx.add_seq(i, seq)
+            words = params.unique_words(seq)
+            idx._pending_words.append(words)
+            idx._pending_tix.append(
+                np.full(len(words), i, dtype=np.int32))
         idx.seq_count = len(db)
-        idx._flatten()   # static DB: build the CSR once up front
+        idx._flat_dirty = True
+        idx._flatten()
         return idx
 
     # -- flat CSR view ---------------------------------------------------------

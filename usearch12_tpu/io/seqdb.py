@@ -46,6 +46,9 @@ class SeqDB:
     # -- construction -----------------------------------------------------
     @classmethod
     def from_fastx(cls, path: str) -> "SeqDB":
+        db = cls._from_fasta_bulk(path)
+        if db is not None:
+            return db
         from .fastx import read_fastx
         db = cls()
         for label, seq, qual in read_fastx(path):
@@ -53,6 +56,57 @@ class SeqDB:
                 # reference warns and drops empty records at load
                 continue
             db.add(label, seq, qual)
+        return db
+
+    @classmethod
+    def _from_fasta_bulk(cls, path: str):
+        """Bulk C FASTA parse (fasta_parse_c); None => caller falls back
+        to the streaming parser (FASTQ, or no native lib)."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is None:
+            return None
+        from .fastx import open_maybe_gz, _seq_delete_table, _proc_label
+        from ..config import options
+        try:
+            with open_maybe_gz(path) as f:
+                head = f.read(1)
+                if head != b">":
+                    return None
+                raw = head + f.read()
+        except (OSError, ValueError):
+            return None
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        n = len(buf)
+        keep = np.ones(256, dtype=np.uint8)
+        for c in _seq_delete_table(False):
+            keep[c] = 0
+        max_rec = max(n // 8, 1024)
+        while True:
+            seq_buf = np.empty(max(n, 1), dtype=np.uint8)
+            seq_off = np.empty(max_rec + 1, dtype=np.int64)
+            lbl_off = np.empty(max_rec, dtype=np.int64)
+            lbl_end = np.empty(max_rec, dtype=np.int64)
+            n_empty = np.zeros(1, dtype=np.int64)
+            nrec = lib.fasta_parse_c(
+                buf.ctypes.data, n, keep.ctypes.data, seq_buf.ctypes.data,
+                len(seq_buf), seq_off.ctypes.data, lbl_off.ctypes.data,
+                lbl_end.ctypes.data, max_rec, n_empty.ctypes.data)
+            if nrec >= 0:
+                break
+            max_rec *= 4
+        db = cls()
+        o = options()
+        plain = not (o.flag("trunclabels") or o.filled("truncstr"))
+        labels = db.labels
+        seqs = db.seqs
+        quals = db.quals
+        for i in range(nrec):
+            raw_lbl = raw[lbl_off[i]:lbl_end[i]]
+            labels.append(raw_lbl.decode("latin1") if plain
+                          else _proc_label(raw_lbl))
+            seqs.append(seq_buf[seq_off[i]:seq_off[i + 1]])
+            quals.append(None)
         return db
 
     def add(self, label: str, seq: np.ndarray, qual: Optional[str] = None) -> int:
@@ -102,7 +156,33 @@ class SeqDB:
         nucleo = self.get_is_nucleo()
         if mtype is None:
             mtype = db_mask_type(nucleo)
+        if mtype in ("fastnucleo", "fastamino") and self._mask_fast_batch(
+                nucleo):
+            return
         self.seqs = [mask_seq(s, mtype, nucleo) for s in self.seqs]
+
+    def _mask_fast_batch(self, nucleo: bool) -> bool:
+        """FastMask the whole DB in one native call (fast_mask_batch_c);
+        False => caller falls back to the per-seq path."""
+        from ..native import get_lib
+        from ..config import options
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "fast_mask_batch_c"):
+            return False
+        from ..alpha import TO_UPPER
+        n = len(self.seqs)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in self.seqs], out=offs[1:])
+        if offs[n] == 0:
+            return True
+        concat = np.concatenate(self.seqs) if n else np.zeros(0, np.uint8)
+        out = np.ascontiguousarray(TO_UPPER[concat])
+        lib.fast_mask_batch_c(
+            out.ctypes.data, offs.ctypes.data, n,
+            int(options().flag("hardmask")),
+            ord("N") if nucleo else ord("X"))
+        self.seqs = [out[offs[i]:offs[i + 1]] for i in range(n)]
+        return True
 
     # -- device packing -------------------------------------------------------
     def pack_padded(self, indices=None, pad_to: Optional[int] = None,

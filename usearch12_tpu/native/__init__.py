@@ -17,6 +17,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "usearch_native.c")
+_SRC2 = os.path.join(_DIR, "usearch_engine.c")
 _SO = os.path.join(_DIR, "_usearch_native.so")
 
 _lock = threading.Lock()
@@ -42,15 +43,23 @@ class GapParams(ctypes.Structure):
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
         return _SO
-    try:
-        subprocess.run(
-            ["gcc", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
-            check=True, capture_output=True)
-        return _SO
-    except Exception:
-        return None
+    # -O3 -march=native for throughput; -ffp-contract=off keeps the DP
+    # float-op DAG bit-identical to the Pallas kernels and the reference
+    # (no FMA contraction of a*b+c)
+    for flags in (["-O3", "-march=native", "-ffp-contract=off"],
+                  ["-O2"]):
+        try:
+            subprocess.run(
+                ["gcc", *flags, "-shared", "-fPIC", "-o", _SO, _SRC,
+                 _SRC2],
+                check=True, capture_output=True)
+            return _SO
+        except Exception:
+            continue
+    return None
 
 
 def get_lib():
@@ -144,6 +153,53 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # pending tier
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p]         # out_tix, out_counts
+        # -- batch engine (usearch_engine.c) --
+        vp = ctypes.c_void_p
+        i64 = ctypes.c_int64
+        lib.engine_scratch_create.restype = vp
+        lib.engine_scratch_destroy.argtypes = [vp]
+        lib.fasta_parse_c.restype = i64
+        lib.fasta_parse_c.argtypes = [vp, i64, vp, vp, i64, vp, vp, vp,
+                                      i64, vp]
+        lib.fast_mask_batch_c.restype = None
+        lib.fast_mask_batch_c.argtypes = [vp, vp, i64, ctypes.c_int,
+                                          ctypes.c_uint8]
+        lib.rank_batch_c.restype = i64
+        lib.rank_batch_c.argtypes = [
+            vp, vp, vp, vp, i64,                  # scratches, jbuf, j_off, n
+            vp, ctypes.c_uint32, ctypes.c_uint32, i64,   # table, alpha, w, slots
+            vp, vp, ctypes.c_int,                 # CSR
+            vp, vp, i64,                          # sorted tier
+            vp, vp, i64,                          # pending tier
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int, i64,
+            vp, vp, vp, vp]                       # out tix/counts/n/more
+        lib.chain_batch_c.restype = i64
+        lib.chain_batch_c.argtypes = [
+            vp, vp, vp,                           # hf, align scratch, eng
+            ctypes.POINTER(GapParams), vp, vp,    # gp, sub_mx, match_mx
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            vp, vp,                               # jbuf, j_off
+            vp, vp, vp,                           # db, db_off, db_len
+            vp, vp, i64,                          # pair_j, pair_t, n_pairs
+            i64,                                  # dev_min_cells
+            vp,                                   # status
+            vp, vp, vp, vp, i64,                  # segs
+            vp, vp, vp, vp, vp, vp, i64,          # holes
+            vp, i64]                              # lit buf
+        lib.finish_replay_c.restype = i64
+        lib.finish_replay_c.argtypes = [
+            vp,                                   # eng scratch
+            vp, vp, vp, vp, vp,                   # status, segs
+            vp, vp, i64,                          # pair_j, pair_t, n
+            vp, vp, vp,                           # lit, hole_paths, hole_off
+            vp, vp,                               # jbuf, j_off
+            vp, vp, vp,                           # db
+            vp, vp,                               # id_mx, to_upper
+            ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32,
+            vp, vp,                               # job_state, out_used
+            vp, vp, vp, vp, i64, vp, i64]         # hits
         _lib = lib
         return _lib
 

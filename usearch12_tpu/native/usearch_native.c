@@ -1645,18 +1645,42 @@ int64_t usort_rank_c(
             }
         }
     }
-    /* -- SetU: scatter-add over the three posting tiers -- */
+    /* -- SetU: scatter-add over the three posting tiers --
+     * Small DBs skip the touched-list bookkeeping: the U array is
+     * cleared during the SetTop scan instead (dense_clear), which
+     * matches the reference's plain ++U[Target] inner loop
+     * (src/udbusortedsearcher.cpp:396-408).  Large DBs keep the
+     * touched list so clearing stays O(candidates). */
     uint32_t *u = s->u;
     int32_t *touched = s->touched;
     uint32_t nt = 0;
+    int dense_clear = seq_count <= (1u << 15);
+    /* prefetch ahead: the per-word row starts and row heads are random
+     * accesses into multi-MB arrays; hide the latency a few words ahead */
     for (uint32_t k = 0; k < nuw; ++k) {
         int64_t w = s->uw[k];
         if (has_csr) {
+            if (k + 4 < nuw) {
+                int64_t wn = s->uw[k + 4];
+                __builtin_prefetch(&starts[wn], 0, 1);
+            }
+            if (k + 2 < nuw) {
+                int64_t wn = s->uw[k + 2];
+                __builtin_prefetch(&postings[starts[wn]], 0, 1);
+            }
             int64_t lo = starts[w], hi = starts[w + 1];
-            for (int64_t p = lo; p < hi; ++p) {
-                int32_t t = postings[p];
-                if ((uint32_t)t < seq_count) {
-                    if (u[t]++ == 0) touched[nt++] = t;
+            if (dense_clear) {
+                for (int64_t p = lo; p < hi; ++p) {
+                    uint32_t t = (uint32_t)postings[p];
+                    if (t < seq_count)
+                        ++u[t];
+                }
+            } else {
+                for (int64_t p = lo; p < hi; ++p) {
+                    int32_t t = postings[p];
+                    if ((uint32_t)t < seq_count) {
+                        if (u[t]++ == 0) touched[nt++] = t;
+                    }
                 }
             }
         }
@@ -1666,7 +1690,10 @@ int64_t usort_rank_c(
             for (int64_t p = lo; p < hi; ++p) {
                 int32_t t = st[p];
                 if ((uint32_t)t < seq_count) {
-                    if (u[t]++ == 0) touched[nt++] = t;
+                    if (dense_clear)
+                        ++u[t];
+                    else if (u[t]++ == 0)
+                        touched[nt++] = t;
                 }
             }
         }
@@ -1678,20 +1705,26 @@ int64_t usort_rank_c(
         if (s->seen[w >> 3] & (1u << (w & 7))) {
             int32_t t = pt[p];
             if ((uint32_t)t < seq_count) {
-                if (u[t]++ == 0) touched[nt++] = t;
+                if (dense_clear)
+                    ++u[t];
+                else if (u[t]++ == 0)
+                    touched[nt++] = t;
             }
         }
     }
     for (uint32_t k = 0; k < nuw; ++k)   /* clear bitmap (touched only) */
         s->seen[s->uw[k] >> 3] = 0;
 
-    /* -- SetTopBump / SetTop: dense index-order scan -- */
+    /* -- SetTopBump / SetTop: dense index-order scan (fused U clear in
+     * dense_clear mode: every slot is read once here anyway) -- */
     uint32_t n_cand = 0;
     uint32_t max_u_seen = 0;
     if (mode == 0 && bump_pct != 0) {
         uint32_t cur_min = 1;
         for (uint32_t t = 0; t < seq_count; ++t) {
             uint32_t v = u[t];
+            if (dense_clear)
+                u[t] = 0;
             if (v > max_u_seen) {
                 if (v >= cur_min) {
                     out_tix[n_cand] = t;
@@ -1708,6 +1741,8 @@ int64_t usort_rank_c(
     } else {
         for (uint32_t t = 0; t < seq_count; ++t) {
             uint32_t v = u[t];
+            if (dense_clear)
+                u[t] = 0;
             if (v >= 1) {
                 out_tix[n_cand] = t;
                 out_counts[n_cand++] = v;
