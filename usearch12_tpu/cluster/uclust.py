@@ -142,6 +142,11 @@ def _greedy_cluster(cmd: str, input_db: SeqDB, dr: Optional[DerepResult],
                     unique_db: SeqDB, order, nucleo: bool,
                     rev_comp: bool) -> None:
     o = options()
+    if not o.flag("use_serial_driver"):
+        from ..engine.cluster import greedy_cluster_engine
+        if greedy_cluster_engine(cmd, input_db, dr, unique_db, order,
+                                 nucleo, rev_comp):
+            return
     ap = AlnParams.from_cmdline(nucleo)
     ah = AlnHeuristics.from_cmdline(ap)
     params = UDBParams.global_usearch(nucleo)

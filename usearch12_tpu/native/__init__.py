@@ -49,12 +49,15 @@ def _build() -> Optional[str]:
     # -O3 -march=native for throughput; -ffp-contract=off keeps the DP
     # float-op DAG bit-identical to the Pallas kernels and the reference
     # (no FMA contraction of a*b+c)
+    # -Werror=implicit-function-declaration: an undeclared extern would
+    # promote float args to double at the call site and silently corrupt
+    # DP parameters
     for flags in (["-O3", "-march=native", "-ffp-contract=off"],
                   ["-O2"]):
         try:
             subprocess.run(
-                ["gcc", *flags, "-shared", "-fPIC", "-o", _SO, _SRC,
-                 _SRC2],
+                ["gcc", *flags, "-Werror=implicit-function-declaration",
+                 "-shared", "-fPIC", "-o", _SO, _SRC, _SRC2],
                 check=True, capture_output=True)
             return _SO
         except Exception:
@@ -200,6 +203,25 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32,
             vp, vp,                               # job_state, out_used
             vp, vp, vp, vp, i64, vp, i64]         # hits
+        lib.cluster_ctx_create.restype = vp
+        lib.cluster_ctx_destroy.argtypes = [vp]
+        lib.cluster_ctx_db_n.restype = i64
+        lib.cluster_ctx_db_n.argtypes = [vp]
+        lib.cluster_greedy_c.restype = i64
+        lib.cluster_greedy_c.argtypes = [
+            vp, vp, vp, vp,                       # cc, hf, as, es
+            ctypes.POINTER(GapParams), vp, vp, vp, vp,  # gp, sub, match, id, upper
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            vp, ctypes.c_uint32, ctypes.c_uint32, i64,  # ctl, alpha, w, slots
+            ctypes.c_uint32,                      # bump
+            ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32,
+            vp, vp, ctypes.c_int, i64, i64,       # qbuf, q_off, both, n, start
+            vp, vp, vp,                           # assign, admit, hit_off
+            vp, vp, vp, vp,                       # tix, rc, pct, fract
+            vp, vp, i64, i64,                     # cpath_off, buf, cap, max
+            vp]                                   # counters
         _lib = lib
         return _lib
 

@@ -23,8 +23,10 @@
  */
 
 #include <stdint.h>
+#include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 typedef uint8_t byte;
 
@@ -46,6 +48,14 @@ extern int global_chain_c(HSPFinderC *hf, AlignScratch *s,
                           float min_fract_id, float min_score, float xdrop_g,
                           int full_dp_always, int fail_if_no_hsps,
                           uint32_t *hsps_out, float *hsp_fract_id);
+extern int global_align_c(HSPFinderC *hf, AlignScratch *s,
+                          const GapParams *gp, const byte *match_mx,
+                          uint32_t band_radius,
+                          uint32_t min_global_hsp_length,
+                          float min_hsp_fract_id, float min_hsp_score,
+                          float xdrop_g, int full_dp_always,
+                          int fail_if_no_hsps, char *path_out,
+                          float *hsp_fract_id);
 extern int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
                    uint32_t dlo, uint32_t dhi, const GapParams *gp,
                    const float *mx, byte *tb, float *mrow, float *drow,
@@ -504,6 +514,657 @@ int64_t chain_batch_c(
         pair_seg_off[p + 1] = n_seg;
     }
     return n_hole;
+}
+
+/* ---------------------------------------------------------------- */
+/* Greedy clustering window driver.
+ *
+ * The UCLUST greedy loop (src/clusterfast.cpp:119-129 +
+ * src/clustersink.cpp:306-360) is strictly sequential: query i's
+ * candidate set includes centroids admitted by queries < i.  This
+ * driver runs the EXACT serial semantics for a window of queries in one
+ * native call: per query it ranks against the frozen posting tiers plus
+ * a C-managed "delta" tier of centroids admitted inside the window,
+ * aligns candidates lazily (maxaccepts/maxrejects), and either joins
+ * the top hit's cluster or admits the query as a new centroid.  The
+ * window ends when the delta tier fills (the caller folds admissions
+ * into its index and re-freezes) or an output buffer nears capacity.
+ *
+ * Rank semantics are identical to usort_rank_c: the delta tier adds
+ * into the same U array before the SetTopBump index-order scan, so
+ * candidate order matches the serial path bit-for-bit. */
+
+/* raw tier flushes to the mid CSR at this many pending postings; the
+ * mid CSR folds into the base CSR once it outgrows base/4 */
+#define CC_RAW_LIMIT 8192
+
+typedef struct {
+    /* C-owned growing posting index (word -> centroid), 3 tiers:
+     *   base CSR  (large, folded rarely)
+     *   mid  CSR  (merged from raw flushes)
+     *   raw  (word, tix) append tail, scanned via the query-word bitmap
+     * Per-word posting order is admission order across tiers (base
+     * oldest), which rank never depends on — U is a pure count. */
+    int64_t v;             /* slot count; 0 = not initialized */
+    int64_t *base_starts;  /* v+1 */
+    int32_t *base_post;
+    int64_t base_n, base_cap;
+    int64_t *mid_starts;   /* v+1 */
+    int32_t *mid_post;
+    int64_t mid_n, mid_cap;
+    int64_t *dw;
+    int32_t *dt;
+    int64_t dn, dcap;
+    /* merge scratch */
+    int32_t *wcnt;         /* v */
+    int64_t *fpos;         /* v */
+    int64_t *ns;           /* v+1 (new starts staging) */
+    int32_t *merge_post;   /* merge output staging */
+    int64_t merge_cap;
+    /* centroid db view (grows across the whole run) */
+    uint8_t *db;
+    int64_t db_bytes, db_bytes_cap;
+    int64_t *db_off;
+    int64_t db_n, db_n_cap;
+    /* rank scratch */
+    uint32_t *u;
+    uint32_t u_cap;
+    uint8_t *seen;
+    int64_t seen_cap;
+    int64_t *uw;
+    uint32_t uw_cap;
+    uint32_t *cand_tix, *cand_cnt;
+    uint32_t *stage_tix, *stage_cnt;
+    uint32_t cand_cap;
+    uint32_t *hist;
+    uint32_t hist_cap;
+    char *path;
+    size_t path_cap;
+} ClusterCtx;
+
+ClusterCtx *cluster_ctx_create(void)
+{
+    ClusterCtx *cc = (ClusterCtx *)calloc(1, sizeof(ClusterCtx));
+    cc->db_n_cap = 1024;
+    cc->db_off = (int64_t *)calloc(cc->db_n_cap + 1, sizeof(int64_t));
+    cc->db_bytes_cap = 1 << 18;
+    cc->db = (uint8_t *)malloc(cc->db_bytes_cap);
+    cc->dcap = CC_RAW_LIMIT + 4096;
+    cc->dw = (int64_t *)malloc(cc->dcap * sizeof(int64_t));
+    cc->dt = (int32_t *)malloc(cc->dcap * sizeof(int32_t));
+    return cc;
+}
+
+void cluster_ctx_destroy(ClusterCtx *cc)
+{
+    if (!cc)
+        return;
+    free(cc->base_starts); free(cc->base_post);
+    free(cc->mid_starts); free(cc->mid_post);
+    free(cc->wcnt); free(cc->fpos); free(cc->ns); free(cc->merge_post);
+    free(cc->dw); free(cc->dt); free(cc->db); free(cc->db_off);
+    free(cc->u); free(cc->seen); free(cc->uw);
+    free(cc->cand_tix); free(cc->cand_cnt);
+    free(cc->stage_tix); free(cc->stage_cnt);
+    free(cc->hist); free(cc->path);
+    free(cc);
+}
+
+int64_t cluster_ctx_db_n(ClusterCtx *cc) { return cc->db_n; }
+
+static void cc_index_init(ClusterCtx *cc, int64_t v)
+{
+    if (cc->v == v)
+        return;
+    cc->v = v;
+    cc->base_starts = (int64_t *)calloc(v + 1, sizeof(int64_t));
+    cc->mid_starts = (int64_t *)calloc(v + 1, sizeof(int64_t));
+    cc->wcnt = (int32_t *)malloc(v * sizeof(int32_t));
+    cc->fpos = (int64_t *)malloc(v * sizeof(int64_t));
+    cc->ns = (int64_t *)malloc((v + 1) * sizeof(int64_t));
+}
+
+/* merge a CSR (starts/post) with per-word-counted raw pairs into the
+ * staging buffers, then swap into (starts/post).  Stable: old row first,
+ * then raw pairs in append order. */
+static void cc_merge_into(ClusterCtx *cc, int64_t **pstarts,
+                          int32_t **ppost, int64_t *pn, int64_t *pcap,
+                          const int64_t *rw, const int32_t *rt,
+                          int64_t rn)
+{
+    int64_t v = cc->v;
+    memset(cc->wcnt, 0, (size_t)v * sizeof(int32_t));
+    for (int64_t p = 0; p < rn; ++p)
+        ++cc->wcnt[rw[p]];
+    int64_t *old_starts = *pstarts;
+    int32_t *old_post = *ppost;
+    int64_t total = *pn + rn;
+    if (total > cc->merge_cap) {
+        free(cc->merge_post);
+        cc->merge_cap = total * 2 + 4096;
+        cc->merge_post = (int32_t *)malloc(cc->merge_cap *
+                                           sizeof(int32_t));
+    }
+    int64_t *ns = cc->ns;
+    ns[0] = 0;
+    for (int64_t w = 0; w < v; ++w) {
+        int64_t old_len = old_starts[w + 1] - old_starts[w];
+        ns[w + 1] = ns[w] + old_len + cc->wcnt[w];
+        if (old_len)
+            memcpy(cc->merge_post + ns[w], old_post + old_starts[w],
+                   (size_t)old_len * sizeof(int32_t));
+        cc->fpos[w] = ns[w] + old_len;
+    }
+    for (int64_t p = 0; p < rn; ++p)
+        cc->merge_post[cc->fpos[rw[p]]++] = rt[p];
+    /* swap: staging becomes the tier; old post becomes staging */
+    int32_t *tmp_post = old_post;
+    int64_t tmp_cap = *pcap;
+    *ppost = cc->merge_post;
+    *pcap = cc->merge_cap;
+    cc->merge_post = tmp_post;
+    cc->merge_cap = tmp_cap;
+    memcpy(old_starts, ns, (size_t)(v + 1) * sizeof(int64_t));
+    *pn = total;
+}
+
+static void cc_flush_raw(ClusterCtx *cc)
+{
+    if (cc->dn == 0)
+        return;
+    cc_merge_into(cc, &cc->mid_starts, &cc->mid_post, &cc->mid_n,
+                  &cc->mid_cap, cc->dw, cc->dt, cc->dn);
+    cc->dn = 0;
+    if (cc->mid_n > 65536 && cc->mid_n * 4 > cc->base_n) {
+        /* fold mid into base: mid becomes the "raw" of a second merge,
+         * but it is already word-grouped — reuse the pair merge by
+         * expanding mid rows back to (word, tix) order via a walk */
+        /* simple linear fold: new base row = base row + mid row */
+        int64_t v = cc->v;
+        int64_t total = cc->base_n + cc->mid_n;
+        if (total > cc->merge_cap) {
+            free(cc->merge_post);
+            cc->merge_cap = total * 2 + 4096;
+            cc->merge_post = (int32_t *)malloc(cc->merge_cap *
+                                               sizeof(int32_t));
+        }
+        int64_t *ns = cc->ns;
+        ns[0] = 0;
+        for (int64_t w = 0; w < v; ++w) {
+            int64_t bl = cc->base_starts[w + 1] - cc->base_starts[w];
+            int64_t ml = cc->mid_starts[w + 1] - cc->mid_starts[w];
+            ns[w + 1] = ns[w] + bl + ml;
+            if (bl)
+                memcpy(cc->merge_post + ns[w],
+                       cc->base_post + cc->base_starts[w],
+                       (size_t)bl * sizeof(int32_t));
+            if (ml)
+                memcpy(cc->merge_post + ns[w] + bl,
+                       cc->mid_post + cc->mid_starts[w],
+                       (size_t)ml * sizeof(int32_t));
+        }
+        int32_t *tmp_post = cc->base_post;
+        int64_t tmp_cap = cc->base_cap;
+        cc->base_post = cc->merge_post;
+        cc->base_cap = cc->merge_cap;
+        cc->merge_post = tmp_post;
+        cc->merge_cap = tmp_cap;
+        memcpy(cc->base_starts, ns, (size_t)(v + 1) * sizeof(int64_t));
+        cc->base_n = total;
+        memset(cc->mid_starts, 0, (size_t)(v + 1) * sizeof(int64_t));
+        cc->mid_n = 0;
+    }
+}
+
+static void cc_alloc_rank(ClusterCtx *cc, uint32_t seq_count,
+                          int64_t slot_count, uint32_t max_words)
+{
+    if (seq_count + 64 > cc->u_cap) {
+        uint32_t cap = seq_count * 2 + 1024;
+        free(cc->u);
+        cc->u = (uint32_t *)calloc(cap, sizeof(uint32_t));
+        free(cc->cand_tix);
+        free(cc->cand_cnt);
+        free(cc->stage_tix);
+        free(cc->stage_cnt);
+        cc->cand_tix = (uint32_t *)malloc(cap * sizeof(uint32_t));
+        cc->cand_cnt = (uint32_t *)malloc(cap * sizeof(uint32_t));
+        cc->stage_tix = (uint32_t *)malloc(cap * sizeof(uint32_t));
+        cc->stage_cnt = (uint32_t *)malloc(cap * sizeof(uint32_t));
+        cc->u_cap = cap;
+        cc->cand_cap = cap;
+    }
+    if (slot_count > cc->seen_cap) {
+        free(cc->seen);
+        cc->seen = (uint8_t *)calloc((size_t)((slot_count + 7) / 8), 1);
+        cc->seen_cap = slot_count;
+    }
+    if (max_words > cc->uw_cap) {
+        free(cc->uw);
+        cc->uw_cap = max_words * 2 + 64;
+        cc->uw = (int64_t *)malloc(cc->uw_cap * sizeof(int64_t));
+    }
+}
+
+static int64_t lower_bound64_e(const int64_t *w, int64_t n, int64_t key)
+{
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (w[mid] < key)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    return lo;
+}
+
+/* CompressPath (src/comppath.cpp): run-length MDI, count omitted when 1 */
+static int64_t compress_path(const char *path, int64_t n, char *out)
+{
+    int64_t o = 0, i = 0;
+    while (i < n) {
+        char c = path[i];
+        int64_t j = i;
+        while (j < n && path[j] == c)
+            ++j;
+        int64_t cnt = j - i;
+        if (cnt > 1)
+            o += sprintf(out + o, "%lld", (long long)cnt);
+        out[o++] = c;
+        i = j;
+    }
+    return o;
+}
+
+/* rank one query against the C-owned 3-tier index; returns candidate
+ * count in cc->cand_tix/cand_cnt (SetTopBump + CountSortOrderDesc
+ * order, bit-identical to usort_rank_c) */
+static uint32_t cc_rank(
+    ClusterCtx *cc, const uint8_t *seq, int64_t L,
+    const uint8_t *ctl, uint32_t alpha_size, uint32_t wlen,
+    int64_t slot_count,
+    uint32_t seq_count, uint32_t bump_pct, uint32_t max_emit,
+    uint32_t *n_uw_out)
+{
+    if (seq_count == 0 || L < (int64_t)wlen)
+        return 0;
+    cc_alloc_rank(cc, seq_count, slot_count, (uint32_t)L);
+    int64_t pow_w = 1;
+    for (uint32_t k = 1; k < wlen; ++k)
+        pow_w *= alpha_size;
+    uint32_t nuw = 0;
+    int64_t word = 0;
+    uint32_t run = 0;
+    for (int64_t i = 0; i < L; ++i) {
+        uint8_t let = ctl[seq[i]];
+        if (let == 0xFF) {
+            run = 0;
+            word = 0;
+            continue;
+        }
+        if (run >= wlen)
+            word -= (word / pow_w) * pow_w;
+        word = word * alpha_size + let;
+        if (++run >= wlen) {
+            if (!(cc->seen[word >> 3] & (1u << (word & 7)))) {
+                cc->seen[word >> 3] |= (uint8_t)(1u << (word & 7));
+                cc->uw[nuw++] = word;
+            }
+        }
+    }
+    *n_uw_out = nuw;
+    static double t_walk, t_delta, t_scan, t_sort;
+    static int subt = -1;
+    if (subt < 0)
+        subt = getenv("USEARCH_RANK_TIMING") != NULL;
+#define RNOW() ({ struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts); \
+                  ts.tv_sec + 1e-9 * ts.tv_nsec; })
+    double rt0 = subt ? RNOW() : 0;
+    uint32_t *u = cc->u;
+    const int64_t *bs = cc->base_starts;
+    const int32_t *bp = cc->base_post;
+    const int64_t *ms = cc->mid_starts;
+    const int32_t *mp = cc->mid_post;
+    for (uint32_t k = 0; k < nuw; ++k) {
+        int64_t w = cc->uw[k];
+        if (k + 4 < nuw) {
+            int64_t wn = cc->uw[k + 4];
+            __builtin_prefetch(&bs[wn], 0, 1);
+            __builtin_prefetch(&ms[wn], 0, 1);
+        }
+        if (k + 2 < nuw) {
+            int64_t wn = cc->uw[k + 2];
+            __builtin_prefetch(&bp[bs[wn]], 0, 1);
+            __builtin_prefetch(&mp[ms[wn]], 0, 1);
+        }
+        for (int64_t p = bs[w]; p < bs[w + 1]; ++p)
+            ++u[bp[p]];
+        for (int64_t p = ms[w]; p < ms[w + 1]; ++p)
+            ++u[mp[p]];
+    }
+    if (subt) { t_walk += RNOW() - rt0; rt0 = RNOW(); }
+    /* raw tail: bitmap scan */
+    for (int64_t p = 0; p < cc->dn; ++p) {
+        int64_t w = cc->dw[p];
+        if (cc->seen[w >> 3] & (1u << (w & 7)))
+            ++u[cc->dt[p]];
+    }
+    for (uint32_t k = 0; k < nuw; ++k)
+        cc->seen[cc->uw[k] >> 3] = 0;
+    if (subt) { t_delta += RNOW() - rt0; rt0 = RNOW(); }
+
+    /* SetTopBump: index-order scan with fused clear */
+    uint32_t n_cand = 0, max_u_seen = 0;
+    uint32_t *out_tix = cc->cand_tix, *out_counts = cc->cand_cnt;
+    if (bump_pct != 0) {
+        uint32_t cur_min = 1;
+        for (uint32_t t = 0; t < seq_count; ++t) {
+            uint32_t v = u[t];
+            u[t] = 0;
+            if (v > max_u_seen) {
+                if (v >= cur_min) {
+                    out_tix[n_cand] = t;
+                    out_counts[n_cand++] = v;
+                    uint32_t nm = (uint32_t)((uint64_t)v * bump_pct / 100);
+                    if (cur_min < nm && nm < max_u_seen)
+                        cur_min = nm;
+                }
+                max_u_seen = v;
+            } else if (v >= cur_min) {
+                out_tix[n_cand] = t;
+                out_counts[n_cand++] = v;
+            }
+        }
+    } else {
+        for (uint32_t t = 0; t < seq_count; ++t) {
+            uint32_t v = u[t];
+            u[t] = 0;
+            if (v >= 1) {
+                out_tix[n_cand] = t;
+                out_counts[n_cand++] = v;
+            }
+        }
+    }
+    if (subt) { t_scan += RNOW() - rt0; rt0 = RNOW();
+        if (getenv("USEARCH_RANK_PRINT"))
+            fprintf(stderr, "RANK walk=%.2f delta=%.2f scan=%.2f sort=%.2f\n",
+                    t_walk, t_delta, t_scan, t_sort); }
+    if (n_cand == 0)
+        return 0;
+    /* CountSortOrderDesc: stable desc with NextValue/2 cutoff */
+    uint32_t maxv = 0, nextv = 0;
+    for (uint32_t i = 0; i < n_cand; ++i) {
+        uint32_t v = out_counts[i];
+        if (v > maxv) {
+            nextv = maxv;
+            maxv = v;
+        }
+    }
+    uint32_t minv = nextv / 2;
+    if (maxv + 1 > cc->hist_cap) {
+        free(cc->hist);
+        cc->hist_cap = maxv * 2 + 64;
+        cc->hist = (uint32_t *)malloc(cc->hist_cap * sizeof(uint32_t));
+    }
+    uint32_t *hist = cc->hist;
+    memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
+    for (uint32_t i = 0; i < n_cand; ++i) {
+        uint32_t v = out_counts[i];
+        if (v >= minv)
+            ++hist[v];
+    }
+    /* partial count-sort: the caller consumes at most max_emit
+     * candidates (maxaccepts+maxrejects bound), so only buckets down to
+     * the bucket containing the max_emit-th candidate are placed; ties
+     * in that bucket are kept in full (index-ascending), preserving the
+     * exact CountSortOrderDesc prefix */
+    uint32_t c_star = minv;
+    uint32_t n_emit = 0;
+    for (int64_t v = maxv; v >= (int64_t)minv; --v) {
+        n_emit += hist[v];
+        c_star = (uint32_t)v;
+        if (max_emit && n_emit >= max_emit)
+            break;
+    }
+    uint32_t off = 0;
+    for (int64_t v = maxv; v >= (int64_t)c_star; --v) {
+        uint32_t c = hist[v];
+        hist[v] = off;
+        off += c;
+    }
+    /* stable placement into scratch, then copy the emitted prefix */
+    uint32_t *stix = cc->stage_tix, *scnt = cc->stage_cnt;
+    for (uint32_t i = 0; i < n_cand; ++i) {
+        uint32_t v = out_counts[i];
+        if (v < c_star)
+            continue;
+        uint32_t pos = hist[v]++;
+        stix[pos] = out_tix[i];
+        scnt[pos] = v;
+    }
+    memcpy(out_tix, stix, n_emit * sizeof(uint32_t));
+    memcpy(out_counts, scnt, n_emit * sizeof(uint32_t));
+    if (subt) t_sort += RNOW() - rt0;
+    return n_emit;
+}
+
+/* process a window of the greedy loop; returns the query index AFTER
+ * the last fully processed query (the caller resumes there after
+ * folding admissions into the frozen tiers and resetting the delta).
+ * Outputs (per query q in [start_q, ret)):
+ *   out_assign[q]  cluster index joined or created
+ *   out_admit[q]   1 if q became a new centroid
+ *   out_hit_off[q], out_hit_off[q+1]: hits in the flat hit arrays
+ * Flat hits: tix / rc / pct (double) / compressed path bytes.
+ * Returns -1 if the per-query output capacity is too small to even
+ * process one query (caller grows and retries). */
+int64_t cluster_greedy_c(
+    ClusterCtx *cc, HSPFinderC *hf, AlignScratch *as, EngineScratch *es,
+    const GapParams *gp, const float *sub_mx, const byte *match_mx,
+    const byte *id_mx, const byte *to_upper,
+    uint32_t band_radius, uint32_t min_hsp_len, float min_hsp_fract,
+    float min_hsp_score, float xdrop_g, int full_dp_always,
+    int fail_if_no_hsps,
+    const uint8_t *ctl_rank, uint32_t alpha_size, uint32_t wlen,
+    int64_t slot_count,
+    uint32_t bump_pct,
+    float min_id, float max_id, int has_max_id,
+    int32_t maxaccepts, int32_t maxrejects,
+    const uint8_t *qbuf, const int64_t *q_off, int strand_both,
+    int64_t n_queries, int64_t start_q,
+    int32_t *out_assign, uint8_t *out_admit, int64_t *out_hit_off,
+    int32_t *hit_tix, uint8_t *hit_rc, double *hit_pct,
+    float *hit_fract /* float32 score for top-hit/sort tie rules */,
+    int64_t *hit_cpath_off, char *cpath_buf, int64_t cpath_cap,
+    int64_t max_hits,
+    int64_t *inout_counters /* [n_hits, cpath_pos] resume state */)
+{
+    int jobs_per = strand_both ? 2 : 1;
+    int64_t n_hits = inout_counters[0];
+    int64_t cpos = inout_counters[1];
+    static double t_rank, t_align, t_admit;
+    static int64_t n_rank, n_align, n_admit;
+    int timing = getenv("USEARCH_CLUSTER_TIMING") != NULL;
+#define TNOW() ({ struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts); \
+                  ts.tv_sec + 1e-9 * ts.tv_nsec; })
+    cc_index_init(cc, slot_count);
+    for (int64_t q = start_q; q < n_queries; ++q) {
+        int64_t q_len0 = q_off[q * jobs_per + 1] - q_off[q * jobs_per];
+        /* output capacity: worst case hits this query */
+        int64_t max_q_hits = (int64_t)maxaccepts * jobs_per;
+        if (n_hits + max_q_hits > max_hits ||
+            cpos + 2 * (q_len0 + 4096) > cpath_cap)
+            return (q > start_q) ? q : -1;
+
+        out_hit_off[q] = n_hits;
+        /* hits of this query: tix/rc/pct/path kept; fractid as f32 for
+         * the top-hit rule */
+        int64_t q_hit_base = n_hits;
+        for (int s = 0; s < jobs_per; ++s) {
+            int64_t j = q * jobs_per + s;
+            const uint8_t *seq = qbuf + q_off[j];
+            int64_t L = q_off[j + 1] - q_off[j];
+            uint32_t nuw = 0;
+            double t0 = timing ? TNOW() : 0;
+            uint32_t max_emit = (maxaccepts > 0 && maxrejects > 0)
+                ? (uint32_t)(maxaccepts + maxrejects) : 0;
+            uint32_t n_cand = cc_rank(
+                cc, seq, L, ctl_rank, alpha_size, wlen, slot_count,
+                (uint32_t)cc->db_n, bump_pct, max_emit, &nuw);
+            if (timing) { t_rank += TNOW() - t0; ++n_rank; }
+            if (n_cand == 0)
+                continue;
+            t0 = timing ? TNOW() : 0;
+            hsp_set_a(hf, seq, (uint32_t)L);
+            int32_t acc = 0, rej = 0;
+            for (uint32_t k = 0; k < n_cand; ++k) {
+                uint32_t t = cc->cand_tix[k];
+                const uint8_t *tseq = cc->db + cc->db_off[t];
+                uint32_t tl = (uint32_t)(cc->db_off[t + 1] - cc->db_off[t]);
+                hsp_set_b(hf, tseq, tl);
+                size_t need = (size_t)(L + tl + 2);
+                if (need > cc->path_cap) {
+                    free(cc->path);
+                    cc->path_cap = 2 * need;
+                    cc->path = (char *)malloc(cc->path_cap);
+                }
+                float fract_unused;
+                int n = global_align_c(hf, as, gp, match_mx, band_radius,
+                                       min_hsp_len, min_hsp_fract,
+                                       min_hsp_score, xdrop_g,
+                                       full_dp_always, fail_if_no_hsps,
+                                       cc->path, &fract_unused);
+                int accept = 0;
+                double fract = 0.0;
+                if (n > 0) {
+                    int64_t stq[10];
+                    int rc2 = path_stats_c((const uint8_t *)cc->path, n,
+                                           seq, tseq, 0, 0, id_mx,
+                                           to_upper, stq);
+                    if (rc2 == 0) {
+                        fract = (double)stq[6] /
+                                (double)(stq[1] - stq[0] + 1);
+                        accept = !(fract < (double)min_id);
+                        if (accept && has_max_id &&
+                            fract > (double)max_id)
+                            accept = 0;
+                    }
+                }
+                if (accept) {
+                    hit_tix[n_hits] = (int32_t)t;
+                    hit_rc[n_hits] = (uint8_t)s;
+                    hit_pct[n_hits] = 100.0 * fract;
+                    hit_fract[n_hits] = (float)fract;
+                    int64_t cl = compress_path(cc->path, n,
+                                               cpath_buf + cpos);
+                    cpos += cl;
+                    hit_cpath_off[n_hits + 1] = cpos;
+                    ++n_hits;
+                    ++acc;
+                    if (maxaccepts > 0 && acc >= maxaccepts)
+                        break;
+                } else {
+                    ++rej;
+                    if (maxrejects > 0 && rej >= maxrejects)
+                        break;
+                }
+            }
+            if (timing) { t_align += TNOW() - t0; n_align += n_cand; }
+        }
+        /* top hit: strict > on float32 fract-id, tie -> lowest tix
+         * (HitMgr::GetTopHit) */
+        if (n_hits > q_hit_base) {
+            int64_t best = q_hit_base;
+            float bs = hit_fract[best];
+            int32_t bt = hit_tix[best];
+            for (int64_t h = q_hit_base + 1; h < n_hits; ++h) {
+                float sc = hit_fract[h];
+                if (sc > bs || (sc == bs && hit_tix[h] < bt)) {
+                    best = h;
+                    bs = sc;
+                    bt = hit_tix[h];
+                }
+            }
+            out_assign[q] = hit_tix[best];
+            out_admit[q] = 0;
+        } else {
+            /* admit as centroid ci = db_n; fwd-strand sequence */
+            const uint8_t *seq = qbuf + q_off[q * jobs_per];
+            int64_t L = q_len0;
+            int64_t ci = cc->db_n;
+            if (cc->db_n + 1 >= cc->db_n_cap) {
+                cc->db_n_cap *= 2;
+                cc->db_off = (int64_t *)realloc(
+                    cc->db_off, (cc->db_n_cap + 1) * sizeof(int64_t));
+            }
+            if (cc->db_bytes + L > cc->db_bytes_cap) {
+                while (cc->db_bytes + L > cc->db_bytes_cap)
+                    cc->db_bytes_cap *= 2;
+                cc->db = (uint8_t *)realloc(cc->db, cc->db_bytes_cap);
+            }
+            memcpy(cc->db + cc->db_bytes, seq, (size_t)L);
+            cc->db_off[ci] = cc->db_bytes;
+            cc->db_bytes += L;
+            cc->db_off[ci + 1] = cc->db_bytes;
+            cc->db_n = ci + 1;
+            /* index the centroid's unique words into the delta tier
+             * (AddSeqNoncoded over unique target words) */
+            cc_alloc_rank(cc, (uint32_t)cc->db_n, slot_count,
+                          (uint32_t)L);
+            int64_t pow_w = 1;
+            for (uint32_t k = 1; k < wlen; ++k)
+                pow_w *= alpha_size;
+            uint32_t nw = 0;
+            int64_t word = 0;
+            uint32_t run = 0;
+            for (int64_t i = 0; i < L; ++i) {
+                uint8_t let = ctl_rank[seq[i]];
+                if (let == 0xFF) {
+                    run = 0;
+                    word = 0;
+                    continue;
+                }
+                if (run >= wlen)
+                    word -= (word / pow_w) * pow_w;
+                word = word * alpha_size + let;
+                if (++run >= wlen) {
+                    if (!(cc->seen[word >> 3] & (1u << (word & 7)))) {
+                        cc->seen[word >> 3] |= (uint8_t)(1u << (word & 7));
+                        cc->uw[nw++] = word;
+                    }
+                }
+            }
+            for (uint32_t k = 0; k < nw; ++k)
+                cc->seen[cc->uw[k] >> 3] = 0;
+            if (cc->dn + nw > cc->dcap) {
+                while (cc->dn + nw > cc->dcap)
+                    cc->dcap *= 2;
+                cc->dw = (int64_t *)realloc(cc->dw,
+                                            cc->dcap * sizeof(int64_t));
+                cc->dt = (int32_t *)realloc(cc->dt,
+                                            cc->dcap * sizeof(int32_t));
+            }
+            for (uint32_t k = 0; k < nw; ++k) {
+                cc->dw[cc->dn] = cc->uw[k];
+                cc->dt[cc->dn] = (int32_t)ci;
+                ++cc->dn;
+            }
+            if (cc->dn >= CC_RAW_LIMIT)
+                cc_flush_raw(cc);
+            out_assign[q] = (int32_t)ci;
+            out_admit[q] = 1;
+        }
+        out_hit_off[q + 1] = n_hits;
+        inout_counters[0] = n_hits;
+        inout_counters[1] = cpos;
+    }
+    if (timing)
+        fprintf(stderr,
+                "CLUSTER_TIMING rank=%.2fs(%lld) align=%.2fs(%lld cands) "
+                "admit=%.2fs(%lld)\n", t_rank, (long long)n_rank, t_align,
+                (long long)n_align, t_admit, (long long)n_admit);
+    return n_queries;
 }
 
 /* Splice + stats + accept/terminate replay.
