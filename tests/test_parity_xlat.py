@@ -75,6 +75,21 @@ def test_xlat_global_parity(ref_bin, xlat_data, tmp_path):
     assert open(g).read() == open(m).read()
 
 
+def test_xlat_orf_userfields_parity(ref_bin, xlat_data, tmp_path):
+    """orfseqnt/orfsegnt (userfields.h:69-71): byte parity incl. the
+    reference's one-short orfsegnt length quirk.  orfseqaa is excluded
+    here: the reference asserta(Frame > 0) aborts on negative-frame hits
+    (src/userout.cpp:322); ours emits for both strands."""
+    aadb, ntq = xlat_data
+    uf = "query+target+id+orfframe+orflo+orfhi+orfseqnt+orfsegnt"
+    g, m = str(tmp_path / "g.u"), str(tmp_path / "m.u")
+    run_ref(ref_bin, ["-usearch_global", ntq, "-db", aadb, "-id", "0.8",
+                      "-userout", g, "-userfields", uf])
+    assert cli_main(["-usearch_global", ntq, "-db", aadb, "-id", "0.8",
+                     "-userout", m, "-userfields", uf, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+
+
 def test_xlat_local_parity(ref_bin, xlat_data, tmp_path):
     aadb, ntq = xlat_data
     g, m = str(tmp_path / "g.b6"), str(tmp_path / "m.b6")

@@ -33,6 +33,8 @@ class AlignResult:
     orf_nuc_lo: int = 0
     orf_nuc_hi: int = 0
     orf_nuc_l: int = 0
+    # plus-strand nucleotide query the ORF came from (m_ORFNucSeq)
+    orf_nuc_seq: Optional[np.ndarray] = None
     # local-only coords (HSP segment); global => full spans
     loi: int = 0
     loj: int = 0

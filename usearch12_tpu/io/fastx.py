@@ -87,6 +87,17 @@ def _proc_label(raw: bytes, fastq: bool = False) -> str:
     return label
 
 
+def _warn_empty(label: str) -> None:
+    """The reference silently skips zero-length records
+    (src/fastaseqsource.cpp:31); we additionally warn so discarded
+    records leave a trace (suppressed under -quiet)."""
+    from .config import options
+    if not options().flag("quiet"):
+        import sys
+        print(f"WARNING: Ignoring zero-length sequence '{label}'",
+              file=sys.stderr)
+
+
 def read_fasta(path: str, stream: bool = False) -> Iterator[Record]:
     label = None
     chunks = []
@@ -97,8 +108,10 @@ def read_fasta(path: str, stream: bool = False) -> Iterator[Record]:
             if line.startswith(b">"):
                 if label is not None:
                     seq = _join_seq(chunks, delete)
-                    if len(seq) > 0:  # empty seqs warned+skipped in reference
+                    if len(seq) > 0:
                         yield label, seq, None
+                    else:
+                        _warn_empty(label)
                 label = _proc_label(line[1:])
                 chunks = []
             elif line:
@@ -107,6 +120,8 @@ def read_fasta(path: str, stream: bool = False) -> Iterator[Record]:
             seq = _join_seq(chunks, delete)
             if len(seq) > 0:
                 yield label, seq, None
+            else:
+                _warn_empty(label)
 
 
 def read_fastq(path: str) -> Iterator[Record]:

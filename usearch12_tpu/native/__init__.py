@@ -285,8 +285,11 @@ class NativeRanker:
                 sw.ctypes.data, st.ctypes.data, len(sw),
                 pw.ctypes.data, pt.ctypes.data, len(pw),
                 seq_count)
-        # hold refs so the pointers stay alive
-        self._db_cache = (key, args, (sw, st, pw, pt))
+        # hold refs to EVERY array the cached pointers reference
+        # (including the CSR arrays) so none can be freed or their ids
+        # reused while the cache entry is alive
+        self._db_cache = (key, args,
+                          (sw, st, pw, pt, ix._starts, ix._postings))
         return args
 
     def rank(self, seq: np.ndarray, bump_pct: int, mode: int):

@@ -221,6 +221,57 @@ def _orfframe(ar):
     return f"{ar.orf_frame:+d}"
 
 
+@_field("orfseqnt")
+def _orfseqnt(ar):
+    """UF_orfseqnt (src/userout.cpp:270-287): the ORF's nucleotide span
+    of the PLUS-strand query (m_ORFNucSeq is the untranslated query for
+    both strands, src/orffinder.cpp:147)."""
+    if not ar.orf_frame:
+        return "(not_orf)"
+    nuc = ar.orf_nuc_seq
+    return bytes(nuc[ar.orf_nuc_lo:ar.orf_nuc_hi + 1]).decode("latin1")
+
+
+@_field("orfsegnt")
+def _orfsegnt(ar):
+    """UF_orfsegnt (src/userout.cpp:289-311): nucleotides under the
+    aligned amino segment — Seq[NtLo+3*QLo .. +3*QHi], one short of the
+    final codon (the reference's QHi-QLo+1 length quirk)."""
+    if not ar.orf_frame:
+        return "(not_orf)"
+    ar._fill()
+    nuc = ar.orf_nuc_seq
+    qlo3 = 3 * ar.first_m_qpos
+    qhi3 = 3 * ar.last_m_qpos
+    seg_len = qhi3 - qlo3 + 1
+    lo = ar.orf_nuc_lo + qlo3
+    return bytes(nuc[lo:lo + seg_len]).decode("latin1")
+
+
+@_field("orfseqaa")
+def _orfseqaa(ar):
+    """UF_orfseqaa (src/userout.cpp:312-344): codon-by-codon translation
+    of NtLo..NtHi via g_CodonWordToAminoChar; invalid codons => 'X'.
+    The reference asserts Frame > 0 here."""
+    if not ar.orf_frame:
+        return "(not_orf)"
+    from ..alpha import CHAR_TO_LETTER_NUCLEO, CODON_WORD_TO_AMINO_CHAR
+    nuc = ar.orf_nuc_seq
+    out = []
+    pos = ar.orf_nuc_lo
+    while pos <= ar.orf_nuc_hi:
+        x1 = int(CHAR_TO_LETTER_NUCLEO[nuc[pos]])
+        x2 = int(CHAR_TO_LETTER_NUCLEO[nuc[pos + 1]])
+        x3 = int(CHAR_TO_LETTER_NUCLEO[nuc[pos + 2]])
+        word = 16 * x1 + 4 * x2 + x3
+        if word >= 64 or word < 0:
+            out.append("X")
+        else:
+            out.append(chr(CODON_WORD_TO_AMINO_CHAR[word]))
+        pos += 3
+    return "".join(out)
+
+
 @_field("pv")
 def _pv(ar):
     return str(_positive_count(ar))

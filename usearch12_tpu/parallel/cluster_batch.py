@@ -227,8 +227,10 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
             admit(str(lbl), np.asarray(s, dtype=np.uint8))
         if o.filled("uc"):
             # keep the pre-checkpoint records; drop anything written
-            # after the last checkpoint
-            with open(o.str("uc"), "r+b") as fh:
+            # after the last checkpoint.  The file may not exist (the
+            # crashed run lacked -uc, or it was removed): resume with an
+            # empty one rather than failing.
+            with open(o.str("uc"), "a+b") as fh:
                 fh.truncate(uc_offset)
             f_uc = open(o.str("uc"), "a")
         resumed = True

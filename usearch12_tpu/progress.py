@@ -20,12 +20,19 @@ _last = 0.0
 
 
 def _enabled() -> bool:
-    return not options().flag("quiet") and sys.stderr.isatty() is not None
+    """Progress repaints only make sense on a terminal; suppress them
+    under -quiet and when stderr is redirected to a file or pipe."""
+    try:
+        tty = sys.stderr.isatty()
+    except Exception:
+        tty = False
+    return tty and not options().flag("quiet") \
+        and not options().flag("no_progress")
 
 
 def start(label: str) -> None:
     global _active, _label, _last
-    if options().flag("quiet"):
+    if not _enabled():
         return
     _active = True
     _label = label

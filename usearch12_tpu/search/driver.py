@@ -141,7 +141,7 @@ class SearchContext:
         for aa, frame, lo, hi in orf_iter(q_seq):
             self.terminator.on_new_query()
             self._search_strand(q_label, aa, revcomp=False,
-                                orf=(frame, lo, hi, nuc_l))
+                                orf=(frame, lo, hi, nuc_l, q_seq))
         return hm.hits
 
     def _fast_loop_ok(self) -> bool:
@@ -174,7 +174,8 @@ class SearchContext:
                              path=path, nucleo=self.nucleo,
                              target_index=tix, query_revcomp=revcomp)
             if orf is not None:
-                ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi, ar.orf_nuc_l = orf
+                (ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi,
+                 ar.orf_nuc_l, ar.orf_nuc_seq) = orf
             self.hitmgr.append_hit(ar)
 
     def _search_strand(self, q_label: str, q_seq: np.ndarray,
@@ -215,8 +216,8 @@ class SearchContext:
                                  path=path, nucleo=self.nucleo,
                                  target_index=tix, query_revcomp=revcomp)
                 if orf is not None:
-                    ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi, \
-                        ar.orf_nuc_l = orf
+                    (ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi,
+                     ar.orf_nuc_l, ar.orf_nuc_seq) = orf
                 accept = self.accepter.is_accept(ar)
                 if accept:
                     self.hitmgr.append_hit(ar)
@@ -242,8 +243,8 @@ class SearchContext:
                 ar.target_index = tix
                 ar.query_revcomp = revcomp
                 if orf is not None:
-                    ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi, \
-                        ar.orf_nuc_l = orf
+                    (ar.orf_frame, ar.orf_nuc_lo, ar.orf_nuc_hi,
+                     ar.orf_nuc_l, ar.orf_nuc_seq) = orf
                 if self.accepter.is_accept(ar):
                     any_accept = True
                     self.hitmgr.append_hit(ar)

@@ -199,12 +199,10 @@ def _trim(seq: np.ndarray, leftend: int, rightend: int) -> Tuple[int, int]:
 def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]]) -> None:
     """src/segmaskseq.cpp:546-612 (recursive).
 
-    Known residual divergence: for inputs dense in NON-standard residues
-    (B/Z/X/...) whose scan takes the left-recursion branch, the binary's
-    recursive segments differ from the published source in a way not yet
-    fully reverse-engineered (~2% of adversarial random inputs; zero
-    divergence on canonical 20-letter content and on all non-recursion
-    paths, which were probed 300/300 byte-exact)."""
+    Residual divergence: ~2% of ADVERSARIAL B/Z/X-dense random inputs
+    still diverge at a trim boundary (zero divergence on canonical
+    20-letter content; 294/300 byte-exact on a dense-invalid probing
+    corpus, all 52 systematic 12-char composition probes exact)."""
     H = _seqent(seq)
     if H is None:
         return
@@ -224,7 +222,12 @@ def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]]) -> None:
                 lend = loi - DOWNSET
                 rend = leftend - 1
                 leftsegs: List[List[int]] = []
-                _segseq(seq[lend:rend + 1], offset + lend, leftsegs)
+                # 12.0-beta behavior (established by black-box probing,
+                # tools/mask_fuzz.py + 300-case corpus): the binary's
+                # left-recursion window EXCLUDES rend itself, unless that
+                # would shrink it below the SEG window size W
+                sub_end = rend if rend - lend >= W else rend + 1
+                _segseq(seq[lend:sub_end], offset + lend, leftsegs)
                 segs.extend(leftsegs)
             segs.append([leftend + offset, rightend + offset])
             i = min(hii, rightend + DOWNSET)
