@@ -45,6 +45,30 @@ def _load_db(path: str) -> SeqDB:
     return load_db(path)[0]
 
 
+_DEVICE_HEALTH = [None]
+
+
+def _device_healthy() -> bool:
+    """Probe the accelerator in a SUBPROCESS with a timeout: a wedged
+    device tunnel hangs any in-process dispatch un-interruptibly, so the
+    probe must be killable.  Cached per process."""
+    if _DEVICE_HEALTH[0] is None:
+        import subprocess
+        import sys as _sys
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
+                 "print('ok')"],
+                capture_output=True, timeout=30, text=True)
+            _DEVICE_HEALTH[0] = (r.returncode == 0
+                                 and "ok" in r.stdout)
+        except Exception:
+            _DEVICE_HEALTH[0] = False
+    return _DEVICE_HEALTH[0]
+
+
 def _engine_device():
     """Wavefront DP device for the batch engine: real TPU hardware only
     (interpret-mode Pallas on CPU is for tests, via -engine_device)."""
@@ -61,8 +85,12 @@ def _engine_device():
         if not o.flag("engine_device"):
             return None
         interpret = True   # CPU test path
+    elif not _device_healthy():
+        import sys as _sys
+        print("WARNING: accelerator unresponsive, using host DP path",
+              file=_sys.stderr)
+        return None
     from .scoring import AlnParams
-    from .io.seqdb import SeqDB as _S
     from .ops.wavefront_nw import WavefrontNWDevice
     # the per-class devices are derived from the command AlnParams by
     # BatchEngine._class_device; this base instance carries pb/chunk

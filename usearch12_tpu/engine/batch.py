@@ -370,11 +370,17 @@ class BatchEngine:
                 hit_path_off[:n_hits + 1], hit_stats[:n_hits], out_used)
 
     def search_window(self, jbuf: np.ndarray, j_off: np.ndarray,
-                      collect_hits: Callable) -> None:
+                      collect_hits: Callable,
+                      rank_override: Optional[Callable] = None) -> None:
         """Run all jobs to termination.  collect_hits(j, tix, path_bytes,
-        stats_row) is called per accepted hit in acceptance order."""
+        stats_row) is called per accepted hit in acceptance order.
+        rank_override(jbuf, j_off) -> (cand, cnts, out_n) substitutes the
+        ranking stage (e.g. the mesh-sharded device ranker)."""
         n_jobs = len(j_off) - 1
-        cand, cnts, out_n = self._rank_jobs(jbuf, j_off)
+        if rank_override is not None:
+            cand, cnts, out_n = rank_override(jbuf, j_off)
+        else:
+            cand, cnts, out_n = self._rank_jobs(jbuf, j_off)
         job_state = np.zeros((n_jobs, 3), np.int32)
         ptr = np.zeros(n_jobs, np.int32)
         depth = 1
@@ -407,7 +413,8 @@ class BatchEngine:
 
     # -- file driver -----------------------------------------------------
     def run_file(self, query_path: str, on_query_done: Callable,
-                 window: int = 8192, fast_emit=None) -> None:
+                 window: int = 8192, fast_emit=None,
+                 rank_override: Optional[Callable] = None) -> None:
         """Stream the query file through the engine.  on_query_done(label,
         seq, hits) per record in input order (hits = AlignResult list in
         acceptance order, fwd strand first — identical to the serial
@@ -468,7 +475,8 @@ class BatchEngine:
             def collect(j, tix, path_b, stats):
                 per_job_hits[j].append((tix, path_b, stats))
 
-            self.search_window(jbuf, j_off, collect)
+            self.search_window(jbuf, j_off, collect,
+                               rank_override=rank_override)
 
             if fast_emit is not None:
                 fast_emit(label_of, lo, hi, per_job_hits, jobs_per_rec,
