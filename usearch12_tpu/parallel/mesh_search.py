@@ -154,22 +154,25 @@ class MeshRanker:
                        check_rep=False)
         return jax.jit(fn)
 
-    def rank_window(self, jbuf: np.ndarray, j_off: np.ndarray):
-        """Returns (cand (B,K) int64 global indexes, cnts (B,K), out_n,
-        uncertain (B,) bool) for a window of job sequences."""
-        import jax
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        o = options()
-        bump = o.uns("bump")
+    def _onehot(self, jbuf, j_off, rows):
         params = self.index.params
         n_jobs = len(j_off) - 1
-        n_data = self.mesh.shape[self.data_axis]
-        b_pad = n_jobs + ((-n_jobs) % n_data)
-        q = np.zeros((b_pad, params.slot_count), dtype=np.int8)
+        q = np.zeros((rows, params.slot_count), dtype=np.int8)
         for j in range(n_jobs):
             seq = jbuf[j_off[j]:j_off[j + 1]]
             q[j, params.unique_words(seq)] = 1
+        return q
+
+    def rank_window(self, jbuf: np.ndarray, j_off: np.ndarray):
+        """Single-process entry: returns (cand (B,K) int64 global
+        indexes, cnts (B,K), out_n, uncertain (B,) bool)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_jobs = len(j_off) - 1
+        n_data = self.mesh.shape[self.data_axis]
+        b_pad = n_jobs + ((-n_jobs) % n_data)
+        q = self._onehot(jbuf, j_off, b_pad)
         qd = jax.device_put(
             jnp.asarray(q),
             NamedSharding(self.mesh, P(self.data_axis, None)))
@@ -178,6 +181,36 @@ class MeshRanker:
         cnts = np.asarray(cnts_d)[:n_jobs]
         cand = np.asarray(cand_d)[:n_jobs].astype(np.int64)
         nextv = np.asarray(nextv_d)[:n_jobs]
+        return self._postprocess(cand, cnts, nextv, n_jobs)
+
+    def rank_window_spmd(self, jbuf: np.ndarray, j_off: np.ndarray,
+                         rows_per_host: int):
+        """Multi-process entry: every process contributes rows_per_host
+        query rows of a GLOBAL (n_proc*rows_per_host, V) batch and gets
+        back the candidate lists for ITS rows.  All processes must call
+        this the same number of times with the same rows_per_host (the
+        jitted collective program is identical across hosts)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_jobs = len(j_off) - 1
+        assert n_jobs <= rows_per_host
+        q = self._onehot(jbuf, j_off, rows_per_host)
+        sharding = NamedSharding(self.mesh, P(self.data_axis, None))
+        qd = jax.make_array_from_process_local_data(sharding, q)
+        with self.mesh:
+            cnts_d, cand_d, nextv_d = self._step(qd, self._w)
+
+        def local(arr):
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+
+        cnts = local(cnts_d)[:n_jobs]
+        cand = local(cand_d)[:n_jobs].astype(np.int64)
+        nextv = local(nextv_d)[:n_jobs]
+        return self._postprocess(cand, cnts, nextv, n_jobs)
+
+    def _postprocess(self, cand, cnts, nextv, n_jobs):
         # SetTopBump ran on device; the merged list is the exact
         # candidate order.  Trim padding targets / empty slots (sorted
         # last) and replay the count-sort NextValue/2 cutoff with the

@@ -68,18 +68,21 @@ def host_major_mesh(db_per_host: Optional[int] = None):
 
 
 def multihost_search(query_path: str, db_path: str, out_path: str,
-                     min_id: float, topk: int = 64,
-                     window: int = 2048) -> dict:
-    """usearch_global with the ranking sharded over the global mesh and
-    each host searching its own query stripe (round-robin by record
-    block).  Every process runs the same jit programs (SPMD); process 0
-    concatenates the per-host blast6 stripes into out_path."""
+                     topk: int = 64, window: int = 512) -> dict:
+    """usearch_global across processes: the posting incidence shards over
+    every host's devices ("db" axis), queries stripe across hosts (the
+    host-side SeqSource sharding), and every process executes the SAME
+    jitted collective program per window (SPMD) — each host contributes
+    its stripe's rows to the global query batch and gets its rows'
+    candidate lists back.  Alignment and emission run host-locally
+    through the batch engine; process 0 splices the per-host blast6
+    stripes, so the bytes equal a single-process run."""
     import jax
     from ..config import options
     from ..io.seqdb import SeqDB
-    from ..engine.batch import BatchEngine
+    from ..engine.batch import BatchEngine, _FastaWindows
     from ..engine.emit import Blast6Emitter
-    from .mesh_search import mesh_search_file
+    from .mesh_search import MeshRanker
 
     o = options()
     pid = jax.process_index()
@@ -88,27 +91,55 @@ def multihost_search(query_path: str, db_path: str, out_path: str,
     db.mask()
     mesh = host_major_mesh()
 
-    # host-side query-source sharding: split the query file into
-    # contiguous stripes, one per process (SeqSource sharding)
-    from ..engine.batch import _FastaWindows
+    eng = BatchEngine("usearch_global", db)
+    ranker = MeshRanker(mesh, eng.index, topk=topk)
+
     win = _FastaWindows(query_path)
     n = win.n
     per = (n + n_proc - 1) // n_proc
     lo, hi = pid * per, min(n, (pid + 1) * per)
-    stripe = f"{out_path}.stripe{pid}.fa"
-    with open(stripe, "w") as f:
-        buf = win.buf
-        for i in range(lo, hi):
-            lbl = bytes(buf[win.lbl_off[i]:win.lbl_end[i]]).decode("latin1")
-            seq = bytes(win.seq(i)).decode("latin1")
-            f.write(f">{lbl}\n{seq}\n")
+    n_windows = (per + window - 1) // window   # SAME count on all hosts
 
     part = f"{out_path}.part{pid}"
     fpart = open(part, "w")
     emitter = Blast6Emitter(fpart, db, o.flag("output_no_hits"))
-    stats = mesh_search_file(stripe, db, mesh, lambda *a: None,
-                             fast_emit=emitter.emit, topk=topk,
-                             window=window)
+    stats = {"queries": 0, "fallbacks": 0, "windows": n_windows}
+
+    soff = win.seq_off
+    for w in range(n_windows):
+        wlo = min(lo + w * window, hi)
+        whi = min(wlo + window, hi)
+        nrec = whi - wlo
+        jbuf = (np.ascontiguousarray(win.seq_buf[soff[wlo]:soff[whi]])
+                if nrec else np.zeros(1, np.uint8))
+        j_off = (soff[wlo:whi + 1] - soff[wlo]).astype(np.int64)
+        # SPMD rank: all hosts participate even with an empty stripe
+        cand, cnts, out_n, unc = ranker.rank_window_spmd(
+            jbuf, j_off, rows_per_host=window)
+        stats["queries"] += nrec
+        if nrec == 0:
+            continue
+        if unc.any():
+            h_cand, h_cnts, h_out_n = eng._rank_jobs(jbuf, j_off)
+            for j in np.nonzero(unc)[0]:
+                stats["fallbacks"] += 1
+                k = min(h_out_n[j], cand.shape[1])
+                cand[j, :k] = h_cand[j, :k]
+                cnts[j, :k] = h_cnts[j, :k]
+                out_n[j] = k
+
+        per_job_hits = [[] for _ in range(nrec)]
+        eng.search_window(
+            jbuf, j_off,
+            lambda j, tix, p, st: per_job_hits[j].append((tix, p, st)),
+            rank_override=lambda *_a: (
+                np.ascontiguousarray(cand.astype(np.uint32)),
+                np.ascontiguousarray(cnts), out_n))
+
+        def label_of(i):
+            return bytes(
+                win.buf[win.lbl_off[i]:win.lbl_end[i]]).decode("latin1")
+        emitter.emit(label_of, wlo, whi, per_job_hits, 1, j_off, jbuf)
     fpart.close()
 
     # barrier, then process 0 splices the stripes in order
