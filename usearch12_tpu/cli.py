@@ -98,7 +98,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         f_log.write(_time.strftime("Started %a %b %d %H:%M:%S %Y\n\n"))
         t0 = _time.time()
 
-    fn(cmd_arg)
+    # -xprof DIR: JAX profiler trace around the whole command (SURVEY
+    # §5.1 — the TPU-native replacement for the reference's TRACE dumps
+    # and mymutex profiler); view with xprof/tensorboard.
+    xprof = options().str("xprof") if options().filled("xprof") else None
+    if xprof:
+        import jax
+        jax.profiler.start_trace(xprof)
+    try:
+        fn(cmd_arg)
+    finally:
+        if xprof:
+            import jax
+            jax.profiler.stop_trace()
 
     # global options are always "used" (read by the harness itself)
     options().flag("quiet")

@@ -57,9 +57,12 @@ class DerepResult:
 
 
 def derep_full(input_db: SeqDB, revcomp_ok: bool = False) -> DerepResult:
+    from .. import progress
     dr = DerepResult(input_db=input_db)
     seen: Dict[bytes, int] = {}
+    progress.start("Unique seqs")
     for si, seq in enumerate(input_db.seqs):
+        progress.tick(si, len(input_db.seqs))
         key = TO_UPPER[seq].tobytes()
         ui = seen.get(key)
         plus = True
@@ -77,6 +80,7 @@ def derep_full(input_db: SeqDB, revcomp_ok: bool = False) -> DerepResult:
             dr.members[ui].append(si)
             dr.strands[ui].append(plus)
         dr.cluster_of_input[si] = ui
+    progress.done(f"{dr.cluster_count} uniques")
     return dr
 
 

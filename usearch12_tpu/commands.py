@@ -90,6 +90,16 @@ def _engine_device():
         print("WARNING: accelerator unresponsive, using host DP path",
               file=_sys.stderr)
         return None
+    # persistent compilation cache: kernel compiles (~30s each over the
+    # tunneled link) must amortize across CLI runs, not per process
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/usearch_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     from .scoring import AlnParams
     from .ops.wavefront_nw import WavefrontNWDevice
     # the per-class devices are derived from the command AlnParams by
@@ -187,6 +197,7 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
         from .parallel.batch_search import batch_search_file
         batch_search_file("usearch_global", query_path, db, on_query_done)
     elif engine_eligible("usearch_global", db.get_is_nucleo(), xlat) \
+            and not (db_index is not None and db_index.params.hashed) \
             and not o.flag("use_serial_driver"):
         eng = BatchEngine("usearch_global", db, index=db_index,
                           device=_engine_device())

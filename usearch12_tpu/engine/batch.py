@@ -322,9 +322,13 @@ class BatchEngine:
             local_ap = self.ap.hole_params(
                 bool(cls_bits & 1), bool(cls_bits & 2), bool(cls_bits & 4),
                 bool(cls_bits & 8))
+            # quantized geometry: varying hole batches reuse a handful
+            # of compiled kernels (compile ~30s over the device tunnel)
             dev = WavefrontNWDevice(local_ap, pb=self.device.pb,
                                     chunk=self.device.chunk,
-                                    interpret=self.device.interpret)
+                                    interpret=self.device.interpret,
+                                    steps_quantum=512,
+                                    sw_min=64)
             self._class_devices[cls_bits] = dev
         return dev
 

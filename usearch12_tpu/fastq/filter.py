@@ -169,7 +169,12 @@ def fastx_truncate(input_path: Optional[str]) -> None:
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     relabel = o.str("relabel", "")
     n_out = 0
+    from .. import progress
+    progress.start("Filtering")
+    n_rec = 0
     for label, seq, qual in read_fastx(input_path, stream=True):
+        n_rec += 1
+        progress.tick(n_rec, 0)
         if o.filled("stripleft"):
             n = o.uns("stripleft")
             if len(seq) <= n:
@@ -217,6 +222,8 @@ def fastx_truncate(input_path: Optional[str]) -> None:
         if f:
             f.close()
 
+
+    progress.done(f"{n_rec} reads")
 
 def fastq_filter2(input_path: Optional[str]) -> None:
     """fastq_filter2 (src/fastqfilter2.cpp): paired EE + zero-N filter

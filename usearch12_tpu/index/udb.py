@@ -34,6 +34,9 @@ class UDBParams:
     word_length: int
     alpha_size: int
     slot_count: int
+    # legacy hashed dictionaries (src/udbparams.h:143-161): slot = an
+    # RS-style hash of the RAW window characters, modulo slot_count
+    hashed: bool = False
 
     @classmethod
     def global_usearch(cls, nucleo: bool, word_length: Optional[int] = None
@@ -57,6 +60,8 @@ class UDBParams:
         L = len(seq)
         if L < w:
             return np.zeros(0, dtype=np.int64)
+        if self.hashed:
+            return self._seq_to_hashed_words(seq)
         table = (CHAR_TO_LETTER_NUCLEO if self.is_nucleo
                  else CHAR_TO_LETTER_AMINO)
         letters = table[seq].astype(np.int64)
@@ -70,6 +75,41 @@ class UDBParams:
         words[bad] = BAD_WORD
         return words
 
+    def _seq_to_hashed_words(self, seq: np.ndarray) -> np.ndarray:
+        """UDBParams::Hash (src/udbparams.h:143-161): h = h*a + c with
+        a starting at 63689 and multiplying by 378551 per character,
+        over the RAW characters; lowercase or invalid letters make the
+        window BAD.  h % slot_count is the word."""
+        w = self.word_length
+        L = len(seq)
+        n = L - w + 1
+        # coefficient of char k in the final h (mod 2^32):
+        #   coef[k] = prod_{j=k+1..w-1} (63689 * 378551^j)
+        coef = np.ones(w, dtype=np.uint64)
+        a = np.uint64(63689)
+        b = np.uint64(378551)
+        m = np.uint64(0xFFFFFFFF)
+        mults = np.empty(w, dtype=np.uint64)
+        cur = a
+        for j in range(w):
+            mults[j] = cur
+            cur = (cur * b) & m
+        for k in range(w - 1, -1, -1):
+            if k + 1 < w:
+                coef[k] = (coef[k + 1] * mults[k + 1]) & m
+        table = (CHAR_TO_LETTER_NUCLEO if self.is_nucleo
+                 else CHAR_TO_LETTER_AMINO)
+        invalid = (table[seq] == 0xFF) | IS_LOWER[seq]
+        h = np.zeros(n, dtype=np.uint64)
+        bad = np.zeros(n, dtype=bool)
+        s64 = seq.astype(np.uint64)
+        for k in range(w):
+            h = (h + s64[k:k + n] * coef[k]) & m
+            bad |= invalid[k:k + n]
+        words = (h % np.uint64(self.slot_count)).astype(np.int64)
+        words[bad] = BAD_WORD
+        return words
+
     def valid_words(self, seq: np.ndarray) -> np.ndarray:
         """SetQueryWordsAllNoBad: in-order valid words (duplicates kept)."""
         words = self.seq_to_words(seq)
@@ -77,9 +117,10 @@ class UDBParams:
 
     def unique_words(self, seq: np.ndarray) -> np.ndarray:
         """SetQueryUniqueWords: first-occurrence order dedup."""
-        out = _unique_words_native(self, seq)
-        if out is not None:
-            return out
+        if not self.hashed:
+            out = _unique_words_native(self, seq)
+            if out is not None:
+                return out
         words = self.valid_words(seq)
         # np.unique sorts; need first-occurrence order (stable)
         _, idx = np.unique(words, return_index=True)

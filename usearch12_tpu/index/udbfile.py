@@ -44,6 +44,33 @@ def _cstr(b: bytes) -> str:
     return b.split(b"\0", 1)[0].decode("latin1")
 
 
+def _decode_var_rows(raw: np.ndarray, byte_sizes: np.ndarray):
+    """Decode var-coded rows (concatenated per-slot byte runs of
+    (SeqIndex, SeqPos) varint pairs, src/udbdata.h:100-125) into plain
+    per-posting target indexes + per-slot POSTING counts."""
+    term = (raw & 0x80) != 0          # terminator byte of each varint
+    n_varints = int(term.sum())
+    assert n_varints % 2 == 0, "odd varint count in var-coded rows"
+    # decode every varint: values span [prev_term+1 .. term] bytes
+    ends = np.nonzero(term)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    # varints are at most 5 bytes; accumulate 7-bit groups little-endian
+    lens = ends - starts + 1
+    for k in range(5):
+        mask = lens > k
+        b = raw[starts[mask] + k].astype(np.uint64) & 0x7F
+        vals[mask] |= b << np.uint64(7 * k)
+    tix = vals[0::2].astype(np.int64)   # SeqIndex of each pair
+    # per-slot posting counts: pairs per row = varints-in-row / 2
+    row_end_bytes = np.cumsum(byte_sizes.astype(np.int64))
+    varint_ends_count = np.searchsorted(ends, row_end_bytes - 1,
+                                        side="right")
+    pairs_cum = varint_ends_count // 2
+    counts = np.diff(np.concatenate(([0], pairs_cum)))
+    return tix.astype(np.uint32), counts.astype(np.uint32)
+
+
 def read_udb(path: str):
     """Returns (UDBIndex, SeqDB)."""
     with open(path, "rb") as f:
@@ -55,18 +82,40 @@ def read_udb(path: str):
             raise ValueError(f"Invalid .udb file: {path}")
         alpha = _cstr(alpha_str)
         nucleo = alpha == "nt"
-        if hashed or _cstr(pattern_str) or seq_pos_bits != 0:
-            raise NotImplementedError(
-                "hashed/spaced/coded .udb not supported yet")
-        params = UDBParams.global_usearch(nucleo, word_length=word_width)
+        if _cstr(pattern_str):
+            # the reference itself refuses spaced-seed files at load
+            # (ValidateFeatures asserts m_Pattern == 0,
+            # src/udbparams.cpp:112-119)
+            raise NotImplementedError("spaced-seed .udb not supported "
+                                      "(the reference asserts on them)")
+        if hashed:
+            params = UDBParams(is_nucleo=nucleo, word_length=word_width,
+                               alpha_size=4 if nucleo else 20,
+                               slot_count=int(slot_count_h), hashed=True)
+        else:
+            params = UDBParams.global_usearch(nucleo,
+                                              word_length=word_width)
         slot_count = params.slot_count
 
         sizes = np.fromfile(f, dtype=np.uint32, count=slot_count)
         (m3,) = struct.unpack("<I", f.read(4))
         if m3 != MAGIC3:
             raise ValueError(".udb magic3 mismatch")
-        total = int(sizes.sum())
-        postings = np.fromfile(f, dtype=np.uint32, count=total)
+        var_coded = seq_pos_bits == 0xFF
+        if var_coded:
+            # var-coded rows (src/udbdata.h:84-125): Sizes are BYTE
+            # lengths; rows are (SeqIndex, SeqPos) varint pairs with the
+            # terminator byte carrying the high bit
+            total_bytes = int(sizes.sum())
+            raw = np.fromfile(f, dtype=np.uint8, count=total_bytes)
+            postings, sizes = _decode_var_rows(raw, sizes)
+        else:
+            total = int(sizes.sum())
+            postings = np.fromfile(f, dtype=np.uint32, count=total)
+            if seq_pos_bits != 0:
+                # pos-coded postings: (SeqIndex << SeqPosBits) | Pos
+                # (src/udbparams.h:163-178); ranking counts per posting
+                postings = postings >> np.uint32(seq_pos_bits)
         (m4,) = struct.unpack("<I", f.read(4))
         if m4 != MAGIC4:
             raise ValueError(".udb magic4 mismatch")
@@ -137,7 +186,10 @@ def write_udb(path: str, idx: UDBIndex, db: SeqDB) -> None:
         hdr = struct.pack(
             _HDR_FMT, MAGIC1, 0, 32, 0, params.word_length, 1, accel, 0, 0,
             0, 0, 0, len(db), b"", alpha, b"", MAGIC2)
-        f.write(hdr)
+        # truncation guard (src/udbio.cpp:285-288): write an INVALID
+        # header first and rewrite it after the body completes, so a
+        # crashed/partial write is detected as an invalid .udb
+        f.write(b"\0" * len(hdr))
         sizes.tofile(f)
         f.write(struct.pack("<I", MAGIC3))
         postings.tofile(f)
@@ -159,6 +211,9 @@ def write_udb(path: str, idx: UDBIndex, db: SeqDB) -> None:
         np.array([len(s) for s in db.seqs], dtype=np.uint32).tofile(f)
         for s in db.seqs:
             s.tofile(f)
+        # body complete: stamp the valid header
+        f.seek(0)
+        f.write(hdr)
 
 
 def makeudb_usearch(input_path: Optional[str]) -> None:

@@ -75,8 +75,16 @@ class WaveBatch:
 
 
 def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
-              rho0: Optional[int] = None) -> WaveBatch:
-    """pairs: list of (a_u8, b_u8[, dlo, dhi]) sharing (la - dlo) parity."""
+              rho0: Optional[int] = None,
+              steps_quantum: Optional[int] = None,
+              sw_min: Optional[int] = None) -> WaveBatch:
+    """pairs: list of (a_u8, b_u8[, dlo, dhi]) sharing (la - dlo) parity.
+
+    steps_quantum/sw_min quantize the batch geometry (step count and
+    slot width) so varying batch contents reuse the same compiled
+    kernel: the kernel compile key is (steps, chunk, pb, rho0, sw), and
+    over a high-latency device link a fresh pallas compile costs tens of
+    seconds."""
     P = len(pairs)
     la = np.zeros(P, np.int32)
     lb = np.zeros(P, np.int32)
@@ -92,6 +100,8 @@ def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
         la[p], lb[p], dlo[p], bw[p] = len(a), len(b), d0, d1 - d0 + 1
         lets.append((_letters(a, nucleo), _letters(b, nucleo)))
     SW = slot_width(int(bw.max()))
+    if sw_min is not None:
+        SW = max(SW, sw_min)
     GPV = LANES // SW
     if GPV < 1:
         raise ValueError(f"band width {int(bw.max())} too wide")
@@ -103,7 +113,8 @@ def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
     nrows = (P + GPV - 1) // GPV
     # last needed step is t = la-1+lb (the final Drow[LB] update)
     steps = int((la + lb).max())
-    steps = ((steps + chunk - 1) // chunk) * chunk
+    q = max(chunk, steps_quantum or 0)
+    steps = ((steps + q - 1) // q) * q
 
     i0 = (la - dlo - rho0) // 2           # I0(0) per pair
     lane = np.arange(LANES)
@@ -419,11 +430,15 @@ class WavefrontNWDevice:
     """Batched anti-diagonal banded NW; bit-exact vs align/oracle.py."""
 
     def __init__(self, ap, pb: int = 32, chunk: int = 32,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 steps_quantum: Optional[int] = None,
+                 sw_min: Optional[int] = None):
         import jax
         self.ap = ap
         self.pb = pb
         self.chunk = chunk
+        self.steps_quantum = steps_quantum
+        self.sw_min = sw_min
         self.match = float(ap.subst_mx[ord("A"), ord("A")])
         self.mismatch = float(ap.subst_mx[ord("A"), ord("C")])
         if interpret is None:
@@ -538,7 +553,9 @@ class WavefrontNWDevice:
             if not idxs:
                 continue
             batch = pack_wave([pairs[i] for i in idxs], nucleo,
-                              band_radius, self.chunk, rho0)
+                              band_radius, self.chunk, rho0,
+                              steps_quantum=self.steps_quantum,
+                              sw_min=self.sw_min)
             tb, mle, mlo, dlb = self.run_batch(batch)
             if device_traceback and not self.interpret:
                 scores, paths = trace_batch_device(self, batch, tb, mle,

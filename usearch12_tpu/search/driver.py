@@ -33,6 +33,16 @@ _FAST_LOOP_BLOCKERS = (
     "maxdiffs", "mindiffs")
 
 
+def requested_thread_count() -> int:
+    """GetRequestedThreadCount (src/myutils.cpp:151-175): -threads if
+    given, else min(cores, 10)."""
+    o = options()
+    if o.filled("threads"):
+        return max(1, o.uns("threads"))
+    import os
+    return min(os.cpu_count() or 1, 10)
+
+
 def fast_loop_eligible(accepter) -> bool:
     """True when accept/reject/terminate semantics reduce to the C
     fast-path loop (search_ranked_c)."""
@@ -274,7 +284,7 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
     # the reference does NOT length-filter search queries (minseqlength
     # is consumed only by fastx_truncate, src/fastxtruncate.cpp)
     from .. import progress
-    n_threads = o.uns("threads") if o.filled("threads") else 1
+    n_threads = requested_thread_count()
     if n_threads > 1 and not xlat and not ctx.local \
             and not options().flag("use_device"):
         _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
@@ -314,6 +324,7 @@ def _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
     results: List = [None] * len(records)
     nxt = [0]
     lock = threading.Lock()
+    ready = threading.Condition(lock)   # signalled per completed query
     ctx.index._flatten()   # freeze the LSM tiers before sharing
 
     errors: List = []
@@ -329,12 +340,16 @@ def _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
                         return
                     nxt[0] = i + 1
                 label, seq, _qual = records[i]
-                results[i] = list(
+                hits = list(
                     wctx.search_query(label, seq, revcomp=strand_both))
+                with ready:
+                    results[i] = hits
+                    ready.notify_all()
         except BaseException as e:   # surface worker failures
-            errors.append(e)
-            with lock:
+            with ready:
+                errors.append(e)
                 nxt[0] = len(records)
+                ready.notify_all()
 
     threads = [threading.Thread(target=worker) for _ in range(n_threads)]
     for t in threads:
@@ -342,16 +357,15 @@ def _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
     progress.start("Searching")
     n_hit = 0
     for i, (label, seq, _qual) in enumerate(records):
-        while results[i] is None:
+        with ready:
+            while results[i] is None and not errors:
+                ready.wait(timeout=1.0)
+                if results[i] is None and not errors and \
+                        not any(t.is_alive() for t in threads):
+                    break
             if errors:
                 raise errors[0]
-            if not any(t.is_alive() for t in threads):
-                break
-            import time as _t
-            _t.sleep(0.001)
-        if errors:
-            raise errors[0]
-        hits = results[i] or []
+            hits = results[i] or []
         if hits:
             n_hit += 1
         progress.tick(i + 1, len(records))

@@ -93,11 +93,14 @@ class USortedRanker:
     def __init__(self, index: UDBIndex) -> None:
         self.index = index
         self._native = None
-        try:
-            from ..native import NativeRanker
-            self._native = NativeRanker(index)
-        except Exception:
-            pass
+        if not index.params.hashed:
+            # the C ranker computes rolling alphabet words; hashed
+            # dictionaries (legacy .udb) use the python path
+            try:
+                from ..native import NativeRanker
+                self._native = NativeRanker(index)
+            except Exception:
+                pass
 
     def rank(self, query_seq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (ordered_target_indexes, their word counts)."""
