@@ -128,6 +128,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if unused:
             f_log.write("WARNING: Option(s) set but not used: "
                         + " ".join(f"-{u}" for u in unused) + "\n")
+        from . import runlog
+        for line in runlog.drain():
+            f_log.write(line + "\n")
         f_log.write(f"\nElapsed time {secs:.2f} secs\n")
         f_log.write(f"Peak memory {peak_kb / (1 << 20):.1f}Gb\n")
         f_log.close()

@@ -502,6 +502,10 @@ class BatchEngine:
                     on_query_done(label, seq, hits)
             progress.tick(hi, n)
         progress.done(f"{n} queries")
+        from .. import runlog
+        runlog.note_index(self.index)
+        runlog.note(f"Search: {n} queries, window {window}, "
+                    f"device {'on' if self.device is not None else 'off'}")
 
     def _make_ar(self, label, qseq, tix, path, stats, is_rc):
         db = self.db

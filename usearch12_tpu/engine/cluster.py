@@ -161,6 +161,9 @@ def _run(cmd, lib, hf, asc, es, cc, gp, sub_mx, match, to_upper, ctl_rank,
         pos = ret
         progress.tick(pos, n)
     progress.done()
+    from .. import runlog
+    runlog.note(f"Clustering: {n} uniques -> "
+                f"{int(lib.cluster_ctx_db_n(cc))} clusters")
 
     _write_outputs(cmd, input_db, dr, unique_db, order, nucleo, rev_comp,
                    out_assign, out_admit, out_hit_off, hit_tix, hit_rc,

@@ -20,6 +20,7 @@ tests/test_parity_cluster.py::test_cluster_mt_device_batch).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 from typing import List, Optional
 
@@ -40,34 +41,106 @@ from ..cluster.uclust import _uc_hit_line
 
 
 class DeviceUCounter:
-    """U counting for a query window vs a frozen index: one MXU matmul
-    (optionally sharded over a mesh's "db" axis)."""
+    """U counting for a query window vs a frozen index: one int8 MXU
+    matmul (optionally sharded over a mesh's "db" axis).
+
+    Admissions between flushes append COLUMNS in place: the incidence is
+    int8 with geometric capacity and new centroid columns are written
+    with a buffer-donating jitted update, so the per-flush cost is
+    O(V * new_centroids) instead of a full O(V * T) rebuild+upload."""
 
     def __init__(self, mesh=None) -> None:
         self.mesh = mesh
         self._mat = None
-        self._t = 0
+        self._t = 0          # columns filled
+        self._cap = 0        # device column capacity
+        self._upd = None
+        self._pending_cols = None
 
-    def refresh(self, index: UDBIndex) -> None:
-        """Rebuild the (V, T) incidence after admissions."""
+    def _sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P(None, "db"))
+
+    def _alloc(self, index: UDBIndex, cap: int) -> None:
+        """(Re)build the device incidence with column capacity cap."""
+        import jax
         import jax.numpy as jnp
-        from .search_step import build_incidence
-        self._t = index.seq_count
-        if self._t == 0:
-            self._mat = None
-            return
-        mat = build_incidence(index)
+        v = index.params.slot_count
         if self.mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            pad = (-self._t) % self.mesh.shape["db"]
-            if pad:
-                mat = np.pad(mat, ((0, 0), (0, pad)))
-            self._mat = jax.device_put(
-                jnp.asarray(mat),
-                NamedSharding(self.mesh, P(None, "db")))
+            cap += (-cap) % self.mesh.shape["db"]
+        mat = np.zeros((v, cap), dtype=np.int8)
+        t = index.seq_count
+        if t:
+            words = np.repeat(np.arange(v), index.sizes)
+            np.add.at(mat, (words, index.postings), 1)
+        if self.mesh is not None:
+            self._mat = jax.device_put(jnp.asarray(mat), self._sharding())
         else:
             self._mat = jnp.asarray(mat)
+        self._cap = cap
+        self._t = t
+        self._pending_cols = None
+
+    def refresh(self, index: UDBIndex) -> None:
+        """Bring the device incidence up to date with the index: appends
+        new centroid columns in place, growing capacity geometrically."""
+        import jax
+        import jax.numpy as jnp
+        t = index.seq_count
+        if t == 0:
+            self._mat = None
+            self._t = 0
+            self._cap = 0
+            return
+        if self._mat is None or t > self._cap or t < self._t:
+            self._alloc(index, max(2 * t, 1024))
+            return
+        if t == self._t:
+            return
+        if self.mesh is not None:
+            # sharded buffers: a dynamic_update_slice would cross shard
+            # boundaries; rebuild (mesh clustering keeps T small)
+            self._alloc(index, self._cap)
+            return
+        # incremental: write only columns [_t, t), with buffer donation
+        # so XLA updates the live buffer instead of copying V*cap.
+        # Column counts are bucketed to powers of two by repeating the
+        # last column (idempotent scatter) so flush widths reuse a few
+        # compiled updaters.
+        cols = self._pending_cols
+        assert cols is not None and cols.shape[1] == t - self._t, \
+            "refresh without note_admitted for the new centroids"
+        n_new = cols.shape[1]
+        width = 1 << int(np.ceil(np.log2(max(n_new, 1))))
+        idx = np.arange(self._t, self._t + width, dtype=np.int32)
+        idx[n_new:] = self._t + n_new - 1
+        pad = np.repeat(cols[:, -1:], width - n_new, axis=1)
+        cols_p = np.concatenate([cols, pad], axis=1) if width > n_new \
+            else cols
+        if self._upd is None:
+            @partial(jax.jit, donate_argnums=(0,))
+            def upd(mat, cols, idx):
+                return mat.at[:, idx].set(cols)
+            self._upd = upd
+        self._mat = self._upd(self._mat, jnp.asarray(cols_p),
+                              jnp.asarray(idx))
+        self._pending_cols = None
+        self._t = t
+
+    def note_admitted(self, index: UDBIndex, seqs) -> None:
+        """Record the just-admitted centroid sequences so refresh() can
+        append their incidence columns without touching the index's
+        posting tiers."""
+        v = index.params.slot_count
+        cols = np.zeros((v, len(seqs)), dtype=np.int8)
+        for k, s in enumerate(seqs):
+            w = index.params.unique_words(s)
+            np.add.at(cols, (w, np.full(len(w), k)), 1)
+        if self._pending_cols is None:
+            self._pending_cols = cols
+        else:
+            self._pending_cols = np.concatenate(
+                [self._pending_cols, cols], axis=1)
 
     def count(self, index: UDBIndex, seqs: List[np.ndarray]) -> np.ndarray:
         """Returns (B, T) uint32 shared-unique-word counts."""
@@ -75,9 +148,9 @@ class DeviceUCounter:
         if self._t == 0:
             return np.zeros((len(seqs), 0), np.uint32)
         v = index.params.slot_count
-        q = np.zeros((len(seqs), v), np.float32)
+        q = np.zeros((len(seqs), v), np.int8)
         for b, s in enumerate(seqs):
-            q[b, index.params.unique_words(s)] = 1.0
+            q[b, index.params.unique_words(s)] = 1
         if self.mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -85,8 +158,9 @@ class DeviceUCounter:
                                 NamedSharding(self.mesh, P("data", None)))
         else:
             qd = jnp.asarray(q)
-        u = np.asarray(qd @ self._mat)
-        return np.rint(u[:, :self._t]).astype(np.uint32)
+        u = np.asarray(jnp.dot(qd, self._mat,
+                               preferred_element_type=jnp.int32))
+        return u[:, :self._t].astype(np.uint32)
 
 
 def _rank_from_u(u: np.ndarray):
@@ -192,10 +266,12 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
 
     def flush(pending):
         """ProcessPending (src/clustermt.cpp:46-78)."""
+        admitted = []
         for label, seq in pending:
             top = search_one_serial(label, seq)
             if top is None:
                 ci = admit(label, seq)
+                admitted.append(seq)
                 if f_uc:
                     f_uc.write(f"S\t{ci}\t{len(seq)}\t*\t.\t*\t*\t*\t"
                                f"{label}\t*\n")
@@ -203,6 +279,8 @@ def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
                 if f_uc:
                     f_uc.write(_uc_hit_line(top, label))
         pending.clear()
+        if admitted:
+            counter.note_admitted(index, admitted)
         counter.refresh(index)
 
     records = [(label, seq) for label, seq, _q in read_fastx(input_path, stream=True)
