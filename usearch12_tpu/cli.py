@@ -30,7 +30,7 @@ _FLAG_OPTS_NO_VALUE = {
     "cluster_members", "wildcards_match_self", "sizeorder", "leftjust",
     "rightjust", "tax_strip", "verbose", "no_progress", "version",
     "use_device", "use_cpu_oracle", "notrunclabels", "orf_plusonly",
-    "engine_device", "no_engine_device", "use_serial_driver",
+    "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
     "ignore_label_mismatches", "fastq_forceq", "fastq_noguess", "keepgaps",
 }
 

@@ -201,15 +201,27 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             and not o.flag("use_serial_driver"):
         eng = BatchEngine("usearch_global", db, index=db_index,
                           device=_engine_device())
+        # device ranking: CSR gather/sort/scan path for big DBs (the C
+        # ranker's dense SetTop scan is O(T) per query); forced with
+        # -device_rank, auto above 200k targets when the device is up
+        rank_override = None
+        if eng.device is not None and not eng.index.params.hashed and \
+                (o.flag("device_rank") or eng.index.seq_count >= 200000):
+            from .ops.csr_rank import CSRDeviceRanker, make_engine_override
+            term_k = eng.max_accepts + eng.max_rejects
+            cr = CSRDeviceRanker(eng.index, topk=max(64, term_k))
+            rank_override = make_engine_override(cr, eng)
         only_b6 = (f_b6 is not None and dbhit is None
                    and not any((f_aln, f_uc, f_m, f_nm, f_fp, f_user,
                                 f_qseg, f_tseg, f_trim)))
         if only_b6:
             from .engine.emit import Blast6Emitter
             em = Blast6Emitter(f_b6, db, o.flag("output_no_hits"))
-            eng.run_file(query_path, on_query_done, fast_emit=em.emit)
+            eng.run_file(query_path, on_query_done, fast_emit=em.emit,
+                         rank_override=rank_override)
         else:
-            eng.run_file(query_path, on_query_done)
+            eng.run_file(query_path, on_query_done,
+                         rank_override=rank_override)
     else:
         search_file("usearch_global", query_path, db, on_query_done,
                     index=db_index)

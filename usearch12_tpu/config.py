@@ -109,7 +109,7 @@ _FLAG_OPTS = [
     "centroid_types", "cluster_members", "wildcards_match_self", "sizeorder",
     "leftjust", "rightjust", "strand_plus", "strand_both", "tax_strip",
     "verbose", "no_progress", "use_device", "use_cpu_oracle",
-    "engine_device", "no_engine_device", "use_serial_driver",
+    "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
     "orf_plusonly",
     "ignore_label_mismatches", "notrunclabels", "fastq_forceq",
     "fastq_noguess", "keepgaps",

@@ -193,3 +193,20 @@ class CSRDeviceRanker:
         bound = term.max_accepts + term.max_rejects
         uncertain = (out_n >= self.topk) & (bound > self.topk)
         return cand, cnts.astype(np.uint32), out_n, uncertain
+
+
+def make_engine_override(ranker, eng):
+    """rank_override for BatchEngine.search_window: device CSR ranking
+    with an exact host re-rank for capacity-uncertain queries."""
+    def override(jbuf, j_off):
+        cand, cnts, out_n, unc = ranker.rank_window(jbuf, j_off)
+        if unc.any():
+            h_cand, h_cnts, h_out_n = eng._rank_jobs(jbuf, j_off)
+            for j in np.nonzero(unc)[0]:
+                k = min(int(h_out_n[j]), cand.shape[1])
+                cand[j, :k] = h_cand[j, :k]
+                cnts[j, :k] = h_cnts[j, :k]
+                out_n[j] = k
+        return (np.ascontiguousarray(cand.astype(np.uint32)),
+                np.ascontiguousarray(cnts), out_n)
+    return override
