@@ -50,7 +50,7 @@ def _gen_workloads(d):
                               length=250, seed=11)
         write_fasta(reads, recs)
     if not os.path.exists(db):
-        recs2 = make_amplicons(n_templates=2000, reads_per_template=10,
+        recs2 = make_amplicons(n_templates=2000, reads_per_template=50,
                                length=250, seed=12)
         write_fasta(db, [r for r in recs2 if r[0].startswith("tpl")])
         write_fasta(q, [r for r in recs2 if not r[0].startswith("tpl")])
@@ -58,8 +58,10 @@ def _gen_workloads(d):
 
 
 def _run(cmd, timeout=900):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.perf_counter()
-    r = subprocess.run(cmd, capture_output=True, timeout=timeout)
+    r = subprocess.run(cmd, capture_output=True, timeout=timeout, env=env)
     if r.returncode != 0:
         sys.stderr.write(r.stderr.decode(errors="replace")[-2000:])
         raise RuntimeError(f"bench command failed rc={r.returncode}: "
@@ -226,7 +228,7 @@ def main():
     reads, db, q = _gen_workloads(d)
 
     extra = {"workload": "100k reads cluster_fast id=0.97; "
-                         "20k q x 2k t usearch_global id=0.9"}
+                         "100k q x 2k t usearch_global id=0.9"}
 
     g_my = g_ref = g_ratio = None
     c_my = c_ref = c_ratio = None

@@ -46,26 +46,44 @@ def _load_db(path: str) -> SeqDB:
 
 
 _DEVICE_HEALTH = [None]
+_HEALTH_CACHE = "/tmp/usearch_device_health"
+_HEALTH_TTL = 600.0
 
 
 def _device_healthy() -> bool:
     """Probe the accelerator in a SUBPROCESS with a timeout: a wedged
     device tunnel hangs any in-process dispatch un-interruptibly, so the
-    probe must be killable.  Cached per process."""
-    if _DEVICE_HEALTH[0] is None:
-        import subprocess
-        import sys as _sys
-        try:
-            r = subprocess.run(
-                [_sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
-                 "print('ok')"],
-                capture_output=True, timeout=30, text=True)
-            _DEVICE_HEALTH[0] = (r.returncode == 0
-                                 and "ok" in r.stdout)
-        except Exception:
-            _DEVICE_HEALTH[0] = False
+    probe must be killable.  The verdict is cached in-process AND on
+    disk with a TTL, so short CLI runs don't pay the ~2s probe each."""
+    if _DEVICE_HEALTH[0] is not None:
+        return _DEVICE_HEALTH[0]
+    import os
+    import time
+    try:
+        st = os.stat(_HEALTH_CACHE)
+        if time.time() - st.st_mtime < _HEALTH_TTL:
+            with open(_HEALTH_CACHE) as f:
+                _DEVICE_HEALTH[0] = f.read().strip() == "ok"
+            return _DEVICE_HEALTH[0]
+    except OSError:
+        pass
+    import subprocess
+    import sys as _sys
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
+             "print('ok')"],
+            capture_output=True, timeout=30, text=True)
+        _DEVICE_HEALTH[0] = (r.returncode == 0 and "ok" in r.stdout)
+    except Exception:
+        _DEVICE_HEALTH[0] = False
+    try:
+        with open(_HEALTH_CACHE, "w") as f:
+            f.write("ok" if _DEVICE_HEALTH[0] else "bad")
+    except OSError:
+        pass
     return _DEVICE_HEALTH[0]
 
 
@@ -95,7 +113,7 @@ def _engine_device():
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/usearch_jax_cache")
+                          f"/tmp/usearch_jax_cache_{platform}")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
@@ -200,13 +218,15 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             and not (db_index is not None and db_index.params.hashed) \
             and not o.flag("use_serial_driver"):
         eng = BatchEngine("usearch_global", db, index=db_index,
-                          device=_engine_device())
+                          device_factory=_engine_device)
         # device ranking: CSR gather/sort/scan path for big DBs (the C
         # ranker's dense SetTop scan is O(T) per query); forced with
         # -device_rank, auto above 200k targets when the device is up
         rank_override = None
-        if eng.device is not None and not eng.index.params.hashed and \
-                (o.flag("device_rank") or eng.index.seq_count >= 200000):
+        if not eng.index.params.hashed and \
+                (o.flag("device_rank")
+                 or (eng.index.seq_count >= 200000
+                     and _engine_device() is not None)):
             from .ops.csr_rank import CSRDeviceRanker, make_engine_override
             term_k = eng.max_accepts + eng.max_rejects
             cr = CSRDeviceRanker(eng.index, topk=max(64, term_k))

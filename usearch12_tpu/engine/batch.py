@@ -90,6 +90,7 @@ class _FastaWindows:
                 break
             max_rec *= 4
         self.n = int(nrec)
+        self.raw = raw
         self.seq_buf = seq_buf
         self.seq_off = seq_off[:self.n + 1]
         self.lbl_off = lbl_off[:self.n]
@@ -113,7 +114,8 @@ class BatchEngine:
 
     def __init__(self, cmd: str, db: SeqDB,
                  index: Optional[UDBIndex] = None,
-                 device: Optional[object] = None) -> None:
+                 device: Optional[object] = None,
+                 device_factory: Optional[Callable] = None) -> None:
         o = options()
         self.lib = get_lib()
         self.db = db
@@ -171,10 +173,19 @@ class BatchEngine:
         self._db_len = lens
 
         # device hole alignment
+        # device DP is created LAZILY: the factory runs (health probe,
+        # jax init, kernel setup) only when a hole batch actually
+        # crosses the dispatch break-even, so small runs pay nothing
         self.device = device
+        self._device_factory = device_factory
+        self._factory_tried = device is not None
         self._class_devices = {}
         self.dev_min_cells = 1 << 62
-        if device is not None:
+        # batch break-even: dispatch latency (~0.25s on the tunneled dev
+        # rig) x host DP throughput (~0.2 Gcells/s) => ~50M cells
+        self.dev_batch_min_cells = int(o.str("dev_batch_cells")) \
+            if o.filled("dev_batch_cells") else 50_000_000
+        if device is not None or device_factory is not None:
             self.dev_min_cells = int(o.str("dev_min_cells")) \
                 if o.filled("dev_min_cells") else 2048
 
@@ -293,13 +304,26 @@ class BatchEngine:
         (hole_paths bytes, hole_off int64)."""
         if n_hole == 0:
             return np.zeros(1, np.uint8), np.zeros(1, np.int64)
-        paths: List[Optional[bytes]] = [None] * n_hole
         cls = self._hole_cls[:n_hole]
         aoff = self._hole_aoff[:n_hole]
         boff = self._hole_boff[:n_hole]
         alen = self._hole_alen[:n_hole]
         blen = self._hole_blen[:n_hole]
         db = self._db_concat
+        # economics gate: a device dispatch costs ~latency * host DP
+        # throughput worth of cells; batches below the break-even run
+        # through the host kernel (same bit-exact DP)
+        total_cells = int((alen.astype(np.int64) * blen).sum())
+        if total_cells < self.dev_batch_min_cells:
+            return self._align_holes_host(jbuf, n_hole, aoff, boff,
+                                          alen, blen, cls)
+        if self.device is None and not self._factory_tried:
+            self._factory_tried = True
+            self.device = self._device_factory()
+        if self.device is None:
+            return self._align_holes_host(jbuf, n_hole, aoff, boff,
+                                          alen, blen, cls)
+        paths: List[Optional[bytes]] = [None] * n_hole
         for c in np.unique(cls):
             idx = np.nonzero(cls == c)[0]
             sub_pairs = [(jbuf[aoff[h]:aoff[h] + alen[h]],
@@ -312,6 +336,29 @@ class BatchEngine:
         hole_off = np.zeros(n_hole + 1, np.int64)
         np.cumsum([len(p) for p in paths], out=hole_off[1:])
         return np.frombuffer(b"".join(paths), dtype=np.uint8), hole_off
+
+    def _align_holes_host(self, jbuf, n_hole, aoff, boff, alen, blen,
+                          cls):
+        """Host-kernel fallback for emitted holes (align_holes_c)."""
+        lib = self.lib
+        cap = int((alen.astype(np.int64) + blen).sum()) + 2 * n_hole + 16
+        out = np.empty(cap, np.uint8)
+        off = np.zeros(n_hole + 1, np.int64)
+        aoff_c = np.ascontiguousarray(aoff, dtype=np.int64)
+        boff_c = np.ascontiguousarray(boff, dtype=np.int64)
+        alen_c = np.ascontiguousarray(alen, dtype=np.int32)
+        blen_c = np.ascontiguousarray(blen, dtype=np.int32)
+        cls_c = np.ascontiguousarray(cls, dtype=np.uint8)
+        n = lib.align_holes_c(
+            self._es, ctypes.byref(self._gp), self._sub_mx.ctypes.data,
+            self.ah.band_radius,
+            jbuf.ctypes.data, self._db_concat.ctypes.data,
+            aoff_c.ctypes.data, boff_c.ctypes.data, alen_c.ctypes.data,
+            blen_c.ctypes.data, cls_c.ctypes.data, None, n_hole,
+            out.ctypes.data, off.ctypes.data, cap)
+        if n < 0:
+            raise RuntimeError("align_holes_c failed")
+        return out, off
 
     def _class_device(self, cls_bits: int):
         """Wavefront device with the hole's terminal-penalty class
@@ -407,10 +454,15 @@ class BatchEngine:
                 jbuf, j_off, pair_j, pair_t, status, pair_seg_off,
                 hole_paths, hole_off, job_state)
             ptr[live] += take
-            for k in range(len(hit_job)):
-                lo, hi = hit_path_off[k], hit_path_off[k + 1]
-                collect_hits(int(hit_job[k]), int(hit_tix[k]),
-                             hit_paths[lo:hi].tobytes(), hit_stats[k])
+            if len(hit_job):
+                jobs_l = hit_job.tolist()
+                tix_l = hit_tix.tolist()
+                offs_l = hit_path_off.tolist()
+                stats_l = hit_stats.tolist()   # python ints: cheap emit
+                pb = hit_paths[:offs_l[-1]].tobytes()
+                for k in range(len(jobs_l)):
+                    collect_hits(jobs_l[k], tix_l[k],
+                                 pb[offs_l[k]:offs_l[k + 1]], stats_l[k])
             if self.device is not None:
                 depth = min(depth * 2, 8)   # fewer device round trips
             # no device: depth stays 1 (zero speculation waste)
@@ -443,10 +495,12 @@ class BatchEngine:
         # fast label decode (slow _proc_label only when options demand)
         trunclabels = o.flag("trunclabels")
         truncstr = o.str("truncstr") if o.filled("truncstr") else None
-        buf = win.buf
+        raw_bytes = win.raw            # bytes slicing beats np round-trip
+        lbl_off = win.lbl_off.tolist()
+        lbl_end = win.lbl_end.tolist()
 
         def label_of(i):
-            raw = bytes(buf[win.lbl_off[i]:win.lbl_end[i]])
+            raw = raw_bytes[lbl_off[i]:lbl_end[i]]
             if trunclabels or truncstr is not None:
                 from ..io.fastx import _proc_label
                 return _proc_label(raw)

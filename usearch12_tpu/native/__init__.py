@@ -155,6 +155,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # sorted tier
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # pending tier
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
+            ctypes.c_int64,                           # max_emit (0 = all)
             ctypes.c_void_p, ctypes.c_void_p]         # out_tix, out_counts
         # -- batch engine (usearch_engine.c) --
         vp = ctypes.c_void_p
@@ -190,6 +191,12 @@ def get_lib():
             vp, vp, vp, vp, i64,                  # segs
             vp, vp, vp, vp, vp, vp, i64,          # holes
             vp, i64]                              # lit buf
+        lib.align_holes_c.restype = i64
+        lib.align_holes_c.argtypes = [
+            vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,
+            vp, vp,                               # jbuf, db
+            vp, vp, vp, vp, vp, vp, i64,          # hole arrays
+            vp, vp, i64]                          # out buf/off/cap
         lib.finish_replay_c.restype = i64
         lib.finish_replay_c.argtypes = [
             vp,                                   # eng scratch
@@ -303,7 +310,7 @@ class NativeRanker:
             seq = np.ascontiguousarray(seq)
         n = self.lib.usort_rank_c(
             self._scratch, seq.ctypes.data, len(seq), *args,
-            bump_pct, mode,
+            bump_pct, mode, 0,
             self._out_tix.ctypes.data, self._out_counts.ctypes.data)
         return (self._out_tix[:n].astype(np.int64),
                 self._out_counts[:n].copy())

@@ -74,8 +74,8 @@ extern int64_t usort_rank_c(
     int64_t slot_count, const int64_t *starts, const int32_t *postings,
     int has_csr, const int64_t *sw, const int32_t *st, int64_t n_sorted,
     const int64_t *pw, const int32_t *pt, int64_t n_pending,
-    uint32_t seq_count, uint32_t bump_pct, int mode, uint32_t *out_tix,
-    uint32_t *out_counts);
+    uint32_t seq_count, uint32_t bump_pct, int mode, int64_t max_emit,
+    uint32_t *out_tix, uint32_t *out_counts);
 
 /* ---------------------------------------------------------------- */
 /* growable scratch shared across engine calls                      */
@@ -250,7 +250,7 @@ int64_t rank_batch_c(
                                   alpha_size, wlen, slot_count, starts,
                                   postings, has_csr, sw, st, n_sorted, pw,
                                   pt, n_pending, seq_count, bump_pct, mode,
-                                  es->stage_tix, es->stage_cnt);
+                                  K, es->stage_tix, es->stage_cnt);
         int64_t keep = nc < K ? nc : K;
         memcpy(out_tix + j * K, es->stage_tix, keep * sizeof(uint32_t));
         memcpy(out_counts + j * K, es->stage_cnt, keep * sizeof(uint32_t));
@@ -947,6 +947,56 @@ static uint32_t cc_rank(
     memcpy(out_counts, scnt, n_emit * sizeof(uint32_t));
     if (subt) t_sort += RNOW() - rt0;
     return n_emit;
+}
+
+/* Host fallback for device-emitted holes: banded/full NW per hole with
+ * the hole's terminal-penalty class, paths concatenated into out_buf
+ * with out_off[h..h+1] offsets.  Returns total bytes, or -1 if out_cap
+ * is too small (caller grows and retries).  Used when a hole batch is
+ * too small to amortize a device dispatch. */
+int64_t align_holes_c(
+    EngineScratch *es, const GapParams *gp, const float *sub_mx,
+    uint32_t band_radius,
+    const uint8_t *jbuf, const uint8_t *db,
+    const int64_t *hole_aoff, const int64_t *hole_boff,
+    const int32_t *hole_alen, const int32_t *hole_blen,
+    const uint8_t *hole_cls, const uint8_t *hole_a_is_query,
+    int64_t n_holes,
+    char *out_buf, int64_t *out_off, int64_t out_cap)
+{
+    int64_t pos = 0;
+    out_off[0] = 0;
+    for (int64_t h = 0; h < n_holes; ++h) {
+        const uint8_t *a = (hole_a_is_query && !hole_a_is_query[h])
+                               ? db + hole_aoff[h]
+                               : jbuf + hole_aoff[h];
+        const uint8_t *b = db + hole_boff[h];
+        uint32_t la = (uint32_t)hole_alen[h];
+        uint32_t lb = (uint32_t)hole_blen[h];
+        if (pos + la + lb + 2 > out_cap)
+            return -1;
+        GapParams lp;
+        uint8_t c = hole_cls[h];
+        hole_params(gp, c & 1, (c >> 1) & 1, (c >> 2) & 1, (c >> 3) & 1,
+                    &lp);
+        eng_alloc_dp(es, la, lb);
+        float score;
+        int n;
+        if (band_radius == 0) {
+            n = nw_full(a, la, b, lb, &lp, sub_mx, es->tb, es->mrow,
+                        es->drow, out_buf + pos, &score);
+        } else {
+            uint32_t dlo, dhi;
+            eng_band_range(la, lb, band_radius, &dlo, &dhi);
+            n = nw_band(a, la, b, lb, dlo, dhi, &lp, sub_mx, es->tb,
+                        es->mrow, es->drow, out_buf + pos, &score);
+        }
+        if (n < 0)
+            return -2;
+        pos += n;
+        out_off[h + 1] = pos;
+    }
+    return pos;
 }
 
 /* process a window of the greedy loop; returns the query index AFTER

@@ -1620,7 +1620,7 @@ int64_t usort_rank_c(
     const int64_t *sw, const int32_t *st, int64_t n_sorted,
     const int64_t *pw, const int32_t *pt, int64_t n_pending,
     uint32_t seq_count,
-    uint32_t bump_pct, int mode,
+    uint32_t bump_pct, int mode, int64_t max_emit,
     uint32_t *out_tix, uint32_t *out_counts)
 {
     if (seq_count == 0 || L < wlen)
@@ -1757,7 +1757,11 @@ int64_t usort_rank_c(
     if (n_cand == 0)
         return 0;
 
-    /* -- CountSortOrderDesc: stable desc, cutoff NextValue/2 -- */
+    /* -- CountSortOrderDesc: stable desc, cutoff NextValue/2.
+     * With max_emit > 0 the caller consumes at most that many
+     * candidates (the terminator bound), so only buckets down to the
+     * one containing the max_emit-th candidate are placed — the exact
+     * order prefix, ties included. -- */
     uint32_t maxv = 0, nextv = 0;
     for (uint32_t i = 0; i < n_cand; ++i) {
         uint32_t v = out_counts[i];
@@ -1776,9 +1780,17 @@ int64_t usort_rank_c(
         uint32_t v = out_counts[i];
         if (v >= minv) { ++hist[v]; ++n_keep; }
     }
-    /* descending prefix offsets */
-    uint32_t off = 0;
+    uint32_t c_star = minv;
+    uint32_t n_emit = 0;
     for (int64_t v = maxv; v >= (int64_t)minv; --v) {
+        n_emit += hist[v];
+        c_star = (uint32_t)v;
+        if (max_emit > 0 && n_emit >= (uint32_t)max_emit)
+            break;
+    }
+    /* descending prefix offsets over the emitted range */
+    uint32_t off = 0;
+    for (int64_t v = maxv; v >= (int64_t)c_star; --v) {
         uint32_t c = hist[v];
         hist[v] = off;
         off += c;
@@ -1792,14 +1804,14 @@ int64_t usort_rank_c(
         ocnt[i] = out_counts[i];
     for (uint32_t i = 0; i < n_cand; ++i) {
         uint32_t v = ocnt[i];
-        if (v < minv) continue;
+        if (v < c_star) continue;
         uint32_t pos = hist[v]++;
         out_tix[pos] = otix[i];
         out_counts[pos] = v;
     }
     /* re-zero the borrowed u prefix */
     memset(ocnt, 0, n_cand * sizeof(uint32_t));
-    return (int64_t)n_keep;
+    return (int64_t)n_emit;
 }
 
 /* FastMaskSeq (semantics of usearch12 src/fastmask.cpp FastMaskSeq):
