@@ -168,6 +168,49 @@ print(json.dumps(out))
 """
 
 
+def _gen_sintax(d):
+    import numpy as np
+    dbf = os.path.join(d, "sintax_db.fa")
+    qf = os.path.join(d, "sintax_q.fa")
+    if not os.path.exists(dbf):
+        rng = np.random.default_rng(9)
+        conv = "ACGT"
+        seqs = []
+        with open(dbf, "w") as f:
+            for i in range(500):
+                s = "".join(conv[j] for j in rng.integers(0, 4, 250))
+                seqs.append(s)
+                f.write(f">r{i};tax=d:D{i % 5},p:P{i % 20},"
+                        f"g:G{i % 100};\n{s}\n")
+        rng2 = np.random.default_rng(10)
+        with open(qf, "w") as f:
+            for i in range(2000):
+                s = bytearray(seqs[i % len(seqs)].encode())
+                for p in rng2.integers(0, len(s), 6):
+                    s[p] = ord(conv[rng2.integers(0, 4)])
+                f.write(f">q{i}\n{s.decode()}\n")
+    return dbf, qf
+
+
+def bench_sintax(ref, d):
+    dbf, qf = _gen_sintax(d)
+    my = [sys.executable, "-m", "usearch12_tpu.cli", "-sintax", qf,
+          "-db", dbf, "-tabbedout", os.path.join(d, "m.sin"), "-strand",
+          "both", "-quiet", "-randseed", "1"]
+    rf = [ref, "-sintax", qf, "-db", dbf, "-tabbedout",
+          os.path.join(d, "r.sin"), "-strand", "both", "-quiet",
+          "-randseed", "1", "-threads", "1"]
+    t_r1 = _run(rf)
+    t_m1 = _run(my)
+    t_m2 = _run(my)
+    t_r2 = _run(rf)
+    t_ref = min(t_r1, t_r2)
+    t_my = min(t_m1, t_m2)
+    parity = (open(os.path.join(d, "m.sin"), "rb").read() ==
+              open(os.path.join(d, "r.sin"), "rb").read())
+    return 2000 / t_my, 2000 / t_ref, t_ref / t_my, parity
+
+
 def bench_kernel_device():
     """Run the device kernel sweep in a child with a hard timeout."""
     try:
@@ -236,11 +279,14 @@ def main():
     if ref is not None:
         g_my, g_ref, g_ratio, p1 = bench_global(ref, db, q, d)
         c_my, c_ref, c_ratio, p2 = bench_cluster(ref, reads, d)
-        parity_ok = p1 and p2
+        s_my, s_ref, s_ratio, p3 = bench_sintax(ref, d)
+        parity_ok = p1 and p2 and p3
         extra["usearch_global_seqs_per_s"] = round(g_my, 1)
         extra["usearch_global_ref_seqs_per_s"] = round(g_ref, 1)
         extra["usearch_global_vs_ref"] = round(g_ratio, 3)
         extra["cluster_fast_ref_seqs_per_s"] = round(c_ref, 1)
+        extra["sintax_seqs_per_s"] = round(s_my, 1)
+        extra["sintax_vs_ref"] = round(s_ratio, 3)
         extra["output_parity"] = parity_ok
 
     kern = bench_kernel_device()

@@ -86,6 +86,8 @@ def name_in_tax_str(tax_str: str, name: str) -> bool:
 
 
 class SintaxClassifier:
+    _es = None
+
     def __init__(self, db: SeqDB, index: UDBIndex, grand: GlobalRand) -> None:
         self.db = db
         self.index = index
@@ -107,6 +109,59 @@ class SintaxClassifier:
         # flatten postings for the shuffle counting
         self.index._flatten()
 
+    def _run_boots(self, uw, nuw, seq_count, starts, sizes, postings, m):
+        """All boots' (winner index, word count): native when available
+        (sintax_boots_c — both RNGs bit-exact), numpy fallback."""
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and postings is not None:
+            es = self._es
+            if es is None:
+                es = self._es = lib.engine_scratch_create()
+            out_ti = np.empty(self.boots, np.int32)
+            out_u = np.empty(self.boots, np.int32)
+            gx = np.array(self.grand.x, dtype=np.uint64)
+            uw_c = np.ascontiguousarray(uw, dtype=np.int64)
+            lib.sintax_boots_c(
+                es, uw_c.ctypes.data, nuw,
+                starts.ctypes.data, postings.ctypes.data, seq_count,
+                self.boots, m, self.randseed, gx.ctypes.data,
+                out_ti.ctypes.data, out_u.ctypes.data)
+            self.grand.x = [int(v) for v in gx]
+            return out_ti, out_u
+        # numpy fallback: draw picks up front, one scatter-add, per-boot
+        # tie-break with the global RNG
+        r = self.randseed
+        picks = np.empty(self.boots * m, dtype=np.int64)
+        for k in range(self.boots * m):
+            r = _next_rand(r)
+            picks[k] = r % nuw
+        words = uw[picks]
+        seg_sizes = sizes[words]
+        total = int(seg_sizes.sum())
+        U = np.zeros((self.boots, seq_count), dtype=np.int32)
+        if total:
+            base = np.repeat(starts[words], seg_sizes)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(seg_sizes) - seg_sizes, seg_sizes)
+            flat = postings[base + offs]
+            pick_boot = np.arange(self.boots * m) // m
+            boot_ids = np.repeat(pick_boot, seg_sizes)
+            np.add.at(U, (boot_ids, flat), 1)
+        top_us = U.max(axis=1) if seq_count else np.zeros(self.boots, int)
+        out_ti = np.zeros(self.boots, np.int32)
+        out_u = np.zeros(self.boots, np.int32)
+        for boot in range(self.boots):
+            top_u = int(top_us[boot])
+            if top_u == 0:
+                tops = np.arange(seq_count, dtype=np.int64)
+            else:
+                tops = np.nonzero(U[boot] == top_u)[0]
+            rr = self.grand.randu32() % len(tops)
+            out_ti[boot] = int(tops[rr])
+            out_u[boot] = top_u
+        return out_ti, out_u
+
     def classify(self, q_seq: np.ndarray):
         """Returns (pred names, Ps, top_word_count)."""
         params = self.index.params
@@ -125,40 +180,11 @@ class SintaxClassifier:
         tax_to_count = {}
         top_word_count = 0
 
-        # draw all boots*m word picks up front (the LCG is sequential but
-        # cheap); count every boot's U in ONE scatter-add over a
-        # (boots, seq_count) matrix instead of per-word np.add.at calls
-        r = self.randseed
-        picks = np.empty(self.boots * m, dtype=np.int64)
-        for k in range(self.boots * m):
-            r = _next_rand(r)
-            picks[k] = r % nuw
-        words = uw[picks]
-        seg_sizes = sizes[words]
-        total = int(seg_sizes.sum())
-        U = np.zeros((self.boots, seq_count), dtype=np.int32)
-        if total:
-            base = np.repeat(starts[words], seg_sizes)
-            offs = np.arange(total) - np.repeat(
-                np.cumsum(seg_sizes) - seg_sizes, seg_sizes)
-            flat = postings[base + offs]
-            pick_boot = np.arange(self.boots * m) // m
-            boot_ids = np.repeat(pick_boot, seg_sizes)
-            np.add.at(U, (boot_ids, flat), 1)
-
-        top_us = U.max(axis=1) if seq_count else np.zeros(self.boots, int)
+        boot_ti, boot_u = self._run_boots(uw, nuw, seq_count, starts,
+                                          sizes, postings, m)
         for boot in range(self.boots):
-            top_u = int(top_us[boot])
-            if top_u == 0:
-                # all-zero: every index ties at 0 -> reference pushes all
-                tops = np.arange(seq_count, dtype=np.int64)
-            else:
-                tops = np.nonzero(U[boot] == top_u)[0]
-            n_top = len(tops)
-            if n_top == 0:
-                continue
-            rr = self.grand.randu32() % n_top
-            top_ti = int(tops[rr])
+            top_u = int(boot_u[boot])
+            top_ti = int(boot_ti[boot])
             if top_u > top_word_count:
                 top_word_count = top_u
             ts = self.tax_strs[top_ti]

@@ -949,6 +949,90 @@ static uint32_t cc_rank(
     return n_emit;
 }
 
+/* ---------------------------------------------------------------- */
+/* SINTAX bootstrap loop (src/sintaxsearcher.cpp:84-187): boots
+ * iterations, each sampling m query unique words with the private LCG,
+ * scatter-adding their posting rows into U, and taking the max target
+ * with a random tie-break from the reference's global lagged-MWC RNG
+ * (src/myutils.cpp:1757-1838; 5-word state threaded through grand_x).
+ * Writes each boot's winning target index and word count. */
+static inline uint64_t sintax_grand_inc(uint64_t *x)
+{
+    uint64_t s = 2111111111ull * x[3] + 1492ull * x[2] + 1776ull * x[1] +
+                 5115ull * x[0] + x[4];
+    x[3] = x[2];
+    x[2] = x[1];
+    x[1] = x[0];
+    x[4] = (s >> 32) & 0xFFFFFFFFull;
+    x[0] = s & 0xFFFFFFFFull;
+    return x[0];
+}
+
+int64_t sintax_boots_c(
+    EngineScratch *es,
+    const int64_t *uw, int64_t nuw,
+    const int64_t *starts, const int32_t *postings, uint32_t seq_count,
+    int boots, int m, uint32_t r0, uint64_t *grand_x,
+    int32_t *out_top_ti, int32_t *out_top_u)
+{
+    if (seq_count == 0 || nuw == 0)
+        return 0;
+    if ((size_t)seq_count + 64 > es->stage_cap) {
+        free(es->stage_tix);
+        free(es->stage_cnt);
+        es->stage_cap = (size_t)seq_count * 2 + 1024;
+        es->stage_tix = (uint32_t *)malloc(es->stage_cap *
+                                           sizeof(uint32_t));
+        es->stage_cnt = (uint32_t *)malloc(es->stage_cap *
+                                           sizeof(uint32_t));
+    }
+    uint32_t *u = es->stage_cnt;
+    uint32_t r = r0;
+    for (int boot = 0; boot < boots; ++boot) {
+        memset(u, 0, (size_t)seq_count * sizeof(uint32_t));
+        for (int k = 0; k < m; ++k) {
+            r = 1664525u * r + 1013904223u;
+            int64_t w = uw[r % (uint32_t)nuw];
+            for (int64_t p = starts[w]; p < starts[w + 1]; ++p) {
+                uint32_t t = (uint32_t)postings[p];
+                if (t < seq_count)
+                    ++u[t];
+            }
+        }
+        uint32_t top_u = 0, n_top = 0;
+        for (uint32_t t = 0; t < seq_count; ++t) {
+            uint32_t v = u[t];
+            if (v > top_u) {
+                top_u = v;
+                n_top = 1;
+            } else if (v == top_u) {
+                ++n_top;
+            }
+        }
+        uint32_t rr = (uint32_t)sintax_grand_inc(grand_x);
+        uint32_t top_ti;
+        if (top_u == 0) {
+            top_ti = rr % seq_count;
+        } else {
+            uint32_t want = rr % n_top;
+            uint32_t seen = 0;
+            top_ti = 0;
+            for (uint32_t t = 0; t < seq_count; ++t) {
+                if (u[t] == top_u) {
+                    if (seen == want) {
+                        top_ti = t;
+                        break;
+                    }
+                    ++seen;
+                }
+            }
+        }
+        out_top_ti[boot] = (int32_t)top_ti;
+        out_top_u[boot] = (int32_t)top_u;
+    }
+    return boots;
+}
+
 /* Host fallback for device-emitted holes: banded/full NW per hole with
  * the hole's terminal-penalty class, paths concatenated into out_buf
  * with out_off[h..h+1] offsets.  Returns total bytes, or -1 if out_cap
