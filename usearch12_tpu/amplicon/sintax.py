@@ -118,16 +118,18 @@ class SintaxClassifier:
             es = self._es
             if es is None:
                 es = self._es = lib.engine_scratch_create()
-            out_ti = np.empty(self.boots, np.int32)
-            out_u = np.empty(self.boots, np.int32)
-            gx = np.array(self.grand.x, dtype=np.uint64)
+                self._out_ti = np.empty(self.boots, np.int32)
+                self._out_u = np.empty(self.boots, np.int32)
+                self._gx = np.array(self.grand.x, dtype=np.uint64)
+            out_ti, out_u, gx = self._out_ti, self._out_u, self._gx
+            gx[:] = self.grand.x
             uw_c = np.ascontiguousarray(uw, dtype=np.int64)
             lib.sintax_boots_c(
                 es, uw_c.ctypes.data, nuw,
                 starts.ctypes.data, postings.ctypes.data, seq_count,
                 self.boots, m, self.randseed, gx.ctypes.data,
                 out_ti.ctypes.data, out_u.ctypes.data)
-            self.grand.x = [int(v) for v in gx]
+            self.grand.x = gx.tolist()
             return out_ti, out_u
         # numpy fallback: draw picks up front, one scatter-add, per-boot
         # tie-break with the global RNG
@@ -182,13 +184,11 @@ class SintaxClassifier:
 
         boot_ti, boot_u = self._run_boots(uw, nuw, seq_count, starts,
                                           sizes, postings, m)
-        for boot in range(self.boots):
-            top_u = int(boot_u[boot])
-            top_ti = int(boot_ti[boot])
-            if top_u > top_word_count:
-                top_word_count = top_u
-            ts = self.tax_strs[top_ti]
-            tax_to_count[ts] = tax_to_count.get(ts, 0) + 1
+        top_word_count = int(boot_u.max()) if self.boots else 0
+        uti, ucnt = np.unique(boot_ti, return_counts=True)
+        for t, c in zip(uti.tolist(), ucnt.tolist()):
+            ts = self.tax_strs[t]
+            tax_to_count[ts] = tax_to_count.get(ts, 0) + c
 
         # CountMapToVecs: map (lexicographic) order, then quicksort desc
         from ..search.hitmgr import quick_sort_order

@@ -986,22 +986,27 @@ int64_t sintax_boots_c(
         es->stage_cnt = (uint32_t *)malloc(es->stage_cap *
                                            sizeof(uint32_t));
     }
-    uint32_t *u = es->stage_cnt;
+    uint32_t *u = es->stage_cnt;          /* zeroed between boots via
+                                           * the touched list */
+    uint32_t *touched = es->stage_tix;
+    memset(u, 0, (size_t)seq_count * sizeof(uint32_t));
     uint32_t r = r0;
     for (int boot = 0; boot < boots; ++boot) {
-        memset(u, 0, (size_t)seq_count * sizeof(uint32_t));
+        uint32_t nt = 0;
         for (int k = 0; k < m; ++k) {
             r = 1664525u * r + 1013904223u;
             int64_t w = uw[r % (uint32_t)nuw];
             for (int64_t p = starts[w]; p < starts[w + 1]; ++p) {
                 uint32_t t = (uint32_t)postings[p];
-                if (t < seq_count)
-                    ++u[t];
+                if (t < seq_count) {
+                    if (u[t]++ == 0)
+                        touched[nt++] = t;
+                }
             }
         }
         uint32_t top_u = 0, n_top = 0;
-        for (uint32_t t = 0; t < seq_count; ++t) {
-            uint32_t v = u[t];
+        for (uint32_t k = 0; k < nt; ++k) {
+            uint32_t v = u[touched[k]];
             if (v > top_u) {
                 top_u = v;
                 n_top = 1;
@@ -1012,23 +1017,41 @@ int64_t sintax_boots_c(
         uint32_t rr = (uint32_t)sintax_grand_inc(grand_x);
         uint32_t top_ti;
         if (top_u == 0) {
+            /* no shared words: every target ties at zero */
             top_ti = rr % seq_count;
         } else {
+            /* ties must be resolved in INDEX order (the reference
+             * collects them by an ascending scan of U): pick the
+             * want-th smallest touched index with u == top_u */
             uint32_t want = rr % n_top;
-            uint32_t seen = 0;
             top_ti = 0;
-            for (uint32_t t = 0; t < seq_count; ++t) {
-                if (u[t] == top_u) {
-                    if (seen == want) {
-                        top_ti = t;
+            if (n_top == 1) {
+                for (uint32_t k = 0; k < nt; ++k)
+                    if (u[touched[k]] == top_u) {
+                        top_ti = touched[k];
                         break;
                     }
-                    ++seen;
+            } else {
+                /* selection scan: repeatedly find the smallest
+                 * remaining tied index (n_top is tiny) */
+                uint32_t chosen = 0xFFFFFFFFu;
+                for (uint32_t step = 0; step <= want; ++step) {
+                    uint32_t best = 0xFFFFFFFFu;
+                    for (uint32_t k = 0; k < nt; ++k) {
+                        uint32_t t = touched[k];
+                        if (u[t] == top_u && t < best &&
+                            (step == 0 || t > chosen))
+                            best = t;
+                    }
+                    chosen = best;
                 }
+                top_ti = chosen;
             }
         }
         out_top_ti[boot] = (int32_t)top_ti;
         out_top_u[boot] = (int32_t)top_u;
+        for (uint32_t k = 0; k < nt; ++k)     /* clear for next boot */
+            u[touched[k]] = 0;
     }
     return boots;
 }
