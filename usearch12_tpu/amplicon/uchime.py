@@ -20,6 +20,15 @@ from ..io.seqdb import SeqDB, size_from_label
 from ..scoring import AlnParams, AlnHeuristics
 
 UINT_MAX = 0xFFFFFFFF
+MATCH_MX_NUCLEO_U8 = None   # lazily built uint8 view for the C kernels
+
+
+def _match_mx_u8():
+    global MATCH_MX_NUCLEO_U8
+    if MATCH_MX_NUCLEO_U8 is None:
+        MATCH_MX_NUCLEO_U8 = np.ascontiguousarray(
+            MATCH_MX_NUCLEO.astype(np.uint8))
+    return MATCH_MX_NUCLEO_U8
 
 DEP_ERROR = "error"
 DEP_PERFECT = "perfect"
@@ -176,6 +185,17 @@ def _term_gaps_ok(path: str, max_d: int) -> bool:
 def get_left_right(q: np.ndarray, t: np.ndarray, path: str):
     """GetLeftRight (src/deparser.cpp:106-204).  Returns
     (diffs, pos_l0, pos_l1, pos_r0, pos_r1), UINT_MAX when undefined."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(5, np.int64)
+        qc = q if q.flags["C_CONTIGUOUS"] else np.ascontiguousarray(q)
+        tc = t if t.flags["C_CONTIGUOUS"] else np.ascontiguousarray(t)
+        lib.uchime_left_right_c(qc.ctypes.data, tc.ctypes.data,
+                                path.encode("ascii"), len(path),
+                                _match_mx_u8().ctypes.data, 4,
+                                out.ctypes.data)
+        return tuple(int(v) for v in out)
     if not _term_gaps_ok(path, 4):
         return (UINT_MAX,) * 5
     n = len(path)

@@ -191,6 +191,9 @@ def get_lib():
             vp, vp, vp, vp, i64,                  # segs
             vp, vp, vp, vp, vp, vp, i64,          # holes
             vp, i64]                              # lit buf
+        lib.uchime_left_right_c.restype = ctypes.c_int
+        lib.uchime_left_right_c.argtypes = [
+            vp, vp, ctypes.c_char_p, i64, vp, i64, vp]
         lib.sintax_boots_c.restype = i64
         lib.sintax_boots_c.argtypes = [
             vp, vp, i64, vp, vp, ctypes.c_uint32,

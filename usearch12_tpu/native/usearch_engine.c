@@ -950,6 +950,100 @@ static uint32_t cc_rank(
 }
 
 /* ---------------------------------------------------------------- */
+/* UCHIME GetLeftRight (src/deparser.cpp:84-204): per-parent left/right
+ * diff positions over a global alignment path, including the TermGapsOk
+ * terminal-deletion gate.  out = {diffs, pos_l0, pos_l1, pos_r0,
+ * pos_r1}; 0xFFFFFFFF = undefined.  Returns 0 ok, 1 = TermGapsOk
+ * failed (all outputs UINT_MAX). */
+int uchime_left_right_c(const uint8_t *q, const uint8_t *t,
+                        const char *path, int64_t n,
+                        const uint8_t *match_mx, int64_t max_term_d,
+                        int64_t *out)
+{
+    const int64_t UMAX = 0xFFFFFFFFll;
+    out[0] = out[1] = out[2] = out[3] = out[4] = UMAX;
+    int64_t i = 0;
+    while (i < n && path[i] == 'D') {
+        if (i > max_term_d)
+            return 1;
+        ++i;
+    }
+    i = 0;
+    while (i < n && path[n - i - 1] == 'D') {
+        if (i > max_term_d)
+            return 1;
+        ++i;
+    }
+    int64_t col_lo = UMAX, col_hi = UMAX;
+    for (int64_t col = 0; col < n; ++col)
+        if (path[col] == 'M') {
+            if (col_lo == UMAX)
+                col_lo = col;
+            col_hi = col;
+        }
+    int64_t qpos = 0, tpos = 0, diffs = 0;
+    int64_t pos_l0 = UMAX, pos_l1 = UMAX;
+    for (int64_t col = 0; col < n; ++col) {
+        char c = path[col];
+        if (c == 'M') {
+            if (!match_mx[(size_t)q[qpos] * 256 + t[tpos]])
+                ++diffs;
+            if (diffs == 0)
+                pos_l0 = qpos;
+            else if (diffs == 1)
+                pos_l1 = qpos;
+            ++qpos;
+            ++tpos;
+        } else {
+            if (c == 'D')
+                ++qpos;
+            if (col_lo != UMAX && col_lo <= col && col <= col_hi) {
+                ++diffs;
+                if (diffs == 0)
+                    pos_l0 = qpos;
+                else if (diffs == 1)
+                    pos_l1 = qpos;
+            }
+            if (c == 'I')
+                ++tpos;
+        }
+    }
+    int64_t diffs_r = 0, pos_r0 = UMAX, pos_r1 = UMAX;
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t col = n - k - 1;
+        char c = path[col];
+        if (c == 'M') {
+            --qpos;
+            --tpos;
+            if (!match_mx[(size_t)q[qpos] * 256 + t[tpos]])
+                ++diffs_r;
+            if (diffs_r == 0)
+                pos_r0 = qpos;
+            else if (diffs_r == 1)
+                pos_r1 = qpos;
+        } else {
+            if (c == 'D')
+                --qpos;
+            else if (c == 'I')
+                --tpos;
+            if (col_lo != UMAX && col_lo <= col && col <= col_hi) {
+                ++diffs_r;
+                if (diffs_r == 0)
+                    pos_r0 = qpos;
+                else if (diffs_r == 1)
+                    pos_r1 = qpos;
+            }
+        }
+    }
+    out[0] = diffs;
+    out[1] = pos_l0;
+    out[2] = pos_l1;
+    out[3] = pos_r0;
+    out[4] = pos_r1;
+    return 0;
+}
+
+/* ---------------------------------------------------------------- */
 /* SINTAX bootstrap loop (src/sintaxsearcher.cpp:84-187): boots
  * iterations, each sampling m query unique words with the private LCG,
  * scatter-adding their posting rows into U, and taking the max target
