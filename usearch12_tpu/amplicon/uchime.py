@@ -349,6 +349,11 @@ class DeParser:
         self.aligner = aligner  # callable(q_seq, t_seq) -> path (never None)
         self.f_tab = None
         self.f_aln = None
+        # native fused scan loop (uchime_parse_lo_c) when the aligner
+        # exposes its NativeAligner; incremental target-concat cache
+        self._na = getattr(aligner, "native", None)
+        self._cat_db = None
+        self._paths_buf = None
         self.clear()
 
     def clear(self) -> None:
@@ -389,10 +394,7 @@ class DeParser:
             self._write_aln()
         return self.cls
 
-    def _parse_lo(self) -> None:
-        self.clear()
-        o = options()
-        n = len(self.db)
+    def _scan_py(self, n: int) -> None:
         for ti in range(n):
             t_seq = self.db.seqs[ti]
             path = self.aligner(self.q_seq, t_seq)
@@ -417,6 +419,78 @@ class DeParser:
                 self.best_r1 = ti
             if self.diffs_qt == 0:
                 break
+
+    def _scan_native(self, n: int) -> None:
+        """One C call for the whole target scan (uchime_parse_lo_c)."""
+        import ctypes
+        na = self._na
+        lib = na.lib
+        db = self.db
+        if self._cat_db is not db:
+            self._cat_db = db
+            self._cat = np.empty(1 << 16, np.uint8)
+            self._cat_offs = np.zeros(1 << 10, np.int64)
+            self._cat_n = 0
+        while self._cat_n < n:           # append-only DB: extend the cache
+            s = db.seqs[self._cat_n]
+            end = int(self._cat_offs[self._cat_n])
+            if self._cat_n + 2 > len(self._cat_offs):
+                self._cat_offs = np.resize(self._cat_offs,
+                                           2 * len(self._cat_offs))
+            if end + len(s) > len(self._cat):
+                self._cat = np.resize(self._cat,
+                                      2 * (end + len(s)) + (1 << 16))
+            self._cat[end:end + len(s)] = s
+            self._cat_offs[self._cat_n + 1] = end + len(s)
+            self._cat_n += 1
+        q = self.q_seq
+        qc = q if q.flags["C_CONTIGUOUS"] else np.ascontiguousarray(q)
+        if self._paths_buf is None:
+            self._paths_buf = np.empty(1 << 20, np.uint8)
+            self._path_offs = np.empty(1 << 12, np.int64)
+            self._state = np.empty(10, np.int64)
+        if n + 2 > len(self._path_offs):
+            self._path_offs = np.empty(2 * n + 2, np.int64)
+        ah = na.ah
+        while True:
+            nd = lib.uchime_parse_lo_c(
+                na._hf, na._scratch, ctypes.byref(na._gp),
+                na._match.ctypes.data,
+                ah.band_radius, ah.min_global_hsp_length,
+                ah.min_global_hsp_fract_id, ah.min_global_hsp_score,
+                ah.xdrop_global_hsp,
+                qc.ctypes.data, len(qc),
+                self._cat.ctypes.data, self._cat_offs.ctypes.data, n,
+                self._paths_buf.ctypes.data, len(self._paths_buf),
+                self._path_offs.ctypes.data, self._state.ctypes.data)
+            if nd == -9:
+                self._paths_buf = np.empty(4 * len(self._paths_buf),
+                                           np.uint8)
+                continue
+            if nd < 0:
+                raise RuntimeError(f"uchime_parse_lo_c error {nd}")
+            break
+        st = self._state
+        (self.top, self.diffs_qt,
+         self.best_l0, self.pos_best_l0, self.best_r0, self.pos_best_r0,
+         self.best_l1, self.pos_best_l1, self.best_r1, self.pos_best_r1) = \
+            (int(v) for v in st)
+        self.paths = None   # fetch lazily via _path_of
+
+    def _path_of(self, ti: int) -> str:
+        if self.paths is not None:
+            return self.paths[ti]
+        o0 = int(self._path_offs[ti])
+        o1 = int(self._path_offs[ti + 1])
+        return self._paths_buf[o0:o1].tobytes().decode("ascii")
+
+    def _parse_lo(self) -> None:
+        self.clear()
+        n = len(self.db)
+        if self._na is not None and n > 0:
+            self._scan_native(n)
+        else:
+            self._scan_py(n)
         if self.diffs_qt == 0:
             return
         # exact bimera (src/deparser.cpp:520-534)
@@ -458,7 +532,7 @@ class DeParser:
         self.q3, self.l3, self.r3 = make_3way(
             self.q_seq, self.db.seqs[self.bimera_l],
             self.db.seqs[self.bimera_r],
-            self.paths[self.bimera_l], self.paths[self.bimera_r])
+            self._path_of(self.bimera_l), self._path_of(self.bimera_r))
 
     def _diffs_from_3way(self):
         if self.bimera_l == UINT_MAX:
@@ -565,7 +639,7 @@ class DeParser:
         if self.top == UINT_MAX:
             f.write("  No hit found\n")
             return
-        path = self.paths[self.top]
+        path = self._path_of(self.top)
         t_seq = self.db.seqs[self.top]
         f.write("Top     (%5u nt) %s\n" % (len(t_seq),
                                            self._label(self.top)))
@@ -783,6 +857,7 @@ def _make_gaforce_aligner(nucleo: bool):
             na.set_b(t)
             return na.global_align(full_dp_always=False,
                                    fail_if_no_hsps=False)
+        align.native = na    # enables the fused C scan (uchime_parse_lo_c)
         return align
     except Exception:
         from ..align.hsp import HSPFinder

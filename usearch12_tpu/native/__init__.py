@@ -194,6 +194,11 @@ def get_lib():
         lib.uchime_left_right_c.restype = ctypes.c_int
         lib.uchime_left_right_c.argtypes = [
             vp, vp, ctypes.c_char_p, i64, vp, i64, vp]
+        lib.uchime_parse_lo_c.restype = i64
+        lib.uchime_parse_lo_c.argtypes = [
+            vp, vp, ctypes.POINTER(GapParams), vp,
+            i64, i64, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            vp, i64, vp, vp, i64, vp, i64, vp, vp]
         lib.sintax_boots_c.restype = i64
         lib.sintax_boots_c.argtypes = [
             vp, vp, i64, vp, vp, ctypes.c_uint32,
@@ -385,7 +390,8 @@ class NativeAligner:
             return None
         if n < 0:
             raise RuntimeError(f"global_align_c error {n}")
-        return self._path_buf.raw[:n].decode("ascii")
+        # NOT ._path_buf.raw[:n]: .raw copies the whole buffer (1 MB)
+        return ctypes.string_at(self._path_buf, n).decode("ascii")
 
     def _ensure_id_mx(self) -> None:
         if getattr(self, "_id_mx", None) is None:

@@ -1534,3 +1534,101 @@ int64_t finish_replay_c(
     }
     return n_hits;
 }
+
+/* ---- uchime3 DeParser::ParseLo scan loop (src/deparser.cpp:206-330) -----
+ * Fuses per-target global alignment + GetLeftRight + best-position
+ * tracking into one call, eliminating per-target ctypes round-trips.
+ * Semantics mirror the Python loop in amplicon/uchime.py _parse_lo:
+ *   - query is set once (hsp_set_a), each target via hsp_set_b
+ *   - trackers use uint32 arithmetic with 0xFFFFFFFF sentinels
+ *   - early break once diffs_qt == 0 (after tracker updates)
+ * Paths for all scanned targets are stored in paths_buf (NUL-free,
+ * delimited by path_offs) so the caller can fetch the bimera winners.
+ * Returns n_done (#targets scanned) or a negative error:
+ *   -9 paths_buf too small, -10 alignment failed.  state_out[10]:
+ *   top, diffs_qt, best_l0, pos_l0, best_r0, pos_r0,
+ *   best_l1, pos_l1, best_r1, pos_r1. */
+extern int uchime_left_right_c(const uint8_t *q, const uint8_t *t,
+                               const char *path, int64_t n,
+                               const uint8_t *match_mx, int64_t max_term_d,
+                               int64_t *out);
+
+int64_t uchime_parse_lo_c(HSPFinderC *hf, AlignScratch *s, const GapParams *gp,
+                          const byte *match_u8,
+                          int64_t band_radius, int64_t min_global_hsp_length,
+                          double min_hsp_fract_id, double min_hsp_score,
+                          double xdrop_g,
+                          const byte *q, int64_t lq,
+                          const byte *cat, const int64_t *offs,
+                          int64_t n_targets,
+                          char *paths_buf, int64_t paths_cap,
+                          int64_t *path_offs, int64_t *state_out)
+{
+    const uint32_t UMAX = 0xFFFFFFFFu;
+    uint32_t top = UMAX, dqt = UMAX;
+    uint32_t bl0 = UMAX, br0 = UMAX, bl1 = UMAX, br1 = UMAX;
+    uint32_t pbl0 = 0, pbl1 = 0, pbr0 = UMAX, pbr1 = UMAX;
+
+    hsp_set_a(hf, q, (uint32_t)lq);
+    int64_t cur = 0;
+    path_offs[0] = 0;
+    int64_t ti = 0;
+    for (; ti < n_targets; ++ti) {
+        const byte *t = cat + offs[ti];
+        int64_t lt = offs[ti + 1] - offs[ti];
+        if (cur + lq + lt + 2 > paths_cap)
+            return -9;
+        hsp_set_b(hf, t, (uint32_t)lt);
+        float fr = 0.0f;
+        int n = global_align_c(hf, s, gp, match_u8,
+                               (uint32_t)band_radius,
+                               (uint32_t)min_global_hsp_length,
+                               (float)min_hsp_fract_id,
+                               (float)min_hsp_score, (float)xdrop_g,
+                               0, 0, paths_buf + cur, &fr);
+        if (n <= 0)
+            return -10;
+        int64_t lr[5];
+        uchime_left_right_c(q, t, paths_buf + cur, n, match_u8, 4, lr);
+        cur += n;
+        path_offs[ti + 1] = cur;
+        uint32_t diffs = (uint32_t)lr[0];
+        uint32_t pl0 = (uint32_t)lr[1], pl1 = (uint32_t)lr[2];
+        uint32_t pr0 = (uint32_t)lr[3], pr1 = (uint32_t)lr[4];
+        if (diffs != UMAX && diffs < dqt) {
+            top = (uint32_t)ti;
+            dqt = diffs;
+        }
+        if (pl0 != UMAX && pl0 > pbl0) {
+            pbl0 = pl0;
+            bl0 = (uint32_t)ti;
+        }
+        if (pr0 != UMAX && pr0 < pbr0) {
+            pbr0 = pr0;
+            br0 = (uint32_t)ti;
+        }
+        if (pl1 != UMAX && pl1 > pbl1) {
+            pbl1 = pl1;
+            bl1 = (uint32_t)ti;
+        }
+        if (pr1 != UMAX && pr1 < pbr1) {
+            pbr1 = pr1;
+            br1 = (uint32_t)ti;
+        }
+        if (dqt == 0) {
+            ++ti;
+            break;
+        }
+    }
+    state_out[0] = top;
+    state_out[1] = dqt;
+    state_out[2] = bl0;
+    state_out[3] = pbl0;
+    state_out[4] = br0;
+    state_out[5] = pbr0;
+    state_out[6] = bl1;
+    state_out[7] = pbl1;
+    state_out[8] = br1;
+    state_out[9] = pbr1;
+    return ti;
+}

@@ -98,38 +98,26 @@ int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
 
         for (j = startj; j < endj; ++j) {
             byte bb = b[j];
-            byte bits = 0;
             float saved_m0 = m0;
-            /* MATCH */
-            float xm = m0;
-            if (drow[j] > xm) {
-                xm = drow[j];
-                bits = TB_DM;
-            }
-            if (i0 > xm) {
-                xm = i0;
-                bits = TB_IM;
-            }
+            /* branchless cell: same float-op DAG and tie preferences as
+             * the reference (D beats M on >, I beats both on >; M beats
+             * D/I extension on >=), but with cmov/maxss instead of
+             * data-dependent branches (random data mispredicts ~half) */
+            float dj = drow[j];
+            byte bits = (dj > m0) ? TB_DM : 0;
+            float xm = (dj > m0) ? dj : m0;
+            bits = (i0 > xm) ? TB_IM : bits;
+            xm = (i0 > xm) ? i0 : xm;
             m0 = mrow[j];
             mrow[j] = xm + mx_row[bb];
-            /* DELETE */
-            {
-                float md = saved_m0 + open_b;
-                drow[j] += ext_b;
-                if (md >= drow[j]) {
-                    drow[j] = md;
-                    bits |= TB_MD;
-                }
-            }
-            /* INSERT */
-            {
-                float mi = saved_m0 + open_a;
-                i0 += ext_a;
-                if (mi >= i0) {
-                    i0 = mi;
-                    bits |= TB_MI;
-                }
-            }
+            float md = saved_m0 + open_b;
+            float de = dj + ext_b;
+            bits |= (md >= de) ? TB_MD : 0;
+            drow[j] = (md >= de) ? md : de;
+            float mi = saved_m0 + open_a;
+            float ie = i0 + ext_a;
+            bits |= (mi >= ie) ? TB_MI : 0;
+            i0 = (mi >= ie) ? mi : ie;
             open_b = gp->open_b;
             ext_b = gp->ext_b;
             tbrow[j] = bits;
@@ -245,35 +233,23 @@ int nw_full(const byte *a, uint32_t la, const byte *b, uint32_t lb,
         float i0 = NEG_INF;
         byte *tbrow = tb + stride * i;
         for (j = 0; j < lb; ++j) {
-            byte bits = 0;
             float saved_m0 = m0;
-            float xm = m0;
-            if (drow[j] > xm) {
-                xm = drow[j];
-                bits = TB_DM;
-            }
-            if (i0 > xm) {
-                xm = i0;
-                bits = TB_IM;
-            }
+            /* branchless cell — see nw_band for the exact-parity notes */
+            float dj = drow[j];
+            byte bits = (dj > m0) ? TB_DM : 0;
+            float xm = (dj > m0) ? dj : m0;
+            bits = (i0 > xm) ? TB_IM : bits;
+            xm = (i0 > xm) ? i0 : xm;
             m0 = mrow[j];
             mrow[j] = xm + mx_row[b[j]];
-            {
-                float md = saved_m0 + open_b;
-                drow[j] += ext_b;
-                if (md >= drow[j]) {
-                    drow[j] = md;
-                    bits |= TB_MD;
-                }
-            }
-            {
-                float mi = saved_m0 + open_a;
-                i0 += ext_a;
-                if (mi >= i0) {
-                    i0 = mi;
-                    bits |= TB_MI;
-                }
-            }
+            float md = saved_m0 + open_b;
+            float de = dj + ext_b;
+            bits |= (md >= de) ? TB_MD : 0;
+            drow[j] = (md >= de) ? md : de;
+            float mi = saved_m0 + open_a;
+            float ie = i0 + ext_a;
+            bits |= (mi >= ie) ? TB_MI : 0;
+            i0 = (mi >= ie) ? mi : ie;
             open_b = gp->open_b;
             ext_b = gp->ext_b;
             tbrow[j] = bits;
