@@ -87,6 +87,7 @@ def name_in_tax_str(tax_str: str, name: str) -> bool:
 
 class SintaxClassifier:
     _es = None
+    _lib = False
 
     def __init__(self, db: SeqDB, index: UDBIndex, grand: GlobalRand) -> None:
         self.db = db
@@ -108,29 +109,80 @@ class SintaxClassifier:
             self.boot_subset = int(s)
         # flatten postings for the shuffle counting
         self.index._flatten()
+        # numeric taxonomy structures so classify() avoids per-query
+        # string work: distinct tax strings, their lexicographic rank,
+        # per-tax name lists, and a name-containment matrix with
+        # NameIsInTaxStr semantics (src/tax.cpp:299-308)
+        uniq = sorted(set(self.tax_strs))
+        tax_to_id = {t: i for i, t in enumerate(uniq)}
+        self._tax_id = np.array([tax_to_id[t] for t in self.tax_strs],
+                                dtype=np.int32)
+        self._uniq_tax = uniq          # index = tax id, already lex-sorted
+        def _names_or_none(t):
+            try:
+                return tax_names(t) if t else []
+            except SystemExit:
+                return None    # malformed: only an error if it ever wins
+        self._tax_names = [_names_or_none(t) for t in uniq]
+        all_names = sorted({n for ns in self._tax_names if ns
+                            for n in ns})
+        name_to_id = {n: i for i, n in enumerate(all_names)}
+        self._name_ids = [np.array([name_to_id[n] for n in ns], np.int32)
+                          if ns is not None else None
+                          for ns in self._tax_names]
+        k, nn = len(uniq), len(all_names)
+        contains = np.zeros((k, nn), dtype=bool)
+        for ti, t in enumerate(uniq):
+            for ni, n in enumerate(all_names):
+                if name_in_tax_str(t, n):
+                    contains[ti, ni] = True
+        self._contains = contains
 
     def _run_boots(self, uw, nuw, seq_count, starts, sizes, postings, m):
         """All boots' (winner index, word count): native when available
-        (sintax_boots_c — both RNGs bit-exact), numpy fallback."""
-        from ..native import get_lib
-        lib = get_lib()
+        (sintax_boots_c — both RNGs bit-exact, plus in-C winner-tax
+        tally), numpy fallback.  The native path also sets
+        self._c_tally = (tax_ids, counts, top_word_count)."""
+        lib = self._lib
+        if lib is False:
+            from ..native import get_lib
+            lib = self._lib = get_lib()
+        self._c_tally = None
         if lib is not None and postings is not None:
-            es = self._es
-            if es is None:
+            if self._es is None:
                 es = self._es = lib.engine_scratch_create()
                 self._out_ti = np.empty(self.boots, np.int32)
                 self._out_u = np.empty(self.boots, np.int32)
+                self._out_txi = np.empty(self.boots, np.int32)
+                self._out_txc = np.empty(self.boots, np.int32)
+                self._out_twc = np.empty(1, np.int32)
+                # the global RNG state lives in _gx between native calls;
+                # grand.x is only synced on demand (sync_grand)
                 self._gx = np.array(self.grand.x, dtype=np.uint64)
-            out_ti, out_u, gx = self._out_ti, self._out_u, self._gx
-            gx[:] = self.grand.x
-            uw_c = np.ascontiguousarray(uw, dtype=np.int64)
-            lib.sintax_boots_c(
-                es, uw_c.ctypes.data, nuw,
-                starts.ctypes.data, postings.ctypes.data, seq_count,
-                self.boots, m, self.randseed, gx.ctypes.data,
-                out_ti.ctypes.data, out_u.ctypes.data)
-            self.grand.x = gx.tolist()
-            return out_ti, out_u
+                # args that never change across queries, prebound once
+                self._pre = (es, starts.ctypes.data, postings.ctypes.data,
+                             seq_count, self.boots, self.randseed,
+                             self._gx.ctypes.data,
+                             self._tax_id.ctypes.data,
+                             self._out_ti.ctypes.data,
+                             self._out_u.ctypes.data,
+                             self._out_txi.ctypes.data,
+                             self._out_txc.ctypes.data,
+                             self._out_twc.ctypes.data)
+            (es, p_st, p_po, p_sc, p_boots, p_seed, p_gx, p_tax,
+             p_ti, p_u, p_txi, p_txc, p_twc) = self._pre
+            uw_c = uw if (uw.dtype == np.int64 and
+                          uw.flags["C_CONTIGUOUS"]) else \
+                np.ascontiguousarray(uw, dtype=np.int64)
+            ntax = lib.sintax_boots_c(
+                es, uw_c.ctypes.data, nuw, p_st, p_po, p_sc,
+                p_boots, m, p_seed, p_gx, p_tax, p_ti, p_u,
+                p_txi, p_txc, p_twc)
+            if ntax > 0:
+                self._c_tally = (self._out_txi[:ntax].tolist(),
+                                 self._out_txc[:ntax].tolist(),
+                                 int(self._out_twc[0]))
+            return self._out_ti, self._out_u
         # numpy fallback: draw picks up front, one scatter-add, per-boot
         # tie-break with the global RNG
         r = self.randseed
@@ -179,35 +231,38 @@ class SintaxClassifier:
         m = (nuw // self.boot_subset if self.boot_subset_divide
              else self.boot_subset)
 
-        tax_to_count = {}
-        top_word_count = 0
-
         boot_ti, boot_u = self._run_boots(uw, nuw, seq_count, starts,
                                           sizes, postings, m)
-        top_word_count = int(boot_u.max()) if self.boots else 0
-        uti, ucnt = np.unique(boot_ti, return_counts=True)
-        for t, c in zip(uti.tolist(), ucnt.tolist()):
-            ts = self.tax_strs[t]
-            tax_to_count[ts] = tax_to_count.get(ts, 0) + c
+        if self._c_tally is not None:
+            # already in final CountMapToVecs order (C-side quicksort)
+            ids, counts, top_word_count = self._c_tally
+        else:
+            top_word_count = int(boot_u.max()) if self.boots else 0
+            # tax ids are assigned in lexicographic order, so np.unique's
+            # ascending ids reproduce CountMapToVecs' map order exactly
+            uti, ucnt = np.unique(self._tax_id[boot_ti],
+                                  return_counts=True)
+            from ..search.hitmgr import quick_sort_order
+            order = quick_sort_order(ucnt.tolist(), desc=True)
+            ids = [int(uti[i]) for i in order]
+            counts = [int(ucnt[i]) for i in order]
 
-        # CountMapToVecs: map (lexicographic) order, then quicksort desc
-        from ..search.hitmgr import quick_sort_order
-        keys = sorted(tax_to_count.keys())
-        counts = [tax_to_count[k] for k in keys]
-        order = quick_sort_order(counts, desc=True)
-        tax_strs = [keys[i] for i in order]
-        counts = [counts[i] for i in order]
-
-        top_tax = tax_strs[0]
+        top_id = ids[0]
         top_count = counts[0]
-        pred = tax_names(top_tax)
+        pred = self._tax_names[top_id]
+        if pred is None:             # malformed winner: reference dies here
+            pred = tax_names(self._uniq_tax[top_id])
+        name_ids = self._name_ids[top_id]
+        if len(ids) > 1 and len(name_ids):
+            other = self._contains[np.array(ids[1:], np.int64)][:, name_ids]
+            extra = (np.array(counts[1:],
+                              np.int64)[:, None] * other).sum(axis=0)
+        else:
+            extra = np.zeros(len(name_ids), np.int64)
         ps = []
         prod_p = 1.0
-        for name in pred:
-            cnt = top_count
-            for j in range(1, len(tax_strs)):
-                if name_in_tax_str(tax_strs[j], name):
-                    cnt += counts[j]
+        for i, _name in enumerate(pred):
+            cnt = top_count + int(extra[i])
             # the reference is compiled -ffast-math: cnt/BOOT_ITERS is
             # emitted as cnt * (1/BOOT_ITERS), which differs in the last
             # ulp and can flip the 4th printed decimal

@@ -202,7 +202,8 @@ def get_lib():
         lib.sintax_boots_c.restype = i64
         lib.sintax_boots_c.argtypes = [
             vp, vp, i64, vp, vp, ctypes.c_uint32,
-            ctypes.c_int, ctypes.c_int, ctypes.c_uint32, vp, vp, vp]
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint32, vp,
+            vp, vp, vp, vp, vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

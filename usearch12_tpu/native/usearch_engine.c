@@ -90,6 +90,10 @@ typedef struct {
     uint32_t *stage_tix;    /* full-length rank staging */
     uint32_t *stage_cnt;
     size_t stage_cap;
+    int32_t *sx_data;       /* sintax per-query compact postings */
+    size_t sx_data_cap;
+    int64_t *sx_off;
+    size_t sx_off_cap;
     uint32_t hsps[512 * 4]; /* per-pair chained HSPs */
 } EngineScratch;
 
@@ -108,6 +112,8 @@ void engine_scratch_destroy(EngineScratch *s)
     free(s->path);
     free(s->stage_tix);
     free(s->stage_cnt);
+    free(s->sx_data);
+    free(s->sx_off);
     free(s);
 }
 
@@ -1062,12 +1068,47 @@ static inline uint64_t sintax_grand_inc(uint64_t *x)
     return x[0];
 }
 
+/* QuickSortOrderDesc (reference sort.h model): Hoare partition around
+ * the middle element; identical swap sequence => identical tie order. */
+static void sx_qsort_desc(const int32_t *vals, int32_t *order,
+                          int64_t left, int64_t right)
+{
+    int64_t i = left, j = right;
+    int32_t pivot = vals[order[(left + right) / 2]];
+    while (i <= j) {
+        while (vals[order[i]] > pivot)
+            ++i;
+        while (vals[order[j]] < pivot)
+            --j;
+        if (i <= j) {
+            int32_t t = order[i];
+            order[i] = order[j];
+            order[j] = t;
+            ++i;
+            --j;
+        }
+    }
+    if (left < j)
+        sx_qsort_desc(vals, order, left, j);
+    if (i < right)
+        sx_qsort_desc(vals, order, i, right);
+}
+
+/* Lemire exact fastmod: a % d without a hardware divide. */
+static inline uint32_t sx_fastmod(uint32_t a, uint64_t magic, uint32_t d)
+{
+    uint64_t lowbits = magic * a;
+    return (uint32_t)(((unsigned __int128)lowbits * d) >> 64);
+}
+
 int64_t sintax_boots_c(
     EngineScratch *es,
     const int64_t *uw, int64_t nuw,
     const int64_t *starts, const int32_t *postings, uint32_t seq_count,
     int boots, int m, uint32_t r0, uint64_t *grand_x,
-    int32_t *out_top_ti, int32_t *out_top_u)
+    const int32_t *tax_id,
+    int32_t *out_top_ti, int32_t *out_top_u,
+    int32_t *out_tax_ids, int32_t *out_tax_cnts, int32_t *out_twc)
 {
     if (seq_count == 0 || nuw == 0)
         return 0;
@@ -1080,21 +1121,66 @@ int64_t sintax_boots_c(
         es->stage_cnt = (uint32_t *)malloc(es->stage_cap *
                                            sizeof(uint32_t));
     }
+    /* compact per-query copy of the query words' postings rows: the
+     * boots sample only these nuw rows, and reading them from the full
+     * index is ~2 cache misses per pick (starts[] is 512 KB, postings
+     * is scattered); one gathering pass makes every boot L1-resident */
+    if ((size_t)nuw + 1 > es->sx_off_cap) {
+        free(es->sx_off);
+        es->sx_off_cap = (size_t)nuw * 2 + 64;
+        es->sx_off = (int64_t *)malloc(es->sx_off_cap * sizeof(int64_t));
+    }
+    int64_t total = 0;
+    for (int64_t i = 0; i < nuw; ++i) {
+        es->sx_off[i] = total;
+        total += starts[uw[i] + 1] - starts[uw[i]];
+    }
+    es->sx_off[nuw] = total;
+    if ((size_t)total > es->sx_data_cap) {
+        free(es->sx_data);
+        es->sx_data_cap = (size_t)total * 2 + 256;
+        es->sx_data = (int32_t *)malloc(es->sx_data_cap *
+                                        sizeof(int32_t));
+    }
+    for (int64_t i = 0; i < nuw; ++i) {
+        int64_t s0 = starts[uw[i]];
+        int64_t len = starts[uw[i] + 1] - s0;
+        memcpy(es->sx_data + es->sx_off[i], postings + s0,
+               (size_t)len * sizeof(int32_t));
+    }
+    const int64_t *roff = es->sx_off;
+    const int32_t *rdat = es->sx_data;
+
     uint32_t *u = es->stage_cnt;          /* zeroed between boots via
                                            * the touched list */
     uint32_t *touched = es->stage_tix;
     memset(u, 0, (size_t)seq_count * sizeof(uint32_t));
     uint32_t r = r0;
+    uint32_t nuw32 = (uint32_t)nuw;
+    uint64_t magic = 0xFFFFFFFFFFFFFFFFull / nuw32 + 1;
+    int32_t twc = 0;
+    uint32_t wi_buf[256];
+    uint32_t *wis = m <= 256 ? wi_buf
+        : (uint32_t *)malloc((size_t)m * sizeof(uint32_t));
     for (int boot = 0; boot < boots; ++boot) {
         uint32_t nt = 0;
+        /* draw the boot's picks first: decouples the serial LCG/fastmod
+         * chain from the memory-bound row processing below */
         for (int k = 0; k < m; ++k) {
             r = 1664525u * r + 1013904223u;
-            int64_t w = uw[r % (uint32_t)nuw];
-            for (int64_t p = starts[w]; p < starts[w + 1]; ++p) {
-                uint32_t t = (uint32_t)postings[p];
+            wis[k] = (nuw32 == 1) ? 0 : sx_fastmod(r, magic, nuw32);
+        }
+        for (int k = 0; k < m; ++k) {
+            uint32_t wi = wis[k];
+            for (int64_t p = roff[wi]; p < roff[wi + 1]; ++p) {
+                uint32_t t = (uint32_t)rdat[p];
                 if (t < seq_count) {
-                    if (u[t]++ == 0)
-                        touched[nt++] = t;
+                    /* branchless first-touch append: the ~50%-taken
+                     * branch here mispredicts constantly */
+                    uint32_t v = u[t];
+                    touched[nt] = t;
+                    nt += (v == 0);
+                    u[t] = v + 1;
                 }
             }
         }
@@ -1125,29 +1211,96 @@ int64_t sintax_boots_c(
                         top_ti = touched[k];
                         break;
                     }
-            } else {
-                /* selection scan: repeatedly find the smallest
-                 * remaining tied index (n_top is tiny) */
-                uint32_t chosen = 0xFFFFFFFFu;
-                for (uint32_t step = 0; step <= want; ++step) {
-                    uint32_t best = 0xFFFFFFFFu;
-                    for (uint32_t k = 0; k < nt; ++k) {
-                        uint32_t t = touched[k];
-                        if (u[t] == top_u && t < best &&
-                            (step == 0 || t > chosen))
-                            best = t;
+            } else if (n_top <= 16) {
+                /* sparse ties: collect tied indexes, insertion-sort
+                 * ascending (reference tie order), pick the want-th */
+                uint32_t tied[16];
+                uint32_t mth = 0;
+                for (uint32_t k = 0; k < nt; ++k) {
+                    uint32_t t = touched[k];
+                    if (u[t] == top_u) {
+                        uint32_t pos = mth;
+                        while (pos > 0 && tied[pos - 1] > t) {
+                            tied[pos] = tied[pos - 1];
+                            --pos;
+                        }
+                        tied[pos] = t;
+                        ++mth;
                     }
-                    chosen = best;
+                }
+                top_ti = tied[want];
+            } else {
+                /* dense ties: one ascending scan of u[] — exactly the
+                 * reference's tie-collection order */
+                uint32_t step = 0;
+                uint32_t chosen = 0xFFFFFFFFu;
+                for (uint32_t t = 0; t < seq_count; ++t) {
+                    if (u[t] == top_u && step++ == want) {
+                        chosen = t;
+                        break;
+                    }
                 }
                 top_ti = chosen;
             }
         }
         out_top_ti[boot] = (int32_t)top_ti;
         out_top_u[boot] = (int32_t)top_u;
+        if ((int32_t)top_u > twc)
+            twc = (int32_t)top_u;
         for (uint32_t k = 0; k < nt; ++k)     /* clear for next boot */
             u[touched[k]] = 0;
     }
-    return boots;
+    if (wis != wi_buf)
+        free(wis);
+    *out_twc = twc;
+    /* winner-tax tally in ascending tax-id order (CountMapToVecs'
+     * lexicographic map order: the caller assigns ids lexicographically).
+     * boots <= a few hundred, so an insertion sort of the distinct ids
+     * is cheap. */
+    int64_t ntax = 0;
+    for (int boot = 0; boot < boots; ++boot) {
+        int32_t tx = tax_id[out_top_ti[boot]];
+        int64_t lo = 0, hi = ntax;
+        while (lo < hi) {                /* lower_bound */
+            int64_t mid = (lo + hi) >> 1;
+            if (out_tax_ids[mid] < tx)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        if (lo < ntax && out_tax_ids[lo] == tx) {
+            ++out_tax_cnts[lo];
+        } else {
+            for (int64_t k = ntax; k > lo; --k) {
+                out_tax_ids[k] = out_tax_ids[k - 1];
+                out_tax_cnts[k] = out_tax_cnts[k - 1];
+            }
+            out_tax_ids[lo] = tx;
+            out_tax_cnts[lo] = 1;
+            ++ntax;
+        }
+    }
+    /* CountMapToVecs completes with QuickSortOrderDesc over the counts
+     * (map order = the ascending tax ids built above); emit in final
+     * order so the caller does no sorting */
+    if (ntax > 1) {
+        int32_t stack_buf[3 * 256];
+        int32_t *buf = ntax <= 256 ? stack_buf
+            : (int32_t *)malloc((size_t)ntax * 3 * sizeof(int32_t));
+        int32_t *ord = buf, *tmp = buf + ntax;
+        for (int64_t k = 0; k < ntax; ++k)
+            ord[k] = (int32_t)k;
+        sx_qsort_desc(out_tax_cnts, ord, 0, ntax - 1);
+        for (int64_t k = 0; k < ntax; ++k) {
+            tmp[k] = out_tax_ids[ord[k]];
+            tmp[ntax + k] = out_tax_cnts[ord[k]];
+        }
+        memcpy(out_tax_ids, tmp, (size_t)ntax * sizeof(int32_t));
+        memcpy(out_tax_cnts, tmp + ntax, (size_t)ntax * sizeof(int32_t));
+        if (buf != stack_buf)
+            free(buf);
+    }
+    return ntax;
 }
 
 /* Host fallback for device-emitted holes: banded/full NW per hole with
