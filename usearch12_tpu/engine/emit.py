@@ -42,30 +42,52 @@ class Blast6Emitter:
     def emit(self, label_of, lo, hi, per_job_hits, jobs_per_rec, j_off,
              jbuf) -> None:
         out = []
+        ap = out.append
         tl = self._tlabels
         tn = self._tlens
+        no_hits = self.no_hits
+        fmt = "%s\t%s\t%.1f\t%d\t%d\t%d\t1\t%d\t%d\t%d\t*\t*\n"
+        one = jobs_per_rec == 1
         for r in range(hi - lo):
             j0 = r * jobs_per_rec
-            hits = []
-            for s in range(jobs_per_rec):
-                j = j0 + s
-                la = int(j_off[j + 1] - j_off[j])
-                for tix, _path, st in per_job_hits[j]:
-                    hits.append((tix, st, s == 1, la))
-            if not hits:
-                if self.no_hits:
-                    out.append(f"{label_of(lo + r)}\t*\t0\t0\t0\t0\t0\t0"
-                               "\t0\t0\t*\t0\n")
-                continue
-            label = label_of(lo + r)
+            if one:
+                # common fast path: plus-strand, single job per record
+                ph = per_job_hits[j0]
+                if not ph:
+                    if no_hits:
+                        ap(f"{label_of(lo + r)}\t*\t0\t0\t0\t0\t0\t0"
+                           "\t0\t0\t*\t0\n")
+                    continue
+                la = int(j_off[j0 + 1] - j_off[j0])
+                label = label_of(lo + r)
+                if len(ph) == 1:
+                    tix, _path, st = ph[0]
+                    alnlen = int(st[1] - st[0] + 1)
+                    ap(fmt % (label, tl[tix],
+                              100.0 * (int(st[6]) / alnlen), alnlen,
+                              int(st[8] - st[6]), int(st[9]), la,
+                              1, tn[tix]))
+                    continue
+                hits = [(tix, st, False, la) for tix, _p, st in ph]
+            else:
+                hits = []
+                for s in range(jobs_per_rec):
+                    j = j0 + s
+                    la = int(j_off[j + 1] - j_off[j])
+                    for tix, _path, st in per_job_hits[j]:
+                        hits.append((tix, st, s == 1, la))
+                if not hits:
+                    if no_hits:
+                        ap(f"{label_of(lo + r)}\t*\t0\t0\t0\t0\t0\t0"
+                           "\t0\t0\t*\t0\n")
+                    continue
+                label = label_of(lo + r)
             for k in _order_hits([h[1] for h in hits]):
                 tix, st, is_rc, la = hits[k]
                 alnlen = int(st[1] - st[0] + 1)
-                pct = 100.0 * (int(st[6]) / alnlen)
-                mism = int(st[8] - st[6])
-                gapo = int(st[9])
                 lb = tn[tix]
                 tlo, thi = (lb, 1) if is_rc else (1, lb)
-                out.append(f"{label}\t{tl[tix]}\t{pct:.1f}\t{alnlen}\t"
-                           f"{mism}\t{gapo}\t1\t{la}\t{tlo}\t{thi}\t*\t*\n")
+                ap(fmt % (label, tl[tix], 100.0 * (int(st[6]) / alnlen),
+                          alnlen, int(st[8] - st[6]), int(st[9]), la,
+                          tlo, thi))
         self.f.write("".join(out))
