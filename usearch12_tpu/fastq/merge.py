@@ -336,6 +336,166 @@ def merge_pair(seq1, qual1, seq2, qual2, hf: HSPFinder, ah: AlnHeuristics,
     return (mseq, mqual, (loi, loj, length), diff_count), None
 
 
+def _native_merge_ctx(ap, ah, fq):
+    """Build the merge_pair_c call context, or None without the lib."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..alpha import CHAR_TO_LETTER_NUCLEO, CHAR_TO_COMP_CHAR
+    o = options()
+    mx = np.ascontiguousarray(ap.subst_mx, dtype=np.float32)
+    ctl = np.ascontiguousarray(CHAR_TO_LETTER_NUCLEO)
+    comp = np.ascontiguousarray(CHAR_TO_COMP_CHAR)
+    hf = lib.hsp_create(ah.hsp_word_length, 4, mx, ctl)
+    es = lib.engine_scratch_create()
+    pm = np.ascontiguousarray(fq.pair_match_int)
+    pmm = np.ascontiguousarray(fq.pair_mismatch_int)
+    cap = 1 << 16
+    out_seq = np.empty(cap, np.uint8)
+    out_qual = np.empty(cap, np.uint8)
+    meta = np.zeros(8, np.int64)
+    args = dict(
+        lib=lib, hf=hf, es=es, comp=comp, pm=pm, pmm=pmm,
+        out_seq=out_seq, out_qual=out_qual, meta=meta, cap=cap,
+        keep=(mx, ctl),
+        xdrop=float(ah.xdrop_global_hsp),
+        min_hsp_len=int(ah.min_global_hsp_length),
+        min_hsp_score=float(ah.min_global_hsp_score),
+        minovlen=o.uns("fastq_minovlen"),
+        nostagger=int(o.flag("fastq_nostagger")),
+        maxdiffs=o.uns("fastq_maxdiffs"),
+        pctid=float(o.uns("fastq_pctid")),
+        minmergelen=(o.uns("fastq_minmergelen")
+                     if o.filled("fastq_minmergelen") else 0),
+        maxmergelen=(o.uns("fastq_maxmergelen")
+                     if o.filled("fastq_maxmergelen") else 0),
+        minqual=(o.uns("fastq_minqual")
+                 if o.filled("fastq_minqual") else -1),
+        base=fq.base)
+    return args
+
+
+def _merge_pair_native(nat, s1, q1, s2, q2, stats):
+    """merge_pair via merge_pair_c; stats counters mirror merge_pair."""
+    lib = nat["lib"]
+    if len(s1) + len(s2) + 2 > nat["cap"]:
+        nat["cap"] = 2 * (len(s1) + len(s2) + 2)
+        nat["out_seq"] = np.empty(nat["cap"], np.uint8)
+        nat["out_qual"] = np.empty(nat["cap"], np.uint8)
+    meta = nat["meta"]
+    s1c = s1 if s1.flags["C_CONTIGUOUS"] else np.ascontiguousarray(s1)
+    s2c = s2 if s2.flags["C_CONTIGUOUS"] else np.ascontiguousarray(s2)
+    status = lib.merge_pair_c(
+        nat["hf"], nat["es"],
+        s1c.ctypes.data, len(s1c), q1.encode("latin1"),
+        s2c.ctypes.data, len(s2c), q2.encode("latin1"),
+        nat["comp"].ctypes.data,
+        nat["xdrop"], nat["min_hsp_len"], nat["min_hsp_score"],
+        nat["minovlen"], nat["nostagger"], nat["maxdiffs"], nat["pctid"],
+        nat["minmergelen"], nat["maxmergelen"], nat["minqual"],
+        nat["base"],
+        nat["pm"].ctypes.data, nat["pmm"].ctypes.data,
+        nat["out_seq"].ctypes.data, nat["out_qual"].ctypes.data,
+        meta.ctypes.data)
+    if stats:
+        if status == 1:
+            stats.notaligned += 1
+        elif status == 2:
+            stats.ovtooshort += 1
+        else:
+            if meta[6]:
+                stats.staggered += 1
+            if status != 3 and meta[4] == 0:
+                stats.exact += 1
+            if status in (4, 5):
+                stats.maxdiffs += 1
+            elif status == 6:
+                stats.merged_tooshort += 1
+            elif status == 7:
+                stats.merged_toolong += 1
+            elif status == 8:
+                stats.minq += 1
+    if status != 0:
+        return None
+    outn = int(meta[5])
+    mseq = nat["out_seq"][:outn].copy()
+    mqual = nat["out_qual"][:outn].tobytes().decode("latin1")
+    return (mseq, mqual, (int(meta[1]), int(meta[2]), int(meta[3])),
+            int(meta[4]))
+
+
+def _merge_files_native(nat, fwd_path, rev_path, fq, stats, f_fq,
+                        f_rep) -> bool:
+    """Whole-file merge via merge_files_c.  Returns False to fall back
+    to the Python loop (parse error / label mismatch diagnostics)."""
+    o = options()
+    lib = nat["lib"]
+    from ..io.fastx import open_maybe_gz
+    with open_maybe_gz(fwd_path) as f:
+        fwd = f.read()
+    with open_maybe_gz(rev_path) as f:
+        rev = f.read()
+    rl = Relabeler(fwd_path)
+    prefix = rl.prefix.encode("latin1")
+    minlen = o.uns("fastq_minlen") if o.filled("fastq_minlen") else -1
+    si = np.zeros(16, np.int64)
+    sf = np.zeros(8, np.float64)
+    out_len = np.zeros(1, np.int64)
+    ml_cap = len(fwd) // 8 + 16
+    mlens = np.empty(ml_cap, np.int32)
+    cap = len(fwd) + len(rev) + 1024
+    ctp = fq._ctp_c()
+    while True:
+        out_buf = np.empty(cap, np.uint8)
+        si[:] = 0
+        sf[:] = 0
+        n = lib.merge_files_c(
+            nat["hf"], nat["es"],
+            fwd, len(fwd), rev, len(rev),
+            nat["comp"].ctypes.data, ctp.ctypes.data,
+            nat["xdrop"], nat["min_hsp_len"], nat["min_hsp_score"],
+            nat["minovlen"], nat["nostagger"], nat["maxdiffs"],
+            nat["pctid"],
+            nat["minmergelen"], nat["maxmergelen"], nat["minqual"],
+            nat["base"], o.uns("fastq_trunctail"), o.uns("fastq_tail"),
+            minlen,
+            int(o.flag("ignore_label_mismatches")),
+            prefix, len(prefix),
+            nat["pm"].ctypes.data, nat["pmm"].ctypes.data,
+            out_buf.ctypes.data, cap, out_len.ctypes.data,
+            mlens.ctypes.data, si.ctypes.data, sf.ctypes.data)
+        if n == -3:
+            cap *= 2
+            continue
+        if n < 0:
+            return False     # python loop reproduces exact diagnostics
+        break
+    (stats.in_recs, stats.out_recs, stats.tail1, stats.tail2,
+     stats.tooshort1, stats.tooshort2, stats.notaligned,
+     stats.ovtooshort, stats.staggered, stats.exact, stats.maxdiffs,
+     stats.minq, stats.merged_tooshort, stats.merged_toolong
+     ) = (int(v) for v in si[:14])
+    stats.sum_ee1 = float(sf[0])
+    stats.sum_ee2 = float(sf[1])
+    stats.sum_merged_ee = float(sf[2])
+    stats.sum_ov_length = float(sf[3])
+    stats.sum_merged_length = float(sf[4])
+    if f_fq is not None:
+        f_fq.write(out_buf[:int(out_len[0])].tobytes().decode("latin1"))
+    if f_rep:
+        stats.merge_lengths = mlens[:stats.out_recs].tolist()
+
+        def _pct(a, d):
+            return 0.0 if d == 0 else 100.0 * a / d
+        f_rep.write(f"  {stats.out_recs} / {stats.in_recs} pairs merged"
+                    f" ({_pct(stats.out_recs, stats.in_recs):.1f}%)\n")
+        for s in stats.report_strs():
+            f_rep.write(s + "\n")
+        f_rep.close()
+    return True
+
+
 def fastq_mergepairs(fwd_path: Optional[str]) -> None:
     o = options()
     # oset_unsd(OPT_fastq_minlen, 64) (src/fastqmerge.cpp:121)
@@ -385,11 +545,36 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
             f_rep.write(f",  add sample={o.str('sample')};")
         f_rep.write("\n")
 
+    # whole-file native loop (merge_files_c): parse + MergePre + merge +
+    # stats + output formatting all in C when no option needs the
+    # per-record Python path
+    fast_ok = (f_aln is None and f_fa is None and f_nm_fwd_fq is None
+               and f_nm_rev_fq is None and f_nm_fwd_fa is None
+               and f_nm_rev_fa is None and not o.filled("sample")
+               and not o.flag("fastq_eeout")
+               and not (o.filled("label_suffix")
+                        and o.str("label_suffix"))
+               and o.flag("trunclabels"))
+    if fast_ok:
+        nat = _native_merge_ctx(ap, ah, fq)
+        if nat is not None and _merge_files_native(
+                nat, fwd_path, rev_path, fq, stats, f_fq, f_rep):
+            for f in (f_fq, f_fa, f_ee):
+                if f:
+                    f.close()
+            return
+
     it1 = read_fastq(fwd_path)
     it2 = read_fastq(rev_path)
     trunc = o.flag("trunclabels")
     minlen_filled = o.filled("fastq_minlen")
     minlen = o.uns("fastq_minlen") if minlen_filled else 0
+
+    # native per-pair kernel (merge_pair_c): used unless -alnout needs
+    # the Python path's alignment report
+    nat = None
+    if f_aln is None:
+        nat = _native_merge_ctx(ap, ah, fq)
 
     for (l1, s1, q1), (l2, s2, q2) in zip(it1, it2):
         if trunc:
@@ -414,7 +599,9 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
             if minlen_filled and len(s2t) < minlen:
                 stats.tooshort2 += 1
                 ok = False
-        if ok:
+        if ok and nat is not None:
+            result = _merge_pair_native(nat, s1t, q1t, s2t, q2t, stats)
+        elif ok:
             result, _reason = merge_pair(s1t, q1t, s2t, q2t, hf, ah, fq,
                                          stats, f_aln=f_aln,
                                          labels=(l1, l2))

@@ -39,11 +39,27 @@ class FastQ:
     def char_to_int(self, ch: int) -> int:
         return ch - self.base
 
-    def get_ee(self, qual: str) -> float:
+    def get_ee(self, qual) -> float:
+        """Expected errors; sequential double adds (numpy's pairwise sum
+        rounds differently from the reference's scalar loop)."""
+        if len(qual) > 32:
+            from ..native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                b = qual if isinstance(qual, bytes) \
+                    else qual.encode("latin1")
+                return lib.ee_sum_c(b, len(b),
+                                    self._ctp_c().ctypes.data)
         s = 0.0
         for q in qual:
-            s += self.char_to_prob[ord(q)]
+            s += self.char_to_prob[ord(q) if isinstance(q, str) else q]
         return s
+
+    def _ctp_c(self):
+        t = getattr(self, "_ctp", None)
+        if t is None:
+            t = self._ctp = np.ascontiguousarray(self.char_to_prob)
+        return t
 
     def _init_merge(self) -> None:
         """InitMerge (src/fastq.cpp:160-229): posterior Q for agreeing and

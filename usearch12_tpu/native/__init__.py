@@ -204,6 +204,33 @@ def get_lib():
             vp, vp, i64, vp, vp, ctypes.c_uint32,
             ctypes.c_int, ctypes.c_int, ctypes.c_uint32, vp,
             vp, vp, vp, vp, vp, vp]
+        lib.ee_sum_c.restype = ctypes.c_double
+        lib.ee_sum_c.argtypes = [ctypes.c_char_p, i64, vp]
+        lib.merge_pair_c.restype = i64
+        lib.merge_pair_c.argtypes = [
+            vp, vp,
+            vp, i64, ctypes.c_char_p,
+            vp, i64, ctypes.c_char_p,
+            vp,
+            ctypes.c_double, i64, ctypes.c_double,
+            i64, i64, i64, ctypes.c_double,
+            i64, i64, i64, i64,
+            vp, vp,
+            vp, vp, vp]
+        lib.merge_files_c.restype = i64
+        lib.merge_files_c.argtypes = [
+            vp, vp,
+            ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+            vp, vp,
+            ctypes.c_double, i64, ctypes.c_double,
+            i64, i64, i64, ctypes.c_double,
+            i64, i64, i64,
+            i64, i64, i64,
+            i64, i64,
+            ctypes.c_char_p, i64,
+            vp, vp,
+            vp, i64, vp,
+            vp, vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

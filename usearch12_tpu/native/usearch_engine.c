@@ -1785,3 +1785,430 @@ int64_t uchime_parse_lo_c(HSPFinderC *hf, AlignScratch *s, const GapParams *gp,
     state_out[9] = pbr1;
     return ti;
 }
+
+/* ---- fastq_mergepairs per-pair kernel (src/mergepair.cpp,
+ * src/mergealign.cpp:13-172, src/mergepost.cpp) -------------------------
+ * Mirrors fastq/merge.py merge_pair(): revcomp the reverse read, HSP
+ * seed fwd vs rc-rev (stagger ok), top HSP extended to the full overlap
+ * diagonal, gates (minovlen / nostagger / maxdiffs / pctid), posterior
+ * quality combination, post length/qual gates.  Status codes:
+ *   0 merged, 1 notaligned, 2 ovtooshort, 3 staggered-rejected,
+ *   4 maxdiffs, 5 pctid, 6 merged-tooshort, 7 merged-toolong, 8 minq
+ * out_meta: status, loi, loj, length, diffs, outlen, stag, unused */
+extern uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
+                                   uint32_t min_length, float min_score,
+                                   void *out, uint32_t max_out);
+
+typedef struct { uint32_t loi, loj, leni, lenj; float score; } MergeHSP;
+
+int64_t merge_pair_c(
+    HSPFinderC *hf, EngineScratch *es,
+    const uint8_t *s1, int64_t l1, const uint8_t *q1,
+    const uint8_t *s2, int64_t l2, const uint8_t *q2,
+    const uint8_t *comp,
+    double xdrop, int64_t min_hsp_len, double min_hsp_score,
+    int64_t minovlen, int64_t nostagger, int64_t maxdiffs,
+    double pctid_min,
+    int64_t minmergelen, int64_t maxmergelen, int64_t minqual,
+    int64_t base,
+    const uint8_t *pm, const uint8_t *pmm,
+    uint8_t *out_seq, uint8_t *out_qual, int64_t *out_meta)
+{
+    /* revcomp(s2) and reverse(q2) into scratch */
+    size_t need = (size_t)(l1 + l2 + 2) * 2;
+    if (need > es->path_cap) {
+        free(es->path);
+        es->path_cap = need * 2 + 4096;
+        es->path = (char *)malloc(es->path_cap);
+    }
+    uint8_t *s2rc = (uint8_t *)es->path;
+    uint8_t *q2rc = s2rc + l2 + 1;
+    for (int64_t i = 0; i < l2; ++i) {
+        s2rc[i] = comp[s2[l2 - 1 - i]];
+        q2rc[i] = q2[l2 - 1 - i];
+    }
+    hsp_set_a(hf, s1, (uint32_t)l1);
+    hsp_set_b(hf, s2rc, (uint32_t)l2);
+    MergeHSP hsps[512];
+    uint32_t n = hsp_ungapped_blast(hf, (float)xdrop, 1,
+                                    (uint32_t)min_hsp_len,
+                                    (float)min_hsp_score, hsps, 512);
+    int top = -1;
+    for (uint32_t i = 0; i < n; ++i)
+        if (top < 0 || hsps[i].score > hsps[top].score)
+            top = (int)i;
+    if (top < 0) {
+        out_meta[0] = 1;
+        return 1;
+    }
+    /* ExtendHSP (src/mergealign.cpp:13-39) */
+    uint32_t tloi = hsps[top].loi, tloj = hsps[top].loj;
+    int64_t loi = (tloi <= tloj) ? 0 : (int64_t)(tloi - tloj);
+    int64_t loj = (tloj <= tloi) ? 0 : (int64_t)(tloj - tloi);
+    int64_t len_i = l1 - loi;
+    int64_t len_j = l2 - loj;
+    int64_t length = len_i < len_j ? len_i : len_j;
+
+    int64_t hii = loi + length - 1;
+    int64_t hij = loj + length - 1;
+    int64_t left = (loj == 0) ? loi : -loj;
+    int64_t right = (hii + 1 == l1) ? (l2 - hij - 1) : -(l2 - hij - 1);
+    out_meta[1] = loi;
+    out_meta[2] = loj;
+    out_meta[3] = length;
+    int stag = (left < 0 || right < 0);
+    out_meta[6] = stag;
+    if (length < minovlen) {
+        out_meta[0] = 2;
+        return 2;
+    }
+    if (nostagger && stag) {
+        out_meta[0] = 3;
+        return 3;
+    }
+    /* MergeSI (src/mergealign.cpp:44-123) */
+    int64_t outn = 0;
+    int64_t pos1 = 0, pos2;
+    for (; pos1 < loi; ++pos1) {
+        out_seq[outn] = s1[pos1];
+        out_qual[outn++] = q1[pos1];
+    }
+    pos2 = loj;
+    int64_t diffs = 0;
+    for (int64_t k = 0; k < length; ++k) {
+        uint8_t c1 = s1[pos1], c2 = s2rc[pos2];
+        uint8_t qc1 = q1[pos1], qc2 = q2rc[pos2];
+        int64_t iq1 = (int64_t)qc1 - base, iq2 = (int64_t)qc2 - base;
+        if (iq1 < 0) iq1 = 0;
+        if (iq1 > 63) iq1 = 63;
+        if (iq2 < 0) iq2 = 0;
+        if (iq2 > 63) iq2 = 63;
+        if (c1 == c2) {
+            out_seq[outn] = c1;
+            out_qual[outn++] = (uint8_t)(pm[64 * iq1 + iq2] + base);
+        } else {
+            ++diffs;
+            out_seq[outn] = (qc1 >= qc2) ? c1 : c2;
+            out_qual[outn++] = (uint8_t)(pmm[64 * iq1 + iq2] + base);
+        }
+        ++pos1;
+        ++pos2;
+    }
+    for (; pos2 < l2; ++pos2) {
+        out_seq[outn] = s2rc[pos2];
+        out_qual[outn++] = q2rc[pos2];
+    }
+    out_meta[4] = diffs;
+    out_meta[5] = outn;
+    if (diffs > maxdiffs) {
+        out_meta[0] = 4;
+        return 4;
+    }
+    double pct = length ? 100.0 * (double)(length - diffs) / (double)length
+                        : 0.0;
+    if (pct < pctid_min) {
+        out_meta[0] = 5;
+        return 5;
+    }
+    if (minmergelen > 0 && outn < minmergelen) {
+        out_meta[0] = 6;
+        return 6;
+    }
+    if (maxmergelen > 0 && outn > maxmergelen) {
+        out_meta[0] = 7;
+        return 7;
+    }
+    if (minqual >= 0) {
+        int64_t mq = 1 << 30;
+        for (int64_t i = 0; i < outn; ++i) {
+            int64_t iq = (int64_t)out_qual[i] - base;
+            if (iq < mq)
+                mq = iq;
+        }
+        if (mq < minqual) {
+            out_meta[0] = 8;
+            return 8;
+        }
+    }
+    out_meta[0] = 0;
+    return 0;
+}
+
+/* GetEE (src/fastq.cpp): sequential double sum of char->prob. */
+double ee_sum_c(const uint8_t *q, int64_t n, const double *char_to_prob)
+{
+    double s = 0.0;
+    for (int64_t i = 0; i < n; ++i)
+        s += char_to_prob[q[i]];
+    return s;
+}
+
+/* ---- fastq_mergepairs whole-file batch loop (src/fastqmerge.cpp,
+ * src/mergethread.cpp) ---------------------------------------------------
+ * Parses both FASTQ buffers 4-line-record-wise (CRLF tolerated, blank
+ * lines skipped before headers), applies MergePre (tail truncation +
+ * minlen), merge_pair_c, stats, EE sums, and writes merged records
+ * "@label\nseq\n+\nqual\n" into out_buf.  Labels are truncated at the
+ * first whitespace (trunclabels).  relabel_prefix != NULL switches to
+ * prefix<counter> labels.
+ * Returns pairs processed; -3 = out_buf too small (caller grows);
+ * -10-i = label mismatch at pair i; -2 = parse error (caller falls back
+ * to the Python loop for the exact reference diagnostics).
+ * stats_i64[16]: in,out,tail1,tail2,short1,short2,notaligned,ovtooshort,
+ *   staggered,exact,maxdiffs,minq,m_tooshort,m_toolong,spare,spare
+ * stats_f64[8]: ee1,ee2,ee_merged,sum_ov_len,sum_merged_len */
+typedef struct {
+    const uint8_t *p;
+    int64_t n, pos;
+} FqCursor;
+
+static int fq_next_rec(FqCursor *c, const uint8_t **lab, int64_t *lab_n,
+                       const uint8_t **seq, int64_t *seq_n,
+                       const uint8_t **qual, int64_t *qual_n)
+{
+    /* skip blank lines */
+    while (c->pos < c->n) {
+        int64_t e = c->pos;
+        while (e < c->n && c->p[e] != '\n')
+            ++e;
+        int64_t strip = e;
+        while (strip > c->pos && c->p[strip - 1] == '\r')
+            --strip;
+        if (strip > c->pos)
+            break;
+        c->pos = e + 1;
+    }
+    if (c->pos >= c->n)
+        return 0;
+    const uint8_t *lines[4];
+    int64_t lens[4];
+    for (int k = 0; k < 4; ++k) {
+        if (c->pos >= c->n)
+            return -1;
+        int64_t e = c->pos;
+        while (e < c->n && c->p[e] != '\n')
+            ++e;
+        int64_t strip = e;
+        while (strip > c->pos && c->p[strip - 1] == '\r')
+            --strip;
+        lines[k] = c->p + c->pos;
+        lens[k] = strip - c->pos;
+        c->pos = e + 1;
+    }
+    if (lens[0] < 1 || lines[0][0] != '@')
+        return -1;
+    if (lens[2] < 1 || lines[2][0] != '+')
+        return -1;
+    if (lens[1] != lens[3])
+        return -1;
+    *lab = lines[0] + 1;
+    *lab_n = lens[0] - 1;
+    *seq = lines[1];
+    *seq_n = lens[1];
+    *qual = lines[3];
+    *qual_n = lens[3];
+    return 1;
+}
+
+static int64_t fq_trunc_label(const uint8_t *lab, int64_t n)
+{
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t ch = lab[i];
+        if (ch == ' ' || ch == '\t' || ch == '\v' || ch == '\f')
+            return i;
+    }
+    return n;
+}
+
+static int fq_labels_match(const uint8_t *l1, int64_t n1,
+                           const uint8_t *l2, int64_t n2)
+{
+    if (n1 != n2)
+        return 0;
+    int found = 0;
+    for (int64_t i = 0; i < n1; ++i) {
+        if (l1[i] != l2[i]) {
+            if (found)
+                return 0;
+            if (l1[i] != '1' || (l2[i] != '2' && l2[i] != '3'))
+                return 0;
+            found = 1;
+        }
+    }
+    return 1;
+}
+
+static int64_t fq_trunc_tail(const uint8_t *qual, int64_t n,
+                             int64_t base, int64_t tt, int64_t max_tail)
+{
+    int64_t tail = 0;
+    for (int64_t k = 0; k < n; ++k) {
+        if ((int64_t)qual[n - k - 1] - base <= tt)
+            ++tail;
+        else
+            break;
+    }
+    if (tail > 0 && tail > max_tail)
+        return n - tail;
+    return n;
+}
+
+extern int64_t merge_pair_c(
+    HSPFinderC *hf, EngineScratch *es,
+    const uint8_t *s1, int64_t l1, const uint8_t *q1,
+    const uint8_t *s2, int64_t l2, const uint8_t *q2,
+    const uint8_t *comp,
+    double xdrop, int64_t min_hsp_len, double min_hsp_score,
+    int64_t minovlen, int64_t nostagger, int64_t maxdiffs,
+    double pctid_min,
+    int64_t minmergelen, int64_t maxmergelen, int64_t minqual,
+    int64_t base,
+    const uint8_t *pm, const uint8_t *pmm,
+    uint8_t *out_seq, uint8_t *out_qual, int64_t *out_meta);
+
+int64_t merge_files_c(
+    HSPFinderC *hf, EngineScratch *es,
+    const uint8_t *fwd, int64_t fwd_n,
+    const uint8_t *rev, int64_t rev_n,
+    const uint8_t *comp, const double *char_to_prob,
+    double xdrop, int64_t min_hsp_len, double min_hsp_score,
+    int64_t minovlen, int64_t nostagger, int64_t maxdiffs,
+    double pctid_min,
+    int64_t minmergelen, int64_t maxmergelen, int64_t minqual,
+    int64_t base, int64_t trunctail, int64_t max_tail,
+    int64_t minlen /* -1 = unfilled */,
+    int64_t ignore_label_mismatch,
+    const uint8_t *relabel_prefix, int64_t relabel_prefix_n,
+    const uint8_t *pm, const uint8_t *pmm,
+    uint8_t *out_buf, int64_t out_cap, int64_t *out_len,
+    int32_t *merge_lengths,
+    int64_t *stats_i64, double *stats_f64)
+{
+    FqCursor c1 = {fwd, fwd_n, 0}, c2 = {rev, rev_n, 0};
+    uint8_t *mseq = NULL, *mqual = NULL;
+    size_t mcap = 0;
+    int64_t meta[8];
+    int64_t pairs = 0;
+    int64_t opos = 0;
+    int64_t counter = 0;
+    for (;;) {
+        const uint8_t *lab1, *s1, *q1, *lab2, *s2, *q2;
+        int64_t lab1n, s1n, q1n, lab2n, s2n, q2n;
+        int r1 = fq_next_rec(&c1, &lab1, &lab1n, &s1, &s1n, &q1, &q1n);
+        if (r1 < 0) {
+            free(mseq);
+            return -2;
+        }
+        int r2 = fq_next_rec(&c2, &lab2, &lab2n, &s2, &s2n, &q2, &q2n);
+        if (r2 < 0) {
+            free(mseq);
+            return -2;
+        }
+        if (r1 == 0 || r2 == 0)
+            break;                /* zip(): stop at the shorter file */
+        lab1n = fq_trunc_label(lab1, lab1n);
+        lab2n = fq_trunc_label(lab2, lab2n);
+        if (!ignore_label_mismatch &&
+            !fq_labels_match(lab1, lab1n, lab2, lab2n)) {
+            free(mseq);
+            return -10 - pairs;
+        }
+        ++stats_i64[0];
+        ++pairs;
+        /* MergePre */
+        int64_t l1t = fq_trunc_tail(q1, q1n, base, trunctail, max_tail);
+        if (l1t < s1n)
+            ++stats_i64[2];
+        if (minlen >= 0 && l1t < minlen) {
+            ++stats_i64[4];
+            continue;
+        }
+        int64_t l2t = fq_trunc_tail(q2, q2n, base, trunctail, max_tail);
+        if (l2t < s2n)
+            ++stats_i64[3];
+        if (minlen >= 0 && l2t < minlen) {
+            ++stats_i64[5];
+            continue;
+        }
+        if ((size_t)(l1t + l2t + 2) > mcap) {
+            free(mseq);
+            mcap = (size_t)(l1t + l2t + 2) * 2 + 1024;
+            mseq = (uint8_t *)malloc(mcap * 2);
+            mqual = mseq + mcap;
+        }
+        int64_t status = merge_pair_c(
+            hf, es, s1, l1t, q1, s2, l2t, q2, comp,
+            xdrop, min_hsp_len, min_hsp_score,
+            minovlen, nostagger, maxdiffs, pctid_min,
+            minmergelen, maxmergelen, minqual, base,
+            pm, pmm, mseq, mqual, meta);
+        /* stats mirror of _merge_pair_native */
+        if (status == 1) {
+            ++stats_i64[6];
+        } else if (status == 2) {
+            ++stats_i64[7];
+        } else {
+            if (meta[6])
+                ++stats_i64[8];
+            if (status != 3 && meta[4] == 0)
+                ++stats_i64[9];
+            if (status == 4 || status == 5)
+                ++stats_i64[10];
+            else if (status == 6)
+                ++stats_i64[12];
+            else if (status == 7)
+                ++stats_i64[13];
+            else if (status == 8)
+                ++stats_i64[11];
+        }
+        if (status != 0)
+            continue;
+        int64_t outn = meta[5];
+        merge_lengths[stats_i64[1]] = (int32_t)outn;
+        ++stats_i64[1];
+        stats_f64[0] += ee_sum_c(q1, q1n, char_to_prob);
+        stats_f64[1] += ee_sum_c(q2, q2n, char_to_prob);
+        stats_f64[2] += ee_sum_c(mqual, outn, char_to_prob);
+        stats_f64[3] += (double)meta[3];
+        stats_f64[4] += (double)outn;
+        /* write "@label\nseq\n+\nqual\n" */
+        ++counter;
+        uint8_t numbuf[24];
+        const uint8_t *wl = lab1;
+        int64_t wln = lab1n;
+        if (relabel_prefix_n > 0) {
+            wl = relabel_prefix;
+            wln = relabel_prefix_n;
+        }
+        int64_t need = 1 + wln + 24 + 1 + outn + 3 + outn + 1;
+        if (opos + need > out_cap) {
+            free(mseq);
+            return -3;
+        }
+        out_buf[opos++] = '@';
+        memcpy(out_buf + opos, wl, (size_t)wln);
+        opos += wln;
+        if (relabel_prefix_n > 0) {
+            int64_t nb = 0;
+            int64_t v = counter;
+            do {
+                numbuf[nb++] = (uint8_t)('0' + v % 10);
+                v /= 10;
+            } while (v);
+            while (nb)
+                out_buf[opos++] = numbuf[--nb];
+        }
+        out_buf[opos++] = '\n';
+        memcpy(out_buf + opos, mseq, (size_t)outn);
+        opos += outn;
+        out_buf[opos++] = '\n';
+        out_buf[opos++] = '+';
+        out_buf[opos++] = '\n';
+        memcpy(out_buf + opos, mqual, (size_t)outn);
+        opos += outn;
+        out_buf[opos++] = '\n';
+    }
+    free(mseq);
+    *out_len = opos;
+    return pairs;
+}
