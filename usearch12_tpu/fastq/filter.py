@@ -121,6 +121,64 @@ class Relabeler:
         return label
 
 
+def _filter_files_native(input_path, fq, rl, f_fq, f_fa, f_disc_fq,
+                         f_disc_fa) -> bool:
+    """fastq_filter via filter_files_c; False falls back to the Python
+    loop (non-FASTQ input or parse errors keep their exact messages)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return False
+    from ..io.fastx import open_maybe_gz, sniff_format
+    o = options()
+    if sniff_format(input_path) != "fastq":
+        return False
+    with open_maybe_gz(input_path) as f:
+        buf = f.read()
+
+    def u(name):
+        return o.uns(name) if o.filled(name) else -1
+    maxee = o.flt("fastq_maxee") if o.filled("fastq_maxee") else -1.0
+    maxee_rate = o.flt("fastq_maxee_rate") \
+        if o.filled("fastq_maxee_rate") else -1.0
+    prefix = rl.prefix.encode("latin1")
+    lens = np.zeros(4, np.int64)
+    cap = len(buf) + 1024 + (len(prefix) + 24) * (len(buf) // 8 + 1)
+    while True:
+        bufs = [np.empty(cap if f else 1, np.uint8)
+                for f in (f_fq, f_fa, f_disc_fq, f_disc_fa)]
+        n = lib.filter_files_c(
+            buf, len(buf), fq.base,
+            u("fastq_truncqual"), u("fastq_trunctail"),
+            o.uns("fastq_tail"),
+            u("fastq_stripleft"), u("fastq_stripright"),
+            u("fastq_maxns"),
+            u("fastq_minlen"), u("fastq_trunclen"), u("fastq_minqual"),
+            maxee, maxee_rate, fq._ctp_c().ctypes.data,
+            int(o.flag("trunclabels")), prefix, len(prefix),
+            o.uns("fasta_cols"),
+            bufs[0].ctypes.data if f_fq else None,
+            cap if f_fq else 0, lens[0:1].ctypes.data,
+            bufs[1].ctypes.data if f_fa else None,
+            cap if f_fa else 0, lens[1:2].ctypes.data,
+            bufs[2].ctypes.data if f_disc_fq else None,
+            cap if f_disc_fq else 0, lens[2:3].ctypes.data,
+            bufs[3].ctypes.data if f_disc_fa else None,
+            cap if f_disc_fa else 0, lens[3:4].ctypes.data)
+        if n == -3:
+            cap *= 2
+            continue
+        if n < 0:
+            return False
+        break
+    for f, b, ln in zip((f_fq, f_fa, f_disc_fq, f_disc_fa), bufs,
+                        lens.tolist()):
+        if f is not None:
+            f.flush()
+            f.buffer.write(b[:int(ln)].tobytes())
+    return True
+
+
 def fastq_filter(input_path: Optional[str]) -> None:
     o = options()
     if not input_path:
@@ -136,6 +194,17 @@ def fastq_filter(input_path: Optional[str]) -> None:
         if o.filled("fastqout_discarded") else None
     f_ee = open(o.str("eetabbedout"), "w") if o.filled("eetabbedout") \
         else None
+
+    # whole-file native loop (filter_files_c) for the common option set
+    if (f_ee is None and not o.flag("fastq_eeout")
+            and not o.filled("sample")
+            and not (o.filled("label_suffix") and o.str("label_suffix"))
+            and _filter_files_native(input_path, fq, rl, f_fq, f_fa,
+                                     f_disc_fq, f_disc_fa)):
+        for f in (f_fq, f_fa, f_disc_fa, f_disc_fq):
+            if f:
+                f.close()
+        return
 
     for label, seq, qual in read_fastx(input_path):
         if qual is None:

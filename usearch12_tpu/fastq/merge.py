@@ -482,7 +482,8 @@ def _merge_files_native(nat, fwd_path, rev_path, fq, stats, f_fq,
     stats.sum_ov_length = float(sf[3])
     stats.sum_merged_length = float(sf[4])
     if f_fq is not None:
-        f_fq.write(out_buf[:int(out_len[0])].tobytes().decode("latin1"))
+        f_fq.flush()
+        f_fq.buffer.write(out_buf[:int(out_len[0])].tobytes())
     if f_rep:
         stats.merge_lengths = mlens[:stats.out_recs].tolist()
 

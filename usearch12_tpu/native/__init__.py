@@ -231,6 +231,21 @@ def get_lib():
             vp, vp,
             vp, i64, vp,
             vp, vp, vp]
+        lib.filter_files_c.restype = i64
+        lib.filter_files_c.argtypes = [
+            ctypes.c_char_p, i64,
+            i64,
+            i64, i64, i64,
+            i64, i64, i64,
+            i64, i64, i64,
+            ctypes.c_double, ctypes.c_double, vp,
+            i64,
+            ctypes.c_char_p, i64,
+            i64,
+            vp, i64, vp,
+            vp, i64, vp,
+            vp, i64, vp,
+            vp, i64, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

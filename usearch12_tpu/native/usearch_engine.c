@@ -2212,3 +2212,234 @@ int64_t merge_files_c(
     *out_len = opos;
     return pairs;
 }
+
+/* ---- fastq_filter whole-file batch loop (src/fastqfilter.cpp) ---------
+ * Per-read trim pipeline in the reference's order (truncqual, trunctail,
+ * stripleft, stripright, maxns, minlen, trunclen, minqual, maxee/rate),
+ * then formats kept records into fastq/fasta buffers and discarded ones
+ * into their buffers.  Unfilled params = -1 (maxee/rate = -1.0).
+ * Labels truncate at whitespace when trunc_labels; relabel_prefix
+ * switches kept labels to prefix<counter>.
+ * Returns reads processed; -2 parse error; -3 an out buffer overflowed
+ * (caller grows all and retries). */
+int64_t filter_files_c(
+    const uint8_t *buf, int64_t buf_n,
+    int64_t base,
+    int64_t truncqual, int64_t trunctail, int64_t max_tail,
+    int64_t stripleft, int64_t stripright, int64_t maxns,
+    int64_t minlen, int64_t trunclen, int64_t minqual,
+    double maxee, double maxee_rate, const double *char_to_prob,
+    int64_t trunc_labels,
+    const uint8_t *relabel_prefix, int64_t relabel_prefix_n,
+    int64_t fasta_cols,
+    uint8_t *out_fq, int64_t cap_fq, int64_t *len_fq,
+    uint8_t *out_fa, int64_t cap_fa, int64_t *len_fa,
+    uint8_t *out_dfq, int64_t cap_dfq, int64_t *len_dfq,
+    uint8_t *out_dfa, int64_t cap_dfa, int64_t *len_dfa)
+{
+    FqCursor c = {buf, buf_n, 0};
+    int64_t reads = 0, counter = 0;
+    int64_t pfq = 0, pfa = 0, pdfq = 0, pdfa = 0;
+    for (;;) {
+        const uint8_t *lab, *seq, *qual;
+        int64_t labn, seqn, qualn;
+        int r = fq_next_rec(&c, &lab, &labn, &seq, &seqn, &qual, &qualn);
+        if (r < 0)
+            return -2;
+        if (r == 0)
+            break;
+        ++reads;
+        if (trunc_labels)
+            labn = fq_trunc_label(lab, labn);
+        int64_t lo = 0, n = seqn;   /* current window [lo, lo+n) */
+        int good = 1;               /* 1 good, 0 discard */
+        if (n == 0)
+            good = 0;
+        if (good && truncqual >= 0) {
+            for (int64_t i = 0; i < n; ++i)
+                if ((int64_t)qual[lo + i] - base <= truncqual) {
+                    n = i;
+                    break;
+                }
+        }
+        if (good && trunctail >= 0) {
+            int64_t tail = 0;
+            for (int64_t k = 0; k < n; ++k) {
+                if ((int64_t)qual[lo + n - k - 1] - base <= trunctail)
+                    ++tail;
+                else
+                    break;
+            }
+            if (tail > 0 && tail > max_tail)
+                n -= tail;
+        }
+        if (good && stripleft >= 0) {
+            if (n <= stripleft)
+                good = 0;
+            else {
+                lo += stripleft;
+                n -= stripleft;
+            }
+        }
+        if (good && stripright >= 0) {
+            if (n <= stripright)
+                good = 0;
+            else
+                n -= stripright;
+        }
+        if (good && maxns >= 0) {
+            int64_t nc = 0;
+            for (int64_t i = 0; i < n; ++i)
+                if (seq[lo + i] == 'N' || seq[lo + i] == 'n')
+                    ++nc;
+            if (nc > maxns)
+                good = 0;
+        }
+        if (good && n == 0)
+            good = 0;
+        if (good && minlen >= 0 && n < minlen)
+            good = 0;
+        if (good && trunclen >= 0) {
+            if (n < trunclen)
+                good = 0;
+            else
+                n = trunclen;
+        }
+        if (good && minqual >= 0) {
+            int64_t mq = 0;
+            if (n > 0) {
+                mq = 1 << 30;
+                for (int64_t i = 0; i < n; ++i) {
+                    int64_t iq = (int64_t)qual[lo + i] - base;
+                    if (iq < mq)
+                        mq = iq;
+                }
+            }
+            if (mq < minqual)
+                good = 0;
+        }
+        if (good && (maxee >= 0.0 || maxee_rate >= 0.0)) {
+            double ee = ee_sum_c(qual + lo, n, char_to_prob);
+            if (maxee >= 0.0 && ee > maxee)
+                good = 0;
+            if (good && maxee_rate >= 0.0 && ee > maxee_rate * (double)n)
+                good = 0;
+        }
+        if (good) {
+            ++counter;
+            const uint8_t *wl = lab;
+            int64_t wln = labn;
+            uint8_t numbuf[24];
+            int64_t nb = 0;
+            if (relabel_prefix_n > 0) {
+                wl = relabel_prefix;
+                wln = relabel_prefix_n;
+                int64_t v = counter;
+                do {
+                    numbuf[nb++] = (uint8_t)('0' + v % 10);
+                    v /= 10;
+                } while (v);
+            }
+            if (out_fq) {
+                int64_t need = 1 + wln + nb + 1 + n + 3 + n + 1;
+                if (pfq + need > cap_fq)
+                    return -3;
+                out_fq[pfq++] = '@';
+                memcpy(out_fq + pfq, wl, (size_t)wln);
+                pfq += wln;
+                for (int64_t k = nb; k > 0; --k)
+                    out_fq[pfq++] = numbuf[k - 1];
+                out_fq[pfq++] = '\n';
+                memcpy(out_fq + pfq, seq + lo, (size_t)n);
+                pfq += n;
+                out_fq[pfq++] = '\n';
+                out_fq[pfq++] = '+';
+                out_fq[pfq++] = '\n';
+                memcpy(out_fq + pfq, qual + lo, (size_t)n);
+                pfq += n;
+                out_fq[pfq++] = '\n';
+            }
+            if (out_fa) {
+                int64_t rows = fasta_cols > 0
+                    ? (n + fasta_cols - 1) / fasta_cols : 1;
+                if (rows == 0)
+                    rows = 1;
+                int64_t need = 1 + wln + nb + 1 + n + rows + 1;
+                if (pfa + need > cap_fa)
+                    return -3;
+                out_fa[pfa++] = '>';
+                memcpy(out_fa + pfa, wl, (size_t)wln);
+                pfa += wln;
+                for (int64_t k = nb; k > 0; --k)
+                    out_fa[pfa++] = numbuf[k - 1];
+                out_fa[pfa++] = '\n';
+                if (fasta_cols <= 0) {
+                    memcpy(out_fa + pfa, seq + lo, (size_t)n);
+                    pfa += n;
+                    out_fa[pfa++] = '\n';
+                } else {
+                    for (int64_t i = 0; i < n; i += fasta_cols) {
+                        int64_t m = n - i < fasta_cols ? n - i
+                                                       : fasta_cols;
+                        memcpy(out_fa + pfa, seq + lo + i, (size_t)m);
+                        pfa += m;
+                        out_fa[pfa++] = '\n';
+                    }
+                    if (n == 0)
+                        out_fa[pfa++] = '\n';
+                }
+            }
+        } else {
+            if (out_dfq) {
+                int64_t need = 1 + labn + 1 + n + 3 + n + 1;
+                if (pdfq + need > cap_dfq)
+                    return -3;
+                out_dfq[pdfq++] = '@';
+                memcpy(out_dfq + pdfq, lab, (size_t)labn);
+                pdfq += labn;
+                out_dfq[pdfq++] = '\n';
+                memcpy(out_dfq + pdfq, seq + lo, (size_t)n);
+                pdfq += n;
+                out_dfq[pdfq++] = '\n';
+                out_dfq[pdfq++] = '+';
+                out_dfq[pdfq++] = '\n';
+                memcpy(out_dfq + pdfq, qual + lo, (size_t)n);
+                pdfq += n;
+                out_dfq[pdfq++] = '\n';
+            }
+            if (out_dfa) {
+                int64_t rows = fasta_cols > 0
+                    ? (n + fasta_cols - 1) / fasta_cols : 1;
+                if (rows == 0)
+                    rows = 1;
+                int64_t need = 1 + labn + 1 + n + rows + 1;
+                if (pdfa + need > cap_dfa)
+                    return -3;
+                out_dfa[pdfa++] = '>';
+                memcpy(out_dfa + pdfa, lab, (size_t)labn);
+                pdfa += labn;
+                out_dfa[pdfa++] = '\n';
+                if (fasta_cols <= 0) {
+                    memcpy(out_dfa + pdfa, seq + lo, (size_t)n);
+                    pdfa += n;
+                    out_dfa[pdfa++] = '\n';
+                } else {
+                    for (int64_t i = 0; i < n; i += fasta_cols) {
+                        int64_t m = n - i < fasta_cols ? n - i
+                                                       : fasta_cols;
+                        memcpy(out_dfa + pdfa, seq + lo + i, (size_t)m);
+                        pdfa += m;
+                        out_dfa[pdfa++] = '\n';
+                    }
+                    if (n == 0)
+                        out_dfa[pdfa++] = '\n';
+                }
+            }
+        }
+    }
+    *len_fq = pfq;
+    *len_fa = pfa;
+    *len_dfq = pdfq;
+    *len_dfa = pdfa;
+    return reads;
+}
