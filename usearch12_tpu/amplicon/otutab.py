@@ -72,16 +72,28 @@ class OTUTable:
         self.counts[(oi, si)] = self.counts.get((oi, si), 0) + size
 
     def to_tabbed(self, path: str) -> None:
+        ns = len(self.sample_names)
         with open(path, "w") as f:
             f.write("#OTU ID")
-            for s in self.sample_names:
-                f.write("\t" + s)
+            if ns:
+                f.write("\t" + "\t".join(self.sample_names))
             f.write("\n")
+            # counts are sparse: patch a zero row template per OTU
+            # instead of a dict lookup per cell
+            by_row: List[list] = [[] for _ in self.otu_names]
+            for (oi, si), v in self.counts.items():
+                by_row[oi].append((si, v))
+            parts = ["0"] * ns
             for oi, otu in enumerate(self.otu_names):
-                f.write(otu)
-                for si in range(len(self.sample_names)):
-                    f.write(f"\t{self.counts.get((oi, si), 0)}")
-                f.write("\n")
+                if ns == 0:
+                    f.write(otu + "\n")
+                    continue
+                row = by_row[oi]
+                for si, v in row:
+                    parts[si] = str(v)
+                f.write(otu + "\t" + "\t".join(parts) + "\n")
+                for si, _v in row:
+                    parts[si] = "0"
 
 
 def otutab(query_path: Optional[str]) -> None:

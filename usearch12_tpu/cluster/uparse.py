@@ -44,6 +44,22 @@ OTU_PCTID1 = 95.0
 
 _GAP = ord("-")
 _DOT = ord(".")
+_TU_C = None
+_MU8_C = None
+
+
+def _TO_UPPER_C():
+    global _TU_C
+    if _TU_C is None:
+        _TU_C = np.ascontiguousarray(TO_UPPER)
+    return _TU_C
+
+
+def _MATCH_U8_C():
+    global _MU8_C
+    if _MU8_C is None:
+        _MU8_C = np.ascontiguousarray(MATCH_MX_NUCLEO.astype(np.uint8))
+    return _MU8_C
 
 MOD_PERFECT = "perfect"
 MOD_GOOD = "good"
@@ -218,61 +234,79 @@ def _uparse_dp(res: ParseResult, msa: np.ndarray) -> None:
     assert n_cand > 0
     qrow = msa[n_cand]
 
-    # top hit by whole-row diff count (src/uparsedp.cpp:58-80)
-    qup = TO_UPPER[qrow]
-    diffs = np.empty(n_cand, dtype=np.int64)
-    for j in range(n_cand):
-        diffs[j] = int(np.count_nonzero(~MATCH_MX_NUCLEO[qrow, msa[j]]))
-    res.top_cand_index = int(np.argmin(diffs))   # strict <, first wins
-    res.diffs_qt = int(diffs[res.top_cand_index])
-    res.pct_id_qt = (col_count - res.diffs_qt) * 100.0 / col_count
-
-    # DP over columns (float32 like the reference's Mx<float>)
-    dp = np.zeros((n_cand, col_count + 1), dtype=np.float32)
-    tb = np.zeros((n_cand, col_count + 1), dtype=np.int64)
-    tb[:, 0] = np.arange(n_cand)
-
-    tup = TO_UPPER[msa[:n_cand]]
-    jidx = np.arange(n_cand)
-    for col in range(col_count):
-        q = qrow[col]
-        cur = dp[:, col]
-        s = cur + break_score
-        i1 = int(np.argmax(s))
-        m1 = s[i1]
-        if n_cand > 1:
-            s2 = s.copy()
-            s2[i1] = -np.inf
-            i2 = int(np.argmax(s2))
-            m2 = s2[i2]
-        else:
-            i2, m2 = i1, np.float32(-np.inf)
-        best = cur.copy()
-        bestj = jidx.copy()
-        # candidate j's best switch source: first strictly-greater scan
-        # (src/uparsedp.cpp:108-120) == first-occurrence argmax
-        switch_val = np.where(jidx == i1, m2, m1)
-        switch_idx = np.where(jidx == i1, i2, i1)
-        take = switch_val > best
-        best = np.where(take, switch_val, best)
-        bestj = np.where(take, switch_idx, bestj)
-
-        t = msa[:n_cand, col]
-        this_score = np.where(
-            tup[:, col] == qup[col], match_score,
-            np.where((q == _DOT) | (t == _DOT), np.float32(0.0),
-                     mismatch_score))
-        dp[:, col + 1] = best + this_score
-        tb[:, col + 1] = bestj
-
-    # traceback (src/uparsedp.cpp:151-178)
-    j = int(np.argmax(dp[:, col_count]))   # strict >, first wins
+    from ..native import get_lib
+    lib = get_lib()
     col_to_cand = np.empty(col_count, dtype=np.int64)
-    k = col_count
-    while k > 0:
-        col_to_cand[k - 1] = j
-        j = int(tb[j][k])
-        k -= 1
+    if lib is not None and col_count:
+        msa_c = np.ascontiguousarray(msa)
+        diffs = np.empty(n_cand, dtype=np.int64)
+        top_o = np.empty(1, dtype=np.int64)
+        lib.uparse_dp_c(msa_c.ctypes.data, n_cand, col_count,
+                        _TO_UPPER_C().ctypes.data,
+                        _MATCH_U8_C().ctypes.data,
+                        float(match_score), float(mismatch_score),
+                        float(break_score),
+                        col_to_cand.ctypes.data, diffs.ctypes.data,
+                        top_o.ctypes.data)
+        res.top_cand_index = int(top_o[0])
+        res.diffs_qt = int(diffs[res.top_cand_index])
+        res.pct_id_qt = (col_count - res.diffs_qt) * 100.0 / col_count
+    else:
+        # top hit by whole-row diff count (src/uparsedp.cpp:58-80)
+        qup = TO_UPPER[qrow]
+        diffs = np.empty(n_cand, dtype=np.int64)
+        for j in range(n_cand):
+            diffs[j] = int(np.count_nonzero(
+                ~MATCH_MX_NUCLEO[qrow, msa[j]]))
+        res.top_cand_index = int(np.argmin(diffs))  # strict <, first wins
+        res.diffs_qt = int(diffs[res.top_cand_index])
+        res.pct_id_qt = (col_count - res.diffs_qt) * 100.0 / col_count
+
+        # DP over columns (float32 like the reference's Mx<float>)
+        dp = np.zeros((n_cand, col_count + 1), dtype=np.float32)
+        tb = np.zeros((n_cand, col_count + 1), dtype=np.int64)
+        tb[:, 0] = np.arange(n_cand)
+
+        tup = TO_UPPER[msa[:n_cand]]
+        jidx = np.arange(n_cand)
+        for col in range(col_count):
+            q = qrow[col]
+            cur = dp[:, col]
+            s = cur + break_score
+            i1 = int(np.argmax(s))
+            m1 = s[i1]
+            if n_cand > 1:
+                s2 = s.copy()
+                s2[i1] = -np.inf
+                i2 = int(np.argmax(s2))
+                m2 = s2[i2]
+            else:
+                i2, m2 = i1, np.float32(-np.inf)
+            best = cur.copy()
+            bestj = jidx.copy()
+            # candidate j's best switch source: first strictly-greater
+            # scan (src/uparsedp.cpp:108-120) == first-occurrence argmax
+            switch_val = np.where(jidx == i1, m2, m1)
+            switch_idx = np.where(jidx == i1, i2, i1)
+            take = switch_val > best
+            best = np.where(take, switch_val, best)
+            bestj = np.where(take, switch_idx, bestj)
+
+            t = msa[:n_cand, col]
+            this_score = np.where(
+                tup[:, col] == qup[col], match_score,
+                np.where((q == _DOT) | (t == _DOT), np.float32(0.0),
+                         mismatch_score))
+            dp[:, col + 1] = best + this_score
+            tb[:, col + 1] = bestj
+
+        # traceback (src/uparsedp.cpp:151-178)
+        j = int(np.argmax(dp[:, col_count]))   # strict >, first wins
+        k = col_count
+        while k > 0:
+            col_to_cand[k - 1] = j
+            j = int(tb[j][k])
+            k -= 1
 
     # segment extraction (src/uparsedp.cpp:180-270)
     res.seg_cand_indexes = []

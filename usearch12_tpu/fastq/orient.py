@@ -32,19 +32,45 @@ def fastx_orient(query_path: Optional[str]) -> None:
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     f_not = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
 
+    # native per-read vote (orient_read_c): word extraction + revcomp +
+    # float32 row-size comparison in one call
+    from ..native import get_lib
+    lib = get_lib()
+    nat = None
+    if lib is not None and not params.hashed:
+        from ..alpha import (CHAR_TO_LETTER_NUCLEO, CHAR_TO_COMP_CHAR,
+                             IS_LOWER)
+        ctl = CHAR_TO_LETTER_NUCLEO.copy()
+        ctl[IS_LOWER] = 0xFF
+        ctl = np.ascontiguousarray(ctl)
+        comp = np.ascontiguousarray(CHAR_TO_COMP_CHAR)
+        sizes_c = np.ascontiguousarray(sizes, dtype=np.int64)
+        out2 = np.zeros(2, np.int64)
+        nat = (ctl, comp, sizes_c, out2)
+
     for label, seq, qual in read_fastx(query_path, stream=True):
         if len(seq) == 0:
             continue
-        rc = revcomp(seq)
-        words = params.valid_words(seq)
-        words_rc = params.valid_words(rc)
-        n = len(words)
         plus_count = minus_count = 0
-        if n == len(words_rc):
-            sz = sizes[words].astype(np.float32)
-            sz_rc = sizes[words_rc[::-1]].astype(np.float32)
-            plus_count = int((sz > sz_rc * word_x).sum())
-            minus_count = int((sz_rc > sz * word_x).sum())
+        if nat is not None:
+            ctl, comp, sizes_c, out2 = nat
+            sc = seq if seq.flags["C_CONTIGUOUS"] \
+                else np.ascontiguousarray(seq)
+            lib.orient_read_c(sc.ctypes.data, len(sc), comp.ctypes.data,
+                              ctl.ctypes.data, params.word_length,
+                              params.alpha_size, sizes_c.ctypes.data,
+                              word_x, out2.ctypes.data)
+            plus_count, minus_count = int(out2[0]), int(out2[1])
+        else:
+            rc = revcomp(seq)
+            words = params.valid_words(seq)
+            words_rc = params.valid_words(rc)
+            n = len(words)
+            if n == len(words_rc):
+                sz = sizes[words].astype(np.float32)
+                sz_rc = sizes[words_rc[::-1]].astype(np.float32)
+                plus_count = int((sz > sz_rc * word_x).sum())
+                minus_count = int((sz_rc > sz * word_x).sum())
         plus = plus_count > minus_count * strand_x
         minus = minus_count > plus_count * strand_x
         if plus:
@@ -55,6 +81,7 @@ def fastx_orient(query_path: Optional[str]) -> None:
                 write_fastq(f_fq, label, seq, qual)
         elif minus:
             c = "-"
+            rc = revcomp(seq)
             if f_fa:
                 write_fasta(f_fa, label, rc, o.uns("fasta_cols"))
             if f_fq and qual is not None:

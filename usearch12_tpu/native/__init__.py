@@ -246,6 +246,14 @@ def get_lib():
             vp, i64, vp,
             vp, i64, vp,
             vp, i64, vp]
+        lib.orient_read_c.restype = ctypes.c_int
+        lib.orient_read_c.argtypes = [
+            vp, i64, vp, vp, i64, i64, vp, ctypes.c_double, vp]
+        lib.uparse_dp_c.restype = ctypes.c_int
+        lib.uparse_dp_c.argtypes = [
+            vp, i64, i64, vp, vp,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            vp, vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

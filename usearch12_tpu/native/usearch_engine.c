@@ -2443,3 +2443,179 @@ int64_t filter_files_c(
     *len_dfa = pdfa;
     return reads;
 }
+
+/* ---- fastx_orient per-read vote (src/orient.cpp:37-135) ---------------
+ * Valid fwd words vs reversed valid revcomp words; per-position row-size
+ * comparison in float32 (the reference compares float casts), word vote
+ * with word_x, counts out.  ctl maps invalid/lowercase to 0xFF.
+ * Returns 0; plus/minus counts in out[0..1] (0,0 when the valid-word
+ * counts differ). */
+int orient_read_c(const uint8_t *seq, int64_t L,
+                  const uint8_t *comp, const uint8_t *ctl,
+                  int64_t w, int64_t alpha_size,
+                  const int64_t *sizes,
+                  double word_x, int64_t *out)
+{
+    out[0] = out[1] = 0;
+    if (L < w)
+        return 0;
+    int64_t n = L - w + 1;
+    int64_t *wf = (int64_t *)malloc((size_t)n * 2 * sizeof(int64_t));
+    int64_t *wr = wf + n;
+    int64_t nf = 0, nr = 0;
+    int64_t pw = 1;
+    for (int64_t k = 1; k < w; ++k)
+        pw *= alpha_size;
+    /* forward */
+    int64_t word = 0, run = 0;
+    for (int64_t i = 0; i < L; ++i) {
+        uint8_t let = ctl[seq[i]];
+        if (let == 0xFF) {
+            run = 0;
+            word = 0;
+            continue;
+        }
+        if (run >= w)
+            word -= (word / pw) * pw;
+        word = word * alpha_size + let;
+        if (++run >= w)
+            wf[nf++] = word;
+    }
+    /* revcomp */
+    word = 0;
+    run = 0;
+    for (int64_t i = 0; i < L; ++i) {
+        uint8_t let = ctl[comp[seq[L - 1 - i]]];
+        if (let == 0xFF) {
+            run = 0;
+            word = 0;
+            continue;
+        }
+        if (run >= w)
+            word -= (word / pw) * pw;
+        word = word * alpha_size + let;
+        if (++run >= w)
+            wr[nr++] = word;
+    }
+    if (nf != nr || nf == 0) {
+        free(wf);
+        return 0;
+    }
+    int64_t plus = 0, minus = 0;
+    float wx = (float)word_x;
+    for (int64_t i = 0; i < nf; ++i) {
+        float s1 = (float)sizes[wf[i]];
+        float s2 = (float)sizes[wr[nf - 1 - i]];
+        if (s1 > s2 * wx)
+            ++plus;
+        if (s2 > s1 * wx)
+            ++minus;
+    }
+    out[0] = plus;
+    out[1] = minus;
+    free(wf);
+    return 0;
+}
+
+/* ---- UPARSE segmenting DP (src/uparsedp.cpp:14-178) -------------------
+ * Column DP over the star MSA: dp[j][col+1] = max(dp[j][col],
+ * best-other + break) + column score, float32 exactly like the
+ * reference's Mx<float>; first-wins argmax scans.  Outputs the
+ * per-column winning candidate (traceback) and per-candidate whole-row
+ * diff counts.  msa is (n_cand+1) x cols row-major; last row = query. */
+int uparse_dp_c(const uint8_t *msa, int64_t n_cand, int64_t cols,
+                const uint8_t *to_upper, const uint8_t *match_mx,
+                double match_score, double mismatch_score,
+                double break_score,
+                int64_t *col_to_cand, int64_t *diffs_out,
+                int64_t *top_out)
+{
+    const uint8_t *qrow = msa + (size_t)n_cand * cols;
+    const uint8_t DOT = '.';
+    for (int64_t j = 0; j < n_cand; ++j) {
+        const uint8_t *row = msa + (size_t)j * cols;
+        int64_t d = 0;
+        for (int64_t c = 0; c < cols; ++c)
+            if (!match_mx[256 * (size_t)qrow[c] + row[c]])
+                ++d;
+        diffs_out[j] = d;
+    }
+    int64_t top = 0;
+    for (int64_t j = 1; j < n_cand; ++j)
+        if (diffs_out[j] < diffs_out[top])
+            top = j;
+    *top_out = top;
+
+    float ms = (float)match_score, xs = (float)mismatch_score,
+          bs = (float)break_score;
+    float *dp = (float *)malloc((size_t)n_cand * 2 * sizeof(float));
+    float *cur = dp, *nxt = dp + n_cand;
+    int64_t *tb = (int64_t *)malloc((size_t)n_cand * (cols + 1) *
+                                    sizeof(int64_t));
+    for (int64_t j = 0; j < n_cand; ++j) {
+        cur[j] = 0.0f;
+        tb[j] = j;
+    }
+    for (int64_t col = 0; col < cols; ++col) {
+        uint8_t q = qrow[col];
+        uint8_t qu = to_upper[q];
+        /* first-wins top-2 of cur[i] + break */
+        int64_t i1 = 0;
+        float m1 = cur[0] + bs;
+        for (int64_t i = 1; i < n_cand; ++i) {
+            float v = cur[i] + bs;
+            if (v > m1) {
+                m1 = v;
+                i1 = i;
+            }
+        }
+        int64_t i2 = i1;
+        float m2 = -1e30f;
+        int got2 = 0;
+        for (int64_t i = 0; i < n_cand; ++i) {
+            if (i == i1)
+                continue;
+            float v = cur[i] + bs;
+            if (!got2 || v > m2) {
+                m2 = v;
+                i2 = i;
+                got2 = 1;
+            }
+        }
+        int64_t *tbc = tb + (size_t)(col + 1) * n_cand;
+        for (int64_t j = 0; j < n_cand; ++j) {
+            float sw = (j == i1) ? m2 : m1;
+            int64_t si = (j == i1) ? i2 : i1;
+            float best = cur[j];
+            int64_t bj = j;
+            if ((j == i1 && !got2 ? 0 : 1) && sw > best) {
+                best = sw;
+                bj = si;
+            }
+            uint8_t t = msa[(size_t)j * cols + col];
+            float sc;
+            if (to_upper[t] == qu)
+                sc = ms;
+            else if (q == DOT || t == DOT)
+                sc = 0.0f;
+            else
+                sc = xs;
+            nxt[j] = best + sc;
+            tbc[j] = bj;
+        }
+        float *tmp = cur;
+        cur = nxt;
+        nxt = tmp;
+    }
+    int64_t j = 0;
+    for (int64_t i = 1; i < n_cand; ++i)
+        if (cur[i] > cur[j])
+            j = i;
+    for (int64_t k = cols; k > 0; --k) {
+        col_to_cand[k - 1] = j;
+        j = tb[(size_t)k * n_cand + j];
+    }
+    free(dp);
+    free(tb);
+    return 0;
+}
