@@ -254,6 +254,17 @@ def get_lib():
             vp, i64, i64, vp, vp,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             vp, vp, vp]
+        lib.join_files_c.restype = i64
+        lib.join_files_c.argtypes = [
+            ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+            vp,
+            ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+            i64, i64,
+            i64, i64,
+            i64, ctypes.c_char_p, i64,
+            i64,
+            vp, i64, vp,
+            vp, i64, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

@@ -2619,3 +2619,146 @@ int uparse_dp_c(const uint8_t *msa, int64_t n_cand, int64_t cols,
     free(tb);
     return 0;
 }
+
+/* ---- fastq_join whole-file loop (src/fastqjoin.cpp) -------------------
+ * Concatenate fwd + pad + revcomp(rev) with reversed quals + padq.
+ * relabel: mode 0 keep, 1 prefix<counter>, 2 label+suffix<counter>.
+ * Returns pairs; -2 parse error, -3 buffer overflow, -10-i label
+ * mismatch at pair i (caller reruns the Python loop for diagnostics). */
+int64_t join_files_c(
+    const uint8_t *fwd, int64_t fwd_n,
+    const uint8_t *rev, int64_t rev_n,
+    const uint8_t *comp,
+    const uint8_t *pad, int64_t pad_n,
+    const uint8_t *padq, int64_t padq_n,
+    int64_t stripleft, int64_t stripright,   /* -1 = unfilled */
+    int64_t trunc_labels, int64_t ignore_label_mismatch,
+    int64_t relabel_mode, const uint8_t *relabel, int64_t relabel_n,
+    int64_t fasta_cols,
+    uint8_t *out_fq, int64_t cap_fq, int64_t *len_fq,
+    uint8_t *out_fa, int64_t cap_fa, int64_t *len_fa)
+{
+    FqCursor c1 = {fwd, fwd_n, 0}, c2 = {rev, rev_n, 0};
+    int64_t pairs = 0, count = 0, pfq = 0, pfa = 0;
+    for (;;) {
+        const uint8_t *lab1, *s1, *q1, *lab2, *s2, *q2;
+        int64_t lab1n, s1n, q1n, lab2n, s2n, q2n;
+        int r1 = fq_next_rec(&c1, &lab1, &lab1n, &s1, &s1n, &q1, &q1n);
+        int r2 = fq_next_rec(&c2, &lab2, &lab2n, &s2, &s2n, &q2, &q2n);
+        if (r1 < 0 || r2 < 0)
+            return -2;
+        if (r1 == 0 || r2 == 0)
+            break;
+        if (trunc_labels) {
+            lab1n = fq_trunc_label(lab1, lab1n);
+            lab2n = fq_trunc_label(lab2, lab2n);
+        }
+        if (!ignore_label_mismatch &&
+            !fq_labels_match(lab1, lab1n, lab2, lab2n))
+            return -10 - pairs;
+        ++pairs;
+        int64_t lo1 = 0, n1 = s1n;
+        if (stripleft >= 0) {
+            lo1 = stripleft < s1n ? stripleft : s1n;
+            n1 = s1n - lo1;
+        }
+        int64_t n2 = s2n;
+        if (stripright >= 0)
+            n2 = stripright < s2n ? s2n - stripright : 0;
+        /* label */
+        uint8_t labbuf[512];
+        int64_t labn = 0;
+        if (relabel_mode == 0) {
+            if (lab1n > 480)
+                return -2;
+            memcpy(labbuf, lab1, (size_t)lab1n);
+            labn = lab1n;
+        } else {
+            ++count;
+            if (relabel_mode == 2) {
+                if (lab1n + relabel_n > 460)
+                    return -2;
+                memcpy(labbuf, lab1, (size_t)lab1n);
+                labn = lab1n;
+            } else if (relabel_n > 460) {
+                return -2;
+            }
+            memcpy(labbuf + labn, relabel, (size_t)relabel_n);
+            labn += relabel_n;
+            uint8_t nb[24];
+            int64_t k = 0, v = count;
+            do {
+                nb[k++] = (uint8_t)('0' + v % 10);
+                v /= 10;
+            } while (v);
+            while (k)
+                labbuf[labn++] = nb[--k];
+        }
+        int64_t jn = n1 + pad_n + n2;
+        if (out_fq) {
+            int64_t need = 1 + labn + 1 + jn + 3 + jn + 1;
+            if (pfq + need > cap_fq)
+                return -3;
+            out_fq[pfq++] = '@';
+            memcpy(out_fq + pfq, labbuf, (size_t)labn);
+            pfq += labn;
+            out_fq[pfq++] = '\n';
+            memcpy(out_fq + pfq, s1 + lo1, (size_t)n1);
+            pfq += n1;
+            memcpy(out_fq + pfq, pad, (size_t)pad_n);
+            pfq += pad_n;
+            for (int64_t i = 0; i < n2; ++i)
+                out_fq[pfq + i] = comp[s2[s2n - 1 - i]];
+            pfq += n2;
+            out_fq[pfq++] = '\n';
+            out_fq[pfq++] = '+';
+            out_fq[pfq++] = '\n';
+            memcpy(out_fq + pfq, q1 + lo1, (size_t)n1);
+            pfq += n1;
+            memcpy(out_fq + pfq, padq, (size_t)padq_n);
+            pfq += padq_n;
+            for (int64_t i = 0; i < n2; ++i)
+                out_fq[pfq + i] = q2[s2n - 1 - i];
+            pfq += n2;
+            out_fq[pfq++] = '\n';
+        }
+        if (out_fa) {
+            int64_t rows = fasta_cols > 0
+                ? (jn + fasta_cols - 1) / fasta_cols : 1;
+            if (rows == 0)
+                rows = 1;
+            int64_t need = 1 + labn + 1 + jn + rows + 1;
+            if (pfa + need > cap_fa)
+                return -3;
+            out_fa[pfa++] = '>';
+            memcpy(out_fa + pfa, labbuf, (size_t)labn);
+            pfa += labn;
+            out_fa[pfa++] = '\n';
+            /* build joined seq inline then wrap */
+            /* write wrapped directly */
+            int64_t written = 0;
+            int64_t line = 0;
+            for (int64_t i = 0; i < jn; ++i) {
+                uint8_t ch;
+                if (i < n1)
+                    ch = s1[lo1 + i];
+                else if (i < n1 + pad_n)
+                    ch = pad[i - n1];
+                else
+                    ch = comp[s2[s2n - 1 - (i - n1 - pad_n)]];
+                out_fa[pfa++] = ch;
+                ++written;
+                ++line;
+                if (fasta_cols > 0 && line == fasta_cols) {
+                    out_fa[pfa++] = '\n';
+                    line = 0;
+                }
+            }
+            if (fasta_cols <= 0 || line != 0 || jn == 0)
+                out_fa[pfa++] = '\n';
+        }
+    }
+    *len_fq = pfq;
+    *len_fa = pfa;
+    return pairs;
+}
