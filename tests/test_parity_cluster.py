@@ -40,6 +40,28 @@ def test_fastx_uniques_parity(ref_bin, amplicons_small_fa, tmp_path):
     assert open(g_fa).read() == open(m_fa).read()
 
 
+def test_fastx_uniques_sizein_order(ref_bin, tmp_path):
+    """-sizein orders/gates clusters by SumSizeIn, not member count
+    (src/derepresult.cpp:822-845 SetSizes + SetOrder)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    conv = "ACGT"
+    seqs = ["".join(conv[j] for j in rng.integers(0, 4, 60))
+            for _ in range(50)]
+    inp = str(tmp_path / "in.fa")
+    with open(inp, "w") as f:
+        for i in range(600):
+            s = seqs[int(rng.integers(0, 50))]
+            f.write(f">r{i};size={int(rng.integers(1, 40))};\n{s}\n")
+    g_fa = str(tmp_path / "g.fa")
+    m_fa = str(tmp_path / "m.fa")
+    args = ["-fastx_uniques", inp, "-sizein", "-sizeout",
+            "-minuniquesize", "100"]
+    run_ref(ref_bin, args + ["-fastaout", g_fa])
+    assert cli_main(args + ["-fastaout", m_fa, "-quiet"]) == 0
+    assert open(g_fa).read() == open(m_fa).read()
+
+
 def test_cluster_mt_parity(ref_bin, amplicons_small_fa, tmp_path):
     """cluster_mt -threads 1 (batch-synchronous pending scheme)."""
     g_uc, g_fa = str(tmp_path / "g.uc"), str(tmp_path / "g.fa")

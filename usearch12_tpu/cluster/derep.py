@@ -59,6 +59,10 @@ class DerepResult:
 def derep_full(input_db: SeqDB, revcomp_ok: bool = False) -> DerepResult:
     from .. import progress
     dr = DerepResult(input_db=input_db)
+    if not revcomp_ok:
+        out = _derep_native(input_db, dr)
+        if out is not None:
+            return out
     seen: Dict[bytes, int] = {}
     progress.start("Unique seqs")
     for si, seq in enumerate(input_db.seqs):
@@ -84,6 +88,85 @@ def derep_full(input_db: SeqDB, revcomp_ok: bool = False) -> DerepResult:
     return dr
 
 
+class _LazyMembers:
+    """members[u] -> input indexes of cluster u (input order), built
+    from the stable argsort of cluster ids without materializing 100k
+    Python lists."""
+
+    def __init__(self, order, bounds) -> None:
+        self._order = order
+        self._bounds = bounds
+
+    def __len__(self):
+        return len(self._bounds) - 1
+
+    def __getitem__(self, u):
+        b = self._bounds
+        return self._order[int(b[u]):int(b[u + 1])]
+
+
+class _LazyStrands:
+    """Plus-strand derep: every member matched forward."""
+
+    def __init__(self, counts) -> None:
+        self._counts = counts
+
+    def __len__(self):
+        return len(self._counts)
+
+    def __getitem__(self, u):
+        return [True] * int(self._counts[u])
+
+
+def _derep_native(input_db: SeqDB, dr: DerepResult):
+    """derep_full via derep_c (plus strand); numpy grouping for the
+    member lists.  Returns None when the native lib is unavailable."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    from .. import progress
+    import numpy as np
+    from ..alpha import TO_UPPER
+    n = len(input_db)
+    if n == 0:
+        return dr
+    progress.start("Unique seqs")
+    seqs = input_db.seqs
+    bulk = getattr(input_db, "_bulk_buf", None)
+    if bulk is not None and len(getattr(input_db, "_bulk_off", ())) \
+            == n + 1:
+        off0 = input_db._bulk_off
+        cat = bulk[int(off0[0]):int(off0[n])]
+        offs = off0 - off0[0]
+        cat = cat if cat.flags["C_CONTIGUOUS"] \
+            else np.ascontiguousarray(cat)
+        offs = np.ascontiguousarray(offs)
+    else:
+        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        cat = np.concatenate([np.ascontiguousarray(s) for s in seqs]) \
+            if n else np.zeros(0, np.uint8)
+    cl = np.empty(n, np.int32)
+    tu = np.ascontiguousarray(TO_UPPER)
+    nu = lib.derep_c(cat.ctypes.data, offs.ctypes.data, n,
+                     tu.ctypes.data, cl.ctypes.data)
+    # first-occurrence index per cluster (ids are assigned in
+    # first-occurrence order, so return_index is already id-ordered)
+    _u, first = np.unique(cl, return_index=True)
+    dr.unique_seq_indexes = first.tolist()
+    order = np.argsort(cl, kind="stable")
+    counts = np.bincount(cl, minlength=nu)
+    bounds = np.zeros(nu + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    dr.members = _LazyMembers(order, bounds)
+    dr.strands = _LazyStrands(counts)
+    dr.cluster_of_input = cl          # array indexable like the dict
+    progress.done(f"{dr.cluster_count} uniques")
+    return dr
+
+
 def fastx_uniques(input_path: Optional[str]) -> None:
     """cmd_fastx_uniques: derep + sorted-by-size output
     (src/derepfull.cpp:233, src/derepresult.cpp Write/ToFastx)."""
@@ -97,31 +180,54 @@ def fastx_uniques(input_path: Optional[str]) -> None:
     strand_both = o.str("strand", "plus") == "both"
     dr = derep_full(db, revcomp_ok=strand_both)
 
-    member_counts = [dr.member_count(u) for u in range(dr.cluster_count)]
+    # DerepResult::SetSizes (src/derepresult.cpp:822-845): cluster size =
+    # sum of member size= annotations with -sizein, else member count;
+    # SetOrder sorts by THESE sizes, and the minuniquesize gate and the
+    # size= output use them too
+    if o.flag("sizein"):
+        member_counts = [dr.sum_size_in(u)
+                         for u in range(dr.cluster_count)]
+    else:
+        member_counts = [dr.member_count(u)
+                         for u in range(dr.cluster_count)]
     order = quick_sort_order(member_counts, desc=True)
 
     relabel = o.str("relabel", "")
     if o.filled("fastaout"):
+        minuq = o.uns("minuniquesize", 0)
+        topn = o.uns("topn") if o.filled("topn") else None
+        sizeout = o.flag("sizeout")
+        sizein = o.flag("sizein")
+        cols = o.uns("fasta_cols")
+        out = []
         with open(o.str("fastaout"), "w") as f:
             n_out = 0
             for u in order:
                 size = member_counts[u]
-                if size < o.uns("minuniquesize", 0):
+                if size < minuq:
                     break  # order is descending; reference breaks here
-                if o.filled("topn") and n_out >= o.uns("topn"):
+                if topn is not None and n_out >= topn:
                     break
                 si = dr.unique_seq_indexes[u]
                 label = db.labels[si]
                 if relabel:
                     n_out += 1
                     label = f"{relabel}{n_out}"
-                if o.flag("sizeout"):
+                if sizeout:
                     label = strip_size(label)
-                    size_out = dr.sum_size_in(u) if o.flag("sizein") else size
-                    label = relabel_with_size(label, size_out)
+                    # member_counts already holds SumSizeIn with -sizein
+                    label = relabel_with_size(label, size)
                 if not relabel:
                     n_out += 1
-                write_fasta(f, label, db.seqs[si], o.uns("fasta_cols"))
+                s = db.seqs[si].tobytes().decode("latin1")
+                if cols <= 0:
+                    out.append(f">{label}\n{s}\n")
+                else:
+                    body = "\n".join(s[i:i + cols]
+                                     for i in range(0, len(s), cols))
+                    out.append(f">{label}\n{body}\n" if s
+                               else f">{label}\n\n")
+            f.write("".join(out))
     if o.filled("tabbedout"):
         with open(o.str("tabbedout"), "w") as f:
             for u in range(dr.cluster_count):

@@ -20,11 +20,15 @@ _SIZE_RE = re.compile(r";size=(\d+)")
 
 
 def size_from_label(label: str, default: int = 1) -> int:
+    if "size=" not in label:
+        return default
     m = _SIZE_RE.search(label)
     return int(m.group(1)) if m else default
 
 
 def strip_size(label: str) -> str:
+    if "size=" not in label:
+        return label.strip(";")
     s = _SIZE_RE.sub("", label)
     return s.strip(";")
 
@@ -101,12 +105,26 @@ class SeqDB:
         labels = db.labels
         seqs = db.seqs
         quals = db.quals
-        for i in range(nrec):
-            raw_lbl = raw[lbl_off[i]:lbl_end[i]]
-            labels.append(raw_lbl.decode("latin1") if plain
-                          else _proc_label(raw_lbl))
-            seqs.append(seq_buf[seq_off[i]:seq_off[i + 1]])
-            quals.append(None)
+        if plain:
+            # latin1 is 1 byte/char, so byte offsets index the decoded
+            # string directly — one decode instead of one per label
+            raw_s = raw.decode("latin1")
+            lo_l = lbl_off[:nrec].tolist()
+            hi_l = lbl_end[:nrec].tolist()
+            so_l = seq_off[:nrec + 1].tolist()
+            for i in range(nrec):
+                labels.append(raw_s[lo_l[i]:hi_l[i]])
+                seqs.append(seq_buf[so_l[i]:so_l[i + 1]])
+                quals.append(None)
+        else:
+            for i in range(nrec):
+                labels.append(_proc_label(raw[lbl_off[i]:lbl_end[i]]))
+                seqs.append(seq_buf[seq_off[i]:seq_off[i + 1]])
+                quals.append(None)
+        # seqs are consecutive views of one buffer; keep it so whole-DB
+        # passes (derep) can skip re-concatenation
+        db._bulk_buf = seq_buf
+        db._bulk_off = seq_off[:nrec + 1].copy()
         return db
 
     def add(self, label: str, seq: np.ndarray, qual: Optional[str] = None) -> int:

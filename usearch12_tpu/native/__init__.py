@@ -265,6 +265,8 @@ def get_lib():
             i64,
             vp, i64, vp,
             vp, i64, vp]
+        lib.derep_c.restype = i64
+        lib.derep_c.argtypes = [vp, vp, i64, vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

@@ -2762,3 +2762,58 @@ int64_t join_files_c(
     *len_fa = pfa;
     return pairs;
 }
+
+/* ---- full-length dereplication (src/derepfull.cpp) --------------------
+ * Open-addressing hash over uppercased sequences; cluster ids assigned
+ * in first-occurrence order (the reference's single-thread semantics).
+ * Returns the number of uniques; out_cluster[i] = cluster id of seq i. */
+int64_t derep_c(const uint8_t *cat, const int64_t *offs, int64_t n,
+                const uint8_t *to_upper, int32_t *out_cluster)
+{
+    if (n == 0)
+        return 0;
+    int64_t total = offs[n];
+    uint8_t *up = (uint8_t *)malloc((size_t)total);
+    for (int64_t i = 0; i < total; ++i)
+        up[i] = to_upper[cat[i]];
+    uint64_t slots = 16;
+    while (slots < (uint64_t)n * 2)
+        slots <<= 1;
+    int64_t *table = (int64_t *)malloc(slots * sizeof(int64_t));
+    for (uint64_t i = 0; i < slots; ++i)
+        table[i] = -1;
+    uint64_t *hashes = (uint64_t *)malloc((size_t)n * sizeof(uint64_t));
+    int64_t nu = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t *s = up + offs[i];
+        int64_t L = offs[i + 1] - offs[i];
+        uint64_t h = 1469598103934665603ull;      /* FNV-1a */
+        for (int64_t k = 0; k < L; ++k) {
+            h ^= s[k];
+            h *= 1099511628211ull;
+        }
+        hashes[i] = h;
+        uint64_t slot = h & (slots - 1);
+        int32_t cl = -1;
+        for (;;) {
+            int64_t j = table[slot];
+            if (j < 0) {
+                table[slot] = i;
+                cl = (int32_t)nu++;
+                break;
+            }
+            int64_t Lj = offs[j + 1] - offs[j];
+            if (hashes[j] == h && Lj == L &&
+                memcmp(up + offs[j], s, (size_t)L) == 0) {
+                cl = out_cluster[j];
+                break;
+            }
+            slot = (slot + 1) & (slots - 1);
+        }
+        out_cluster[i] = cl;
+    }
+    free(up);
+    free(table);
+    free(hashes);
+    return nu;
+}
