@@ -154,6 +154,8 @@ class LocalAligner2:
         self.query_label = ""
         self.min_ungapped = 0.0
         self._hsp_out = np.zeros(4, dtype=np.uint32)
+        self._hsp_ptr = self._hsp_out.ctypes.data
+        self._mx_ptr = self.mx.ctypes.data
         self._score = ctypes.c_float(0)
         self._evalue = ctypes.c_double(0)
         self._path_buf = ctypes.create_string_buffer(1 << 20)
@@ -173,12 +175,17 @@ class LocalAligner2:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
             ctypes.c_int64, f32p, ctypes.c_float, ctypes.c_float]
         lib.local_align_pos.restype = ctypes.c_int
+        # raw pointers (not ndpointer): this is the per-seed hot call,
+        # and ndpointer from_param costs ~10us per call
         lib.local_align_pos.argtypes = [
-            ctypes.c_void_p, u8p, ctypes.c_uint32, u8p, ctypes.c_uint32,
-            ctypes.c_uint32, ctypes.c_uint32, f32p, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_void_p,
+            ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, u32p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_double, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_double), ctypes.c_char_p]
         lib._local_bound = True
 
@@ -208,18 +215,19 @@ class LocalAligner2:
             self._q_sorted_words = np.zeros(0, dtype=np.int64)
             self._q_pos_order = np.zeros(0, dtype=np.int64)
 
-    def _align_pos(self, q, ql, t, tl, qpos, tpos, max_evalue):
+    def _align_pos(self, q_ptr, ql, t_ptr, tl, qpos, tpos, max_evalue):
         need = 2 * (ql + tl) + 16
         if need > len(self._path_buf):
             self._path_buf = ctypes.create_string_buffer(2 * need)
         ok = self.lib.local_align_pos(
-            self.scratch, q, ql, t, tl, qpos, tpos, self.mx,
+            self.scratch, q_ptr, ql, t_ptr, tl, qpos, tpos,
+            self._mx_ptr,
             self.ah.xdrop_u, self.ah.xdrop_g,
             self.ap.local_open, self.ap.local_ext,
             self.min_ungapped,
             self.es.gapped_lambda, self.es.log_gapped_k,
             self.es.db_size, max_evalue,
-            self._hsp_out, ctypes.byref(self._score),
+            self._hsp_ptr, ctypes.byref(self._score),
             ctypes.byref(self._evalue), self._path_buf)
         return ok
 
@@ -237,6 +245,8 @@ class LocalAligner2:
         ql = len(q)
         t = np.ascontiguousarray(t_seq)
         tl = len(t)
+        q_ptr = q.ctypes.data
+        t_ptr = t.ctypes.data
         cached = self._tword_cache.get(id(t_seq))
         if cached is None:
             twords = _rolling_words(t, w, self.nucleo)
@@ -257,8 +267,8 @@ class LocalAligner2:
             kept_here = False
             if hi > lo:
                 for qpos in qorder[lo:hi].tolist():
-                    if not self._align_pos(q, ql, t, tl, qpos, tpos,
-                                           max_evalue):
+                    if not self._align_pos(q_ptr, ql, t_ptr, tl, qpos,
+                                           tpos, max_evalue):
                         continue
                     ho = self._hsp_out
                     hsp = HSP(int(ho[0]), int(ho[1]), int(ho[2]),
