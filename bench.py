@@ -264,6 +264,84 @@ def bench_kernel_cpu():
     return cells / dt / 1e9
 
 
+def _gen_pairs(d):
+    """100k overlapping read pairs for the merge bench."""
+    import numpy as np
+    f1p = os.path.join(d, "bench_r1.fq")
+    f2p = os.path.join(d, "bench_r2.fq")
+    if os.path.exists(f1p):
+        return f1p, f2p
+    rng = np.random.default_rng(5)
+    conv = np.frombuffer(b"ACGT", np.uint8)
+    comp = {65: 84, 84: 65, 67: 71, 71: 67}
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        for i in range(100000):
+            frag = conv[rng.integers(0, 4, 250)]
+            r2 = np.array([comp[c] for c in frag[100:][::-1]], np.uint8)
+            q = "I" * 150
+            f1.write(f"@rd{i} 1:N:0:1\n"
+                     f"{frag[:150].tobytes().decode()}\n+\n{q}\n")
+            f2.write(f"@rd{i} 2:N:0:1\n{r2.tobytes().decode()}\n+\n{q}\n")
+    return f1p, f2p
+
+
+def bench_merge(ref, d):
+    f1, f2 = _gen_pairs(d)
+    my = [sys.executable, "-m", "usearch12_tpu.cli", "-fastq_mergepairs",
+          f1, "-reverse", f2, "-fastqout", os.path.join(d, "m.mg"),
+          "-quiet"]
+    rf = [ref, "-fastq_mergepairs", f1, "-reverse", f2, "-fastqout",
+          os.path.join(d, "r.mg"), "-quiet", "-threads", "1"]
+    t_r1 = _run(rf)
+    t_m1 = _run(my)
+    t_m2 = _run(my)
+    t_r2 = _run(rf)
+    parity = (open(os.path.join(d, "m.mg"), "rb").read()
+              == open(os.path.join(d, "r.mg"), "rb").read())
+    return (100000 / min(t_m1, t_m2), 100000 / min(t_r1, t_r2),
+            min(t_r1, t_r2) / min(t_m1, t_m2), parity)
+
+
+def bench_unoise(ref, reads, d):
+    """unoise3 over the uniques of 100k amplicon-style reads (heavy
+    exact-duplicate mass so the denoiser has real work; random reads
+    dereplicate to singletons and exit at -minsize)."""
+    import numpy as np
+    amp = os.path.join(d, "bench_amp.fa")
+    uniq = os.path.join(d, "bench_uniq.fa")
+    if not os.path.exists(amp):
+        rng = np.random.default_rng(11)
+        conv = np.frombuffer(b"ACGT", np.uint8)
+        templates = [conv[rng.integers(0, 4, 250)] for _ in range(8000)]
+        with open(amp, "w") as f:
+            for i in range(400000):
+                t = templates[int(rng.integers(0, 8000))]
+                if rng.random() < 0.4:
+                    t = t.copy()
+                    for p in rng.integers(0, 250, 2):
+                        t[p] = conv[int(rng.integers(0, 4))]
+                f.write(f">amp{i}\n{t.tobytes().decode()}\n")
+    if not os.path.exists(uniq):
+        _run([sys.executable, "-m", "usearch12_tpu.cli",
+              "-fastx_uniques", amp, "-fastaout", uniq, "-sizeout",
+              "-relabel", "Uniq", "-quiet"])
+    my = [sys.executable, "-m", "usearch12_tpu.cli", "-unoise3", uniq,
+          "-zotus", os.path.join(d, "m.zfa"), "-tabbedout",
+          os.path.join(d, "m.ztab"), "-quiet"]
+    rf = [ref, "-unoise3", uniq, "-zotus", os.path.join(d, "r.zfa"),
+          "-tabbedout", os.path.join(d, "r.ztab"), "-quiet",
+          "-threads", "1"]
+    t_r1 = _run(rf)
+    t_m1 = _run(my)
+    t_m2 = _run(my)
+    t_r2 = _run(rf)
+    parity = (open(os.path.join(d, "m.zfa"), "rb").read()
+              == open(os.path.join(d, "r.zfa"), "rb").read()
+              and open(os.path.join(d, "m.ztab"), "rb").read()
+              == open(os.path.join(d, "r.ztab"), "rb").read())
+    return min(t_r1, t_r2) / min(t_m1, t_m2), parity
+
+
 def main():
     import tempfile
     d = tempfile.mkdtemp(prefix="usearch_bench_")
@@ -280,13 +358,18 @@ def main():
         g_my, g_ref, g_ratio, p1 = bench_global(ref, db, q, d)
         c_my, c_ref, c_ratio, p2 = bench_cluster(ref, reads, d)
         s_my, s_ref, s_ratio, p3 = bench_sintax(ref, d)
-        parity_ok = p1 and p2 and p3
+        m_my, m_ref, m_ratio, p4 = bench_merge(ref, d)
+        u_ratio, p5 = bench_unoise(ref, reads, d)
+        parity_ok = p1 and p2 and p3 and p4 and p5
         extra["usearch_global_seqs_per_s"] = round(g_my, 1)
         extra["usearch_global_ref_seqs_per_s"] = round(g_ref, 1)
         extra["usearch_global_vs_ref"] = round(g_ratio, 3)
         extra["cluster_fast_ref_seqs_per_s"] = round(c_ref, 1)
         extra["sintax_seqs_per_s"] = round(s_my, 1)
         extra["sintax_vs_ref"] = round(s_ratio, 3)
+        extra["fastq_mergepairs_pairs_per_s"] = round(m_my, 1)
+        extra["fastq_mergepairs_vs_ref"] = round(m_ratio, 3)
+        extra["unoise3_vs_ref"] = round(u_ratio, 3)
         extra["output_parity"] = parity_ok
 
     kern = bench_kernel_device()

@@ -39,6 +39,61 @@ def _is_accept(ar: AlignResult, alpha: float) -> bool:
     return skew >= min_skew
 
 
+def _unoise_greedy_native(input_db, uniq_count, alpha, max_accepts,
+                          ap, ah):
+    """Whole greedy denoise loop via unoise_greedy_c (ClusterCtx 3-tier
+    index + HSP-anchored aligns in one C call).  Returns
+    (out_ti, out_diffs) int32 arrays or None."""
+    import ctypes
+    from ..native import get_lib, GapParams
+    lib = get_lib()
+    if lib is None or uniq_count == 0:
+        return None
+    from ..alpha import (CHAR_TO_LETTER_NUCLEO, MATCH_MX_NUCLEO,
+                        IS_LOWER)
+    o = options()
+    seqs = input_db.seqs[:uniq_count]
+    lens = np.fromiter((len(s) for s in seqs), np.int64, uniq_count)
+    offs = np.zeros(uniq_count + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    qbuf = np.concatenate([np.ascontiguousarray(s) for s in seqs])
+    qsizes = np.fromiter(
+        (size_from_label(l, 0xFFFFFFFF)
+         for l in input_db.labels[:uniq_count]), np.int64, uniq_count)
+    mx = np.ascontiguousarray(ap.subst_mx, dtype=np.float32)
+    ctl = np.ascontiguousarray(CHAR_TO_LETTER_NUCLEO)
+    ctl_rank = CHAR_TO_LETTER_NUCLEO.copy()
+    ctl_rank[IS_LOWER] = 0xFF
+    ctl_rank = np.ascontiguousarray(ctl_rank)
+    match_u8 = np.ascontiguousarray(MATCH_MX_NUCLEO.astype(np.uint8))
+    gp = GapParams.from_alnparams(ap)
+    params = UDBParams.global_usearch(True)
+    cc = lib.cluster_ctx_create()
+    hf = lib.hsp_create(ah.hsp_word_length, 4, mx, ctl)
+    as_ = lib.scratch_create()
+    es = lib.engine_scratch_create()
+    out_ti = np.empty(uniq_count, np.int32)
+    out_diffs = np.empty(uniq_count, np.int32)
+    try:
+        lib.unoise_greedy_c(
+            cc, hf, as_, es, ctypes.byref(gp), match_u8.ctypes.data,
+            ah.band_radius, ah.min_global_hsp_length,
+            ah.min_global_hsp_fract_id, ah.min_global_hsp_score,
+            ah.xdrop_global_hsp,
+            ctl_rank.ctypes.data, params.alpha_size,
+            params.word_length, params.slot_count, o.uns("bump"),
+            float(alpha), max_accepts,
+            qbuf.ctypes.data, offs.ctypes.data, uniq_count,
+            qsizes.ctypes.data,
+            out_ti.ctypes.data, out_diffs.ctypes.data)
+    finally:
+        lib.cluster_ctx_destroy(cc)
+        lib.hsp_destroy(hf)
+        lib.scratch_destroy(as_)
+        lib.engine_scratch_destroy(es)
+    return out_ti, out_diffs
+
+
 def unoise3(input_path: Optional[str]) -> None:
     o = options()
     if o.filled("fastaout"):
@@ -118,27 +173,47 @@ def unoise3(input_path: Optional[str]) -> None:
                 break
         return best_t, best_diffs
 
-    shifted_warned = False
-    for seq_index in range(uniq_count):
-        q_label = input_db.labels[seq_index]
-        q_seq = input_db.seqs[seq_index]
-        qsize = size_from_label(q_label, 0xFFFFFFFF)
-        assert qsize >= min_amp_size
-        ti, diffs = search_denoise(q_label, q_seq)
-        if ti != 0xFFFFFFFF:
-            if f_tab:
-                top_acc = acc_from_label(centroid_labels[ti])
-                kind = "shifted" if diffs == 0 else "bad"
-                f_tab.write(f"{q_label}\tdenoise\t{kind}\t"
-                            f"dqt={diffs};top={top_acc};\n")
-        else:
-            ti = len(centroid_labels)
-            centroid_labels.append(q_label)
-            centroid_seqs.append(q_seq)
-            index.add_seq(ti, q_seq)
-            index.seq_count = ti + 1
-            if f_tab:
-                f_tab.write(f"{q_label}\tdenoise\tamp{ti + 1}\n")
+    nat = _unoise_greedy_native(input_db, uniq_count, alpha,
+                                max_accepts, ap, ah)
+    if nat is not None:
+        out_ti, out_diffs = nat
+        for seq_index in range(uniq_count):
+            q_label = input_db.labels[seq_index]
+            ti = int(out_ti[seq_index])
+            if ti >= 0:
+                if f_tab:
+                    diffs = int(out_diffs[seq_index])
+                    top_acc = acc_from_label(centroid_labels[ti])
+                    kind = "shifted" if diffs == 0 else "bad"
+                    f_tab.write(f"{q_label}\tdenoise\t{kind}\t"
+                                f"dqt={diffs};top={top_acc};\n")
+            else:
+                ti = len(centroid_labels)
+                centroid_labels.append(q_label)
+                centroid_seqs.append(input_db.seqs[seq_index])
+                if f_tab:
+                    f_tab.write(f"{q_label}\tdenoise\tamp{ti + 1}\n")
+    else:
+        for seq_index in range(uniq_count):
+            q_label = input_db.labels[seq_index]
+            q_seq = input_db.seqs[seq_index]
+            qsize = size_from_label(q_label, 0xFFFFFFFF)
+            assert qsize >= min_amp_size
+            ti, diffs = search_denoise(q_label, q_seq)
+            if ti != 0xFFFFFFFF:
+                if f_tab:
+                    top_acc = acc_from_label(centroid_labels[ti])
+                    kind = "shifted" if diffs == 0 else "bad"
+                    f_tab.write(f"{q_label}\tdenoise\t{kind}\t"
+                                f"dqt={diffs};top={top_acc};\n")
+            else:
+                ti = len(centroid_labels)
+                centroid_labels.append(q_label)
+                centroid_seqs.append(q_seq)
+                index.add_seq(ti, q_seq)
+                index.seq_count = ti + 1
+                if f_tab:
+                    f_tab.write(f"{q_label}\tdenoise\tamp{ti + 1}\n")
 
     # relabel Amp%u and chimera-filter (src/unoise3.cpp:237-265)
     amp_db = SeqDB()

@@ -267,6 +267,15 @@ def get_lib():
             vp, i64, vp]
         lib.derep_c.restype = i64
         lib.derep_c.argtypes = [vp, vp, i64, vp, vp]
+        lib.unoise_greedy_c.restype = i64
+        lib.unoise_greedy_c.argtypes = [
+            vp, vp, vp, vp, ctypes.POINTER(GapParams), vp,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            vp, ctypes.c_uint32, ctypes.c_uint32, i64, ctypes.c_uint32,
+            ctypes.c_double, ctypes.c_int32,
+            vp, vp, i64, vp,
+            vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

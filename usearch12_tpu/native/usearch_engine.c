@@ -27,6 +27,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <time.h>
+#include <math.h>
 
 typedef uint8_t byte;
 
@@ -2816,4 +2817,173 @@ int64_t derep_c(const uint8_t *cat, const int64_t *offs, int64_t n,
     free(table);
     free(hashes);
     return nu;
+}
+
+/* ---- UNOISE3 greedy denoise loop (src/unoise3.cpp:62-233) -------------
+ * Per size-sorted unique read: GetHot top-8 centroids by shared unique
+ * words (max drop 8), HSP-anchored global align to each
+ * (fail_if_no_hsps), absorb when mismatch diffs d satisfy
+ * skew = tsize/qsize >= 2^(alpha*d + 1); miss admits a new centroid
+ * into the ClusterCtx 3-tier index.  out_ti[q] = centroid index or -1
+ * (admitted, becoming centroid #out_ti via admission order);
+ * out_diffs[q] = best diffs (or -1). */
+int64_t unoise_greedy_c(
+    ClusterCtx *cc, HSPFinderC *hf, AlignScratch *as, EngineScratch *es,
+    const GapParams *gp, const byte *match_mx,
+    uint32_t band_radius, uint32_t min_hsp_len, float min_hsp_fract,
+    float min_hsp_score, float xdrop_g,
+    const uint8_t *ctl_rank, uint32_t alpha_size, uint32_t wlen,
+    int64_t slot_count, uint32_t bump_pct,
+    double alpha, int32_t max_accepts,
+    const uint8_t *qbuf, const int64_t *q_off, int64_t n_queries,
+    const int64_t *qsizes,
+    int32_t *out_ti, int32_t *out_diffs)
+{
+    const int MAX_HOT_C = 8, MAX_DROP_C = 8;
+    cc_index_init(cc, slot_count);
+    int64_t *cent_size = (int64_t *)malloc(
+        (size_t)n_queries * sizeof(int64_t));
+    int64_t n_cent = 0;
+    for (int64_t q = 0; q < n_queries; ++q) {
+        const uint8_t *seq = qbuf + q_off[q];
+        int64_t L = q_off[q + 1] - q_off[q];
+        uint32_t nuw = 0;
+        uint32_t n_cand = cc_rank(cc, seq, L, ctl_rank, alpha_size,
+                                  wlen, slot_count, (uint32_t)cc->db_n,
+                                  bump_pct, MAX_HOT_C, &nuw);
+        int32_t best_t = -1, best_diffs = -1;
+        if (n_cand) {
+            hsp_set_a(hf, seq, (uint32_t)L);
+            uint32_t top_count = cc->cand_cnt[0];
+            int32_t accept_count = 0;
+            uint32_t nh = n_cand < (uint32_t)MAX_HOT_C ? n_cand
+                                                       : MAX_HOT_C;
+            for (uint32_t i = 0; i < nh; ++i) {
+                if (i > 0 &&
+                    top_count - cc->cand_cnt[i] > (uint32_t)MAX_DROP_C)
+                    break;
+                int32_t ti = (int32_t)cc->cand_tix[i];
+                const uint8_t *t = cc->db + cc->db_off[ti];
+                int64_t tl = cc->db_off[ti + 1] - cc->db_off[ti];
+                hsp_set_b(hf, t, (uint32_t)tl);
+                if ((size_t)(L + tl + 2) > es->path_cap) {
+                    free(es->path);
+                    es->path_cap = (size_t)(L + tl + 2) * 2 + 4096;
+                    es->path = (char *)malloc(es->path_cap);
+                }
+                float fr = 0.0f;
+                int n = global_align_c(hf, as, gp, match_mx, band_radius,
+                                       min_hsp_len, min_hsp_fract,
+                                       min_hsp_score, xdrop_g, 0, 1,
+                                       es->path, &fr);
+                if (n > 0) {
+                    /* mismatch diffs over M columns */
+                    int64_t qi = 0, tj = 0, diffs = 0;
+                    for (int k = 0; k < n; ++k) {
+                        char c = es->path[k];
+                        if (c == 'M') {
+                            if (!match_mx[256 * (size_t)seq[qi] + t[tj]])
+                                ++diffs;
+                            ++qi;
+                            ++tj;
+                        } else if (c == 'D') {
+                            ++qi;
+                        } else {
+                            ++tj;
+                        }
+                    }
+                    int accept;
+                    if (diffs == 0) {
+                        accept = 1;
+                    } else {
+                        double skew = (double)cent_size[ti]
+                            / (double)qsizes[q];
+                        double min_skew =
+                            pow(2.0, (double)diffs * alpha + 1.0);
+                        accept = skew >= min_skew;
+                    }
+                    if (accept) {
+                        ++accept_count;
+                        if (best_diffs < 0 || diffs < best_diffs) {
+                            best_t = ti;
+                            best_diffs = (int32_t)diffs;
+                        }
+                    }
+                }
+                if (best_diffs >= 0 && best_diffs <= 1)
+                    break;
+                if (accept_count >= max_accepts)
+                    break;
+            }
+        }
+        out_ti[q] = best_t;
+        out_diffs[q] = best_diffs;
+        if (best_t < 0) {
+            /* admit as centroid (same delta-tier indexing as
+             * cluster_greedy_c's admission) */
+            int64_t ci = cc->db_n;
+            cent_size[ci] = qsizes[q];
+            ++n_cent;
+            if (cc->db_n + 1 >= cc->db_n_cap) {
+                cc->db_n_cap *= 2;
+                cc->db_off = (int64_t *)realloc(
+                    cc->db_off, (cc->db_n_cap + 1) * sizeof(int64_t));
+            }
+            if (cc->db_bytes + L > cc->db_bytes_cap) {
+                while (cc->db_bytes + L > cc->db_bytes_cap)
+                    cc->db_bytes_cap *= 2;
+                cc->db = (uint8_t *)realloc(cc->db, cc->db_bytes_cap);
+            }
+            memcpy(cc->db + cc->db_bytes, seq, (size_t)L);
+            cc->db_off[ci] = cc->db_bytes;
+            cc->db_bytes += L;
+            cc->db_off[ci + 1] = cc->db_bytes;
+            cc->db_n = ci + 1;
+            cc_alloc_rank(cc, (uint32_t)cc->db_n, slot_count,
+                          (uint32_t)L);
+            int64_t pow_w = 1;
+            for (uint32_t k = 1; k < wlen; ++k)
+                pow_w *= alpha_size;
+            uint32_t nw = 0;
+            int64_t word = 0;
+            uint32_t run = 0;
+            for (int64_t i = 0; i < L; ++i) {
+                uint8_t let = ctl_rank[seq[i]];
+                if (let == 0xFF) {
+                    run = 0;
+                    word = 0;
+                    continue;
+                }
+                if (run >= wlen)
+                    word -= (word / pow_w) * pow_w;
+                word = word * alpha_size + let;
+                if (++run >= wlen) {
+                    if (!(cc->seen[word >> 3] & (1u << (word & 7)))) {
+                        cc->seen[word >> 3] |=
+                            (uint8_t)(1u << (word & 7));
+                        cc->uw[nw++] = word;
+                    }
+                }
+            }
+            for (uint32_t k = 0; k < nw; ++k)
+                cc->seen[cc->uw[k] >> 3] = 0;
+            if (cc->dn + nw > cc->dcap) {
+                while (cc->dn + nw > cc->dcap)
+                    cc->dcap *= 2;
+                cc->dw = (int64_t *)realloc(
+                    cc->dw, cc->dcap * sizeof(int64_t));
+                cc->dt = (int32_t *)realloc(
+                    cc->dt, cc->dcap * sizeof(int32_t));
+            }
+            for (uint32_t k = 0; k < nw; ++k) {
+                cc->dw[cc->dn] = cc->uw[k];
+                cc->dt[cc->dn] = (int32_t)ci;
+                ++cc->dn;
+            }
+            if (cc->dn >= CC_RAW_LIMIT)
+                cc_flush_raw(cc);
+        }
+    }
+    free(cent_size);
+    return n_cent;
 }
