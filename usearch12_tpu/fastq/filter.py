@@ -230,10 +230,80 @@ def fastq_filter(input_path: Optional[str]) -> None:
             f.close()
 
 
+def _truncate_files_native(input_path) -> bool:
+    """fastx_truncate via truncate_files_c (FASTQ input)."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return False
+    from ..io.fastx import open_maybe_gz, sniff_format
+    o = options()
+    if sniff_format(input_path) != "fastq":
+        return False
+    with open_maybe_gz(input_path) as f:
+        buf = f.read()
+    relabel_mode = 0
+    relabel = b""
+    r = o.str("relabel", "")
+    if r:
+        relabel_mode = 2 if r.startswith("+") else 1
+        relabel = r.encode("latin1")
+    elif o.filled("label_suffix") and o.str("label_suffix"):
+        relabel_mode = 3
+        relabel = o.str("label_suffix").encode("latin1")
+    padq = (o.str("padq") if o.filled("padq") else "I")[0]
+    f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None
+    f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
+    lens = np.zeros(2, np.int64)
+    cap = len(buf) + 1024 + (len(relabel) + 32) * (len(buf) // 8 + 1) \
+        + (o.uns("padlen") + 4) * (len(buf) // 8 + 1)
+    while True:
+        bq = np.empty(cap if f_fq else 1, np.uint8)
+        ba = np.empty(cap if f_fa else 1, np.uint8)
+        n = lib.truncate_files_c(
+            buf, len(buf),
+            o.uns("stripleft"), o.uns("stripright"),
+            o.uns("padlen"), ord(padq),
+            o.uns("trunclen"),
+            o.uns("minseqlength") if o.filled("minseqlength") else -1,
+            o.uns("maxseqlength") if o.filled("maxseqlength") else -1,
+            int(o.flag("trunclabels")),
+            relabel_mode, relabel, len(relabel),
+            o.uns("fasta_cols"),
+            bq.ctypes.data if f_fq else None, cap if f_fq else 0,
+            lens[0:1].ctypes.data,
+            ba.ctypes.data if f_fa else None, cap if f_fa else 0,
+            lens[1:2].ctypes.data)
+        if n == -3:
+            cap *= 2
+            continue
+        if n < 0:
+            for f in (f_fa, f_fq):
+                if f:
+                    f.close()
+            return False
+        break
+    for f, b, ln in zip((f_fq, f_fa), (bq, ba), lens.tolist()):
+        if f is not None:
+            f.flush()
+            f.buffer.write(b[:int(ln)].tobytes())
+            f.close()
+    from .. import progress
+    progress.start("Filtering")
+    progress.done(f"{n} reads")
+    return True
+
+
 def fastx_truncate(input_path: Optional[str]) -> None:
     """cmd_fastx_truncate (src/fastxtruncate.cpp): -trunclen/-stripleft/
-    -stripright + -padlen."""
+    -stripright + -padlen.  The reference reads all four with oget_uns
+    up front (fastxtruncate.cpp:47-50), so each is REQUIRED (quirk)."""
     o = options()
+    for name in ("padlen", "trunclen", "stripleft", "stripright"):
+        if not o.filled(name):
+            raise SystemExit(f"Required option not set -{name}")
+    if _truncate_files_native(input_path):
+        return
     f_fa = open(o.str("fastaout"), "w") if o.filled("fastaout") else None
     f_fq = open(o.str("fastqout"), "w") if o.filled("fastqout") else None
     relabel = o.str("relabel", "")

@@ -276,6 +276,17 @@ def get_lib():
             ctypes.c_double, ctypes.c_int32,
             vp, vp, i64, vp,
             vp, vp]
+        lib.truncate_files_c.restype = i64
+        lib.truncate_files_c.argtypes = [
+            ctypes.c_char_p, i64,
+            i64, i64,
+            i64, ctypes.c_uint8,
+            i64, i64, i64,
+            i64,
+            i64, ctypes.c_char_p, i64,
+            i64,
+            vp, i64, vp,
+            vp, i64, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

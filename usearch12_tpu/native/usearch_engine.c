@@ -2987,3 +2987,153 @@ int64_t unoise_greedy_c(
     free(cent_size);
     return n_cent;
 }
+
+/* ---- fastx_truncate whole-file loop (src/fastxtruncate.cpp) -----------
+ * stripleft/stripright (skip when too short), pad to padlen with
+ * 'N'/padq, trunclen (skip when shorter), min/maxseqlength gates,
+ * relabel modes as join_files_c.  FASTQ input only (FASTA falls back).
+ * Returns reads; -2 parse error; -3 buffer overflow. */
+int64_t truncate_files_c(
+    const uint8_t *buf, int64_t buf_n,
+    int64_t stripleft, int64_t stripright,
+    int64_t padlen, uint8_t padq,
+    int64_t trunclen, int64_t minlen, int64_t maxlen,
+    int64_t trunc_labels,
+    int64_t relabel_mode, const uint8_t *relabel, int64_t relabel_n,
+    int64_t fasta_cols,
+    uint8_t *out_fq, int64_t cap_fq, int64_t *len_fq,
+    uint8_t *out_fa, int64_t cap_fa, int64_t *len_fa)
+{
+    FqCursor c = {buf, buf_n, 0};
+    int64_t reads = 0, n_out = 0, pfq = 0, pfa = 0;
+    uint8_t *tmp = NULL;
+    size_t tmp_cap = 0;
+    for (;;) {
+        const uint8_t *lab, *seq, *qual;
+        int64_t labn, seqn, qualn;
+        int r = fq_next_rec(&c, &lab, &labn, &seq, &seqn, &qual, &qualn);
+        if (r < 0) {
+            free(tmp);
+            return -2;
+        }
+        if (r == 0)
+            break;
+        ++reads;
+        if (trunc_labels)
+            labn = fq_trunc_label(lab, labn);
+        int64_t lo = 0, n = seqn;
+        if (seqn <= stripleft)
+            continue;
+        lo += stripleft;
+        n -= stripleft;
+        if (n <= stripright)
+            continue;
+        n -= stripright;
+        const uint8_t *s = seq + lo, *q = qual + lo;
+        if (n < padlen) {
+            if ((size_t)padlen * 2 > tmp_cap) {
+                free(tmp);
+                tmp_cap = (size_t)padlen * 4 + 256;
+                tmp = (uint8_t *)malloc(tmp_cap);
+            }
+            memcpy(tmp, s, (size_t)n);
+            memset(tmp + n, 'N', (size_t)(padlen - n));
+            memcpy(tmp + padlen, q, (size_t)n);
+            memset(tmp + padlen + n, padq, (size_t)(padlen - n));
+            s = tmp;
+            q = tmp + padlen;
+            n = padlen;
+        }
+        if (n < trunclen)
+            continue;
+        n = trunclen;
+        if (minlen >= 0 && n < minlen)
+            continue;
+        if (maxlen >= 0 && n > maxlen)
+            continue;
+        ++n_out;
+        uint8_t labbuf[560];
+        int64_t wn = 0;
+        if (relabel_mode == 0) {
+            if (labn > 540) {
+                free(tmp);
+                return -2;
+            }
+            memcpy(labbuf, lab, (size_t)labn);
+            wn = labn;
+        } else {
+            if (labn + relabel_n > 500) {
+                free(tmp);
+                return -2;
+            }
+            if (relabel_mode == 2 || relabel_mode == 3) {
+                memcpy(labbuf, lab, (size_t)labn);
+                wn = labn;
+            }
+            memcpy(labbuf + wn, relabel, (size_t)relabel_n);
+            wn += relabel_n;
+            if (relabel_mode != 3) {   /* 3 = plain suffix, no counter */
+                uint8_t nb[24];
+                int64_t k = 0, v = n_out;
+                do {
+                    nb[k++] = (uint8_t)('0' + v % 10);
+                    v /= 10;
+                } while (v);
+                while (k)
+                    labbuf[wn++] = nb[--k];
+            }
+        }
+        if (out_fq) {
+            int64_t need = 1 + wn + 1 + n + 3 + n + 1;
+            if (pfq + need > cap_fq) {
+                free(tmp);
+                return -3;
+            }
+            out_fq[pfq++] = '@';
+            memcpy(out_fq + pfq, labbuf, (size_t)wn);
+            pfq += wn;
+            out_fq[pfq++] = '\n';
+            memcpy(out_fq + pfq, s, (size_t)n);
+            pfq += n;
+            out_fq[pfq++] = '\n';
+            out_fq[pfq++] = '+';
+            out_fq[pfq++] = '\n';
+            memcpy(out_fq + pfq, q, (size_t)n);
+            pfq += n;
+            out_fq[pfq++] = '\n';
+        }
+        if (out_fa) {
+            int64_t rows = fasta_cols > 0
+                ? (n + fasta_cols - 1) / fasta_cols : 1;
+            if (rows == 0)
+                rows = 1;
+            int64_t need = 1 + wn + 1 + n + rows + 1;
+            if (pfa + need > cap_fa) {
+                free(tmp);
+                return -3;
+            }
+            out_fa[pfa++] = '>';
+            memcpy(out_fa + pfa, labbuf, (size_t)wn);
+            pfa += wn;
+            out_fa[pfa++] = '\n';
+            if (fasta_cols <= 0) {
+                memcpy(out_fa + pfa, s, (size_t)n);
+                pfa += n;
+                out_fa[pfa++] = '\n';
+            } else {
+                for (int64_t i = 0; i < n; i += fasta_cols) {
+                    int64_t m = n - i < fasta_cols ? n - i : fasta_cols;
+                    memcpy(out_fa + pfa, s + i, (size_t)m);
+                    pfa += m;
+                    out_fa[pfa++] = '\n';
+                }
+                if (n == 0)
+                    out_fa[pfa++] = '\n';
+            }
+        }
+    }
+    free(tmp);
+    *len_fq = pfq;
+    *len_fa = pfa;
+    return reads;
+}
