@@ -381,6 +381,35 @@ def fastq_filter2(input_path: Optional[str]) -> None:
         if not o.filled("output2"):
             raise SystemExit("-output2 required with -fastqout")
         f2 = open(o.str("output2"), "w")
+
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None and not o.flag("trunclabels"):
+        import numpy as np
+        from ..io.fastx import open_maybe_gz
+        with open_maybe_gz(input_path) as f:
+            fwd = f.read()
+        with open_maybe_gz(rev_path) as f:
+            rev = f.read()
+        lens = np.zeros(2, np.int64)
+        cap1 = len(fwd) + 64
+        cap2 = len(rev) + 64
+        b1 = np.empty(cap1 if f1 else 1, np.uint8)
+        b2 = np.empty(cap2 if f2 else 1, np.uint8)
+        n = lib.filter2_files_c(
+            fwd, len(fwd), rev, len(rev),
+            float(max_ee), fq._ctp_c().ctypes.data,
+            b1.ctypes.data if f1 else None, cap1 if f1 else 0,
+            lens[0:1].ctypes.data,
+            b2.ctypes.data if f2 else None, cap2 if f2 else 0,
+            lens[1:2].ctypes.data)
+        if n >= 0:
+            for f, b, ln in zip((f1, f2), (b1, b2), lens.tolist()):
+                if f is not None:
+                    f.flush()
+                    f.buffer.write(b[:int(ln)].tobytes())
+                    f.close()
+            return
     for (l1, s1, q1), (l2, s2, q2) in zip(read_fastq(input_path),
                                           read_fastq(rev_path)):
         ee1 = fq.get_ee(q1)

@@ -287,6 +287,11 @@ def get_lib():
             i64,
             vp, i64, vp,
             vp, i64, vp]
+        lib.filter2_files_c.restype = i64
+        lib.filter2_files_c.argtypes = [
+            ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+            ctypes.c_double, vp,
+            vp, i64, vp, vp, i64, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

@@ -3137,3 +3137,78 @@ int64_t truncate_files_c(
     *len_fa = pfa;
     return reads;
 }
+
+/* ---- fastq_filter2 whole-file loop (src/fastqfilter2.cpp) -------------
+ * Keep pairs where both reads have EE <= max_ee and zero N/n bases;
+ * records are echoed verbatim (label untouched).  Returns pairs,
+ * -2 parse error, -3 overflow. */
+int64_t filter2_files_c(
+    const uint8_t *fwd, int64_t fwd_n,
+    const uint8_t *rev, int64_t rev_n,
+    double max_ee, const double *char_to_prob,
+    uint8_t *out1, int64_t cap1, int64_t *len1,
+    uint8_t *out2, int64_t cap2, int64_t *len2)
+{
+    FqCursor c1 = {fwd, fwd_n, 0}, c2 = {rev, rev_n, 0};
+    int64_t pairs = 0, p1 = 0, p2 = 0;
+    for (;;) {
+        const uint8_t *lab1, *s1, *q1, *lab2, *s2, *q2;
+        int64_t lab1n, s1n, q1n, lab2n, s2n, q2n;
+        int r1 = fq_next_rec(&c1, &lab1, &lab1n, &s1, &s1n, &q1, &q1n);
+        int r2 = fq_next_rec(&c2, &lab2, &lab2n, &s2, &s2n, &q2, &q2n);
+        if (r1 < 0 || r2 < 0)
+            return -2;
+        if (r1 == 0 || r2 == 0)
+            break;
+        ++pairs;
+        int ok = 1;
+        for (int64_t i = 0; i < s1n && ok; ++i)
+            if (s1[i] == 'N' || s1[i] == 'n')
+                ok = 0;
+        for (int64_t i = 0; i < s2n && ok; ++i)
+            if (s2[i] == 'N' || s2[i] == 'n')
+                ok = 0;
+        if (ok && (ee_sum_c(q1, q1n, char_to_prob) > max_ee ||
+                   ee_sum_c(q2, q2n, char_to_prob) > max_ee))
+            ok = 0;
+        if (!ok)
+            continue;
+        if (out1) {
+            int64_t need = 1 + lab1n + 1 + s1n + 3 + q1n + 1;
+            if (p1 + need > cap1)
+                return -3;
+            out1[p1++] = '@';
+            memcpy(out1 + p1, lab1, (size_t)lab1n);
+            p1 += lab1n;
+            out1[p1++] = '\n';
+            memcpy(out1 + p1, s1, (size_t)s1n);
+            p1 += s1n;
+            out1[p1++] = '\n';
+            out1[p1++] = '+';
+            out1[p1++] = '\n';
+            memcpy(out1 + p1, q1, (size_t)q1n);
+            p1 += q1n;
+            out1[p1++] = '\n';
+        }
+        if (out2) {
+            int64_t need = 1 + lab2n + 1 + s2n + 3 + q2n + 1;
+            if (p2 + need > cap2)
+                return -3;
+            out2[p2++] = '@';
+            memcpy(out2 + p2, lab2, (size_t)lab2n);
+            p2 += lab2n;
+            out2[p2++] = '\n';
+            memcpy(out2 + p2, s2, (size_t)s2n);
+            p2 += s2n;
+            out2[p2++] = '\n';
+            out2[p2++] = '+';
+            out2[p2++] = '\n';
+            memcpy(out2 + p2, q2, (size_t)q2n);
+            p2 += q2n;
+            out2[p2++] = '\n';
+        }
+    }
+    *len1 = p1;
+    *len2 = p2;
+    return pairs;
+}
