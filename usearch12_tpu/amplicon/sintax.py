@@ -216,6 +216,72 @@ class SintaxClassifier:
             out_u[boot] = top_u
         return out_ti, out_u
 
+    def classify_window(self, seqs, both: bool):
+        """Window of queries through sintax_window_c: per query the
+        whole classify pipeline (both strands, unique words, boots,
+        tally, strand vote) in one C call.  Returns a list of
+        (strand_char, ids, counts, last_twc) or None (no native lib /
+        hashed dictionary)."""
+        lib = self._lib
+        if lib is False:
+            from ..native import get_lib
+            lib = self._lib = get_lib()
+        if (lib is None or self.index.params.hashed
+                or self.index._postings is None):
+            return None
+        import ctypes
+        n = len(seqs)
+        if n == 0:
+            return []
+        if self._es is None:
+            self._es = lib.engine_scratch_create()
+            self._gx = np.array(self.grand.x, dtype=np.uint64)
+        params = self.index.params
+        if getattr(self, "_win_ctl", None) is None:
+            from ..alpha import (CHAR_TO_LETTER_NUCLEO,
+                                 CHAR_TO_LETTER_AMINO, CHAR_TO_COMP_CHAR,
+                                 IS_LOWER)
+            ctl = (CHAR_TO_LETTER_NUCLEO if params.is_nucleo
+                   else CHAR_TO_LETTER_AMINO).copy()
+            ctl[IS_LOWER] = 0xFF
+            self._win_ctl = np.ascontiguousarray(ctl)
+            self._win_comp = np.ascontiguousarray(CHAR_TO_COMP_CHAR)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        qcat = np.concatenate(
+            [np.ascontiguousarray(s) for s in seqs]) if n else \
+            np.zeros(0, np.uint8)
+        B = self.boots
+        out_ntax = np.empty(n, np.int32)
+        out_ids = np.empty(n * B, np.int32)
+        out_cnts = np.empty(n * B, np.int32)
+        out_twc = np.empty(n, np.int32)
+        out_strand = np.empty(n, np.uint8)
+        lib.sintax_window_c(
+            self._es, qcat.ctypes.data, offs.ctypes.data, n,
+            self._win_comp.ctypes.data, int(both),
+            self._win_ctl.ctypes.data, params.alpha_size,
+            params.word_length, params.slot_count,
+            self.index._starts.ctypes.data,
+            self.index._postings.ctypes.data, self.index.seq_count,
+            B, self.boot_subset, int(self.boot_subset_divide),
+            self.randseed, self._gx.ctypes.data,
+            self._tax_id.ctypes.data,
+            out_ntax.ctypes.data, out_ids.ctypes.data,
+            out_cnts.ctypes.data, out_twc.ctypes.data,
+            out_strand.ctypes.data)
+        res = []
+        ids_l = out_ids.tolist()
+        cnts_l = out_cnts.tolist()
+        for i in range(n):
+            k = int(out_ntax[i])
+            res.append((chr(out_strand[i]) if out_strand[i] else "+",
+                        ids_l[i * B:i * B + k],
+                        cnts_l[i * B:i * B + k],
+                        int(out_twc[i])))
+        return res
+
     def classify(self, q_seq: np.ndarray):
         """Returns (pred names, Ps, top_word_count)."""
         params = self.index.params
@@ -247,6 +313,12 @@ class SintaxClassifier:
             ids = [int(uti[i]) for i in order]
             counts = [int(ucnt[i]) for i in order]
 
+        pred, ps = self.pred_from_tally(ids, counts)
+        return pred, ps, top_word_count
+
+    def pred_from_tally(self, ids, counts):
+        """pred names + cumulative Ps from the ordered (tax id, count)
+        tally (the tail of Classify, src/sintaxsearcher.cpp:200-228)."""
         top_id = ids[0]
         top_count = counts[0]
         pred = self._tax_names[top_id]
@@ -269,7 +341,7 @@ class SintaxClassifier:
             p = cnt * (1.0 / self.boots)
             prod_p *= p
             ps.append(prod_p)
-        return pred, ps, top_word_count
+        return pred, ps
 
 
 def sintax(query_path: Optional[str]) -> None:
@@ -296,6 +368,65 @@ def sintax(query_path: Optional[str]) -> None:
 
     f = open(o.str("tabbedout"), "w") if o.filled("tabbedout") else None
     from ..io.fastx import read_fastx
+
+    def write_row(label, c_strand, pred, ps, last_twc, out_buf):
+        ap = out_buf.append
+        if last_twc == 0:
+            ap(label + "\t*\t*\t*\n")
+            return
+        parts = [label, "\t",
+                 ",".join(f"{n}({p:.4f})" for n, p in zip(pred, ps)),
+                 "\t", c_strand, "\t"]
+        out = []
+        for i, (n, p) in enumerate(zip(pred, ps)):
+            if p < cutoff:
+                if i == 0:
+                    out.append("*")
+                break
+            out.append(n)
+        parts.append(",".join(out) if out != ["*"] else "*")
+        parts.append("\n")
+        ap("".join(parts))
+
+    # windowed native classify (one C call per window); falls back to the
+    # per-query path when the native lib or plain postings are missing
+    use_window = cls.classify_window([], both) is not None
+    if use_window:
+        W = 512
+        win_labels = []
+        win_seqs = []
+        out_buf = []
+
+        def flush():
+            res = cls.classify_window(win_seqs, both)
+            for label, (c_strand, ids, counts, last_twc) in zip(
+                    win_labels, res):
+                if f is None:
+                    continue
+                if last_twc == 0 or not ids:
+                    write_row(label, c_strand, [], [], 0, out_buf)
+                else:
+                    pred, ps = cls.pred_from_tally(ids, counts)
+                    write_row(label, c_strand, pred, ps, last_twc,
+                              out_buf)
+            if f is not None and out_buf:
+                f.write("".join(out_buf))
+                out_buf.clear()
+            win_labels.clear()
+            win_seqs.clear()
+
+        for label, seq, _q in read_fastx(query_path, stream=True):
+            if len(seq) == 0:
+                continue
+            win_labels.append(label)
+            win_seqs.append(seq)
+            if len(win_seqs) >= W:
+                flush()
+        flush()
+        if f:
+            f.close()
+        return
+
     for label, seq, _q in read_fastx(query_path, stream=True):
         if len(seq) == 0:
             continue
@@ -315,21 +446,8 @@ def sintax(query_path: Optional[str]) -> None:
         last_twc = twc_r if both else twc_f
         if f is None:
             continue
-        f.write(label)
-        if last_twc == 0:
-            f.write("\t*\t*\t*\n")
-            continue
-        f.write("\t")
-        f.write(",".join(f"{n}({p:.4f})" for n, p in zip(pred, ps)))
-        f.write(f"\t{c_strand}\t")
-        out = []
-        for i, (n, p) in enumerate(zip(pred, ps)):
-            if p < cutoff:
-                if i == 0:
-                    out.append("*")
-                break
-            out.append(n)
-        f.write(",".join(out) if out != ["*"] else "*")
-        f.write("\n")
+        out_one = []
+        write_row(label, c_strand, pred, ps, last_twc, out_one)
+        f.write("".join(out_one))
     if f:
         f.close()

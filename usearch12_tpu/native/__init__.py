@@ -292,6 +292,17 @@ def get_lib():
             ctypes.c_char_p, i64, ctypes.c_char_p, i64,
             ctypes.c_double, vp,
             vp, i64, vp, vp, i64, vp]
+        lib.sintax_window_c.restype = i64
+        lib.sintax_window_c.argtypes = [
+            vp,
+            vp, vp, i64,
+            vp, ctypes.c_int,
+            vp, ctypes.c_uint32, ctypes.c_uint32, i64,
+            vp, vp, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint32, vp,
+            vp,
+            vp, vp, vp, vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

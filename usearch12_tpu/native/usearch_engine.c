@@ -95,6 +95,10 @@ typedef struct {
     size_t sx_data_cap;
     int64_t *sx_off;
     size_t sx_off_cap;
+    uint8_t *sx_seen;       /* sintax window: unique-word bitmap */
+    size_t sx_seen_cap;
+    int64_t *sx_uw;
+    size_t sx_uw_cap;
     uint32_t hsps[512 * 4]; /* per-pair chained HSPs */
 } EngineScratch;
 
@@ -115,6 +119,8 @@ void engine_scratch_destroy(EngineScratch *s)
     free(s->stage_cnt);
     free(s->sx_data);
     free(s->sx_off);
+    free(s->sx_seen);
+    free(s->sx_uw);
     free(s);
 }
 
@@ -3211,4 +3217,123 @@ int64_t filter2_files_c(
     *len1 = p1;
     *len2 = p2;
     return pairs;
+}
+
+/* ---- sintax whole-window classify core (src/sintaxsearcher.cpp) -------
+ * For each query: forward (and optional revcomp) strand unique words ->
+ * sintax_boots_c -> winner-tax tallies; strand with the higher top word
+ * count wins (fwd on ties); the reference's m_TopWordCount quirk means
+ * the '*'-row check uses the LAST classified strand's count.  Writes the
+ * chosen strand's ordered (tax id, count) list per query.
+ * out_strand: '+', '-', or 0 when nuw < 8 on every strand. */
+int64_t sintax_window_c(
+    EngineScratch *es,
+    const uint8_t *qcat, const int64_t *q_off, int64_t n_q,
+    const uint8_t *comp, int strand_both,
+    const uint8_t *ctl, uint32_t alpha_size, uint32_t wlen,
+    int64_t slot_count,
+    const int64_t *starts, const int32_t *postings, uint32_t seq_count,
+    int boots, int boot_subset, int subset_divide,
+    uint32_t r0, uint64_t *grand_x,
+    const int32_t *tax_id,
+    int32_t *out_ntax, int32_t *out_ids, int32_t *out_cnts,
+    int32_t *out_twc_last, uint8_t *out_strand)
+{
+    if ((size_t)((slot_count + 7) / 8) > es->sx_seen_cap) {
+        free(es->sx_seen);
+        es->sx_seen_cap = (size_t)((slot_count + 7) / 8);
+        es->sx_seen = (uint8_t *)calloc(es->sx_seen_cap, 1);
+    }
+    int32_t *ti_buf = (int32_t *)malloc((size_t)boots * 4 *
+                                        sizeof(int32_t));
+    int32_t *u_buf = ti_buf + boots;
+    int32_t *ids2 = ti_buf + 2 * boots;
+    int32_t *cnts2 = ti_buf + 3 * boots;
+    uint8_t *rc = NULL;
+    size_t rc_cap = 0;
+    int64_t pow_w = 1;
+    for (uint32_t k = 1; k < wlen; ++k)
+        pow_w *= alpha_size;
+    for (int64_t qi = 0; qi < n_q; ++qi) {
+        const uint8_t *seq = qcat + q_off[qi];
+        int64_t L = q_off[qi + 1] - q_off[qi];
+        int n_str = strand_both ? 2 : 1;
+        int32_t twc_s[2] = {0, 0};
+        int32_t ntax_s[2] = {0, 0};
+        for (int s = 0; s < n_str; ++s) {
+            const uint8_t *sp = seq;
+            if (s == 1) {
+                if ((size_t)L > rc_cap) {
+                    free(rc);
+                    rc_cap = (size_t)L * 2 + 64;
+                    rc = (uint8_t *)malloc(rc_cap);
+                }
+                for (int64_t i = 0; i < L; ++i)
+                    rc[i] = comp[seq[L - 1 - i]];
+                sp = rc;
+            }
+            /* unique words, first-occurrence order */
+            if ((size_t)L + 1 > es->sx_uw_cap) {
+                free(es->sx_uw);
+                es->sx_uw_cap = (size_t)L * 2 + 64;
+                es->sx_uw = (int64_t *)malloc(es->sx_uw_cap *
+                                              sizeof(int64_t));
+            }
+            int64_t *uw = es->sx_uw;
+            uint8_t *seen = es->sx_seen;
+            uint32_t nuw = 0;
+            int64_t word = 0;
+            uint32_t run = 0;
+            for (int64_t i = 0; i < L; ++i) {
+                uint8_t let = ctl[sp[i]];
+                if (let == 0xFF) {
+                    run = 0;
+                    word = 0;
+                    continue;
+                }
+                if (run >= wlen)
+                    word -= (word / pow_w) * pow_w;
+                word = word * alpha_size + let;
+                if (++run >= wlen) {
+                    if (!(seen[word >> 3] & (1u << (word & 7)))) {
+                        seen[word >> 3] |= (uint8_t)(1u << (word & 7));
+                        uw[nuw++] = word;
+                    }
+                }
+            }
+            for (uint32_t k = 0; k < nuw; ++k)
+                seen[uw[k] >> 3] = 0;
+            if (nuw < 8)
+                continue;    /* classify() returns before any RNG use */
+            int m = subset_divide ? (int)(nuw / (uint32_t)boot_subset)
+                                  : boot_subset;
+            int32_t twc = 0;
+            /* fwd writes the output slot directly; rc goes to scratch
+             * and is copied in only when it strictly wins the vote */
+            int32_t *ids_dst = (s == 0)
+                ? out_ids + (size_t)qi * boots : ids2;
+            int32_t *cnts_dst = (s == 0)
+                ? out_cnts + (size_t)qi * boots : cnts2;
+            ntax_s[s] = (int32_t)sintax_boots_c(
+                es, uw, nuw, starts, postings, seq_count, boots, m,
+                r0, grand_x, tax_id, ti_buf, u_buf,
+                ids_dst, cnts_dst, &twc);
+            twc_s[s] = twc;
+        }
+        /* OnQueryDoneImpl: fwd wins ties; the '*'-row check uses the
+         * LAST classified strand's top word count */
+        int use_fwd = twc_s[0] >= twc_s[1];
+        if (!use_fwd) {
+            memcpy(out_ids + (size_t)qi * boots, ids2,
+                   (size_t)ntax_s[1] * sizeof(int32_t));
+            memcpy(out_cnts + (size_t)qi * boots, cnts2,
+                   (size_t)ntax_s[1] * sizeof(int32_t));
+        }
+        out_ntax[qi] = use_fwd ? ntax_s[0] : ntax_s[1];
+        out_twc_last[qi] = strand_both ? twc_s[1] : twc_s[0];
+        out_strand[qi] = use_fwd ? '+' : '-';
+    }
+    free(ti_buf);
+    free(rc);
+    return n_q;
 }
