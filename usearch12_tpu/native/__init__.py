@@ -303,6 +303,22 @@ def get_lib():
             ctypes.c_uint32, vp,
             vp,
             vp, vp, vp, vp, vp]
+        lib.local_multi_c.restype = i64
+        lib.local_multi_c.argtypes = [
+            vp, vp,
+            vp, i64, vp, i64,
+            vp, vp, i64,
+            vp, i64, i64,
+            vp,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            i64,
+            vp, vp,
+            vp, i64, vp]
+        lib.local_setq_c.restype = i64
+        lib.local_setq_c.argtypes = [vp, i64, vp, i64, i64, vp, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,

@@ -3337,3 +3337,211 @@ int64_t sintax_window_c(
     free(rc);
     return n_q;
 }
+
+/* ---- usearch_local AlignMulti target scan (src/localmulti.cpp:9-118) --
+ * Scan target words; at a seed hit try each query position in
+ * ascending order; a kept hit advances the scan to HSP.hij+1; a
+ * LargeOverlap discard falls through to the next query position.
+ * Query words arrive pre-sorted with their stable position order
+ * (LocalAligner2::SetQueryImpl).  Target words roll with wildcards
+ * degraded to letter 0.  Returns kept-hit count (or -3 when path_buf
+ * is too small; caller grows and retries). */
+typedef struct XDScratch XDScratch;
+extern int local_align_pos(XDScratch *s, const byte *Q, uint32_t ql,
+                           const byte *T, uint32_t tl, uint32_t qpos,
+                           uint32_t tpos, const float *mx, float xdrop_u,
+                           float xdrop_g, float open_p, float ext_p,
+                           float min_ungapped_score,
+                           double gapped_lambda, double log_gapped_k,
+                           double db_size, double max_evalue,
+                           uint32_t *hsp_out, float *score_out,
+                           double *evalue_out, char *path_out);
+extern double score_local_path_c(const uint8_t *q, const uint8_t *t,
+                                 const char *path, int64_t n,
+                                 const float *mx, float open_p,
+                                 float ext_p);
+
+static int64_t lm_lower_bound(const int64_t *a, int64_t n, int64_t key)
+{
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (a[mid] < key)
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    return lo;
+}
+
+int64_t local_multi_c(
+    XDScratch *s, EngineScratch *es,
+    const uint8_t *q, int64_t ql, const uint8_t *t, int64_t tl,
+    const int64_t *q_sorted_words, const int64_t *q_pos_order,
+    int64_t n_qw,
+    const uint8_t *ctl, int64_t alpha_size, int64_t wlen,
+    const float *mx,
+    double xdrop_u, double xdrop_g, double local_open, double local_ext,
+    double min_ungapped,
+    double gapped_lambda, double log_gapped_k, double db_size,
+    double max_evalue,
+    int64_t max_hits,
+    int32_t *out_hsp, double *out_raw,
+    char *path_buf, int64_t path_cap, int64_t *path_off)
+{
+    if (tl < 2 * wlen)
+        return 0;
+    int64_t n_tw = tl - wlen + 1;
+    /* rolling target words, wildcards -> 0 */
+    if ((size_t)n_tw > es->sx_uw_cap) {
+        free(es->sx_uw);
+        es->sx_uw_cap = (size_t)n_tw * 2 + 64;
+        es->sx_uw = (int64_t *)malloc(es->sx_uw_cap * sizeof(int64_t));
+    }
+    int64_t *tw = es->sx_uw;
+    {
+        int64_t pw = 1;
+        for (int64_t k = 1; k < wlen; ++k)
+            pw *= alpha_size;
+        int64_t word = 0;
+        for (int64_t i = 0; i < tl; ++i) {
+            int64_t let = ctl[t[i]];
+            if (let >= alpha_size)
+                let = 0;
+            if (i >= wlen)
+                word -= (word / pw) * pw;
+            word = word * alpha_size + let;
+            if (i >= wlen - 1)
+                tw[i - wlen + 1] = word;
+        }
+    }
+    int64_t n_hits = 0;
+    int64_t ppos = 0;
+    uint32_t hsp_out[4];
+    float score;
+    double evalue;
+    char *tmp_path = es->path;
+    if ((size_t)(2 * (ql + tl) + 16) > es->path_cap) {
+        free(es->path);
+        es->path_cap = (size_t)(2 * (ql + tl) + 16) * 2;
+        es->path = (char *)malloc(es->path_cap);
+        tmp_path = es->path;
+    }
+    path_off[0] = 0;
+    int64_t tpos = 0;
+    while (tpos < n_tw) {
+        int64_t key = tw[tpos];
+        int64_t lo = lm_lower_bound(q_sorted_words, n_qw, key);
+        int64_t hi = lm_lower_bound(q_sorted_words, n_qw, key + 1);
+        int kept_here = 0;
+        for (int64_t kk = lo; kk < hi; ++kk) {
+            int64_t qpos = q_pos_order[kk];
+            if (!local_align_pos(s, q, (uint32_t)ql, t, (uint32_t)tl,
+                                 (uint32_t)qpos, (uint32_t)tpos, mx,
+                                 (float)xdrop_u, (float)xdrop_g,
+                                 (float)local_open, (float)local_ext,
+                                 (float)min_ungapped,
+                                 gapped_lambda, log_gapped_k, db_size,
+                                 max_evalue, hsp_out, &score, &evalue,
+                                 tmp_path))
+                continue;
+            int64_t loi = hsp_out[0], loj = hsp_out[1];
+            int64_t leni = hsp_out[2], lenj = hsp_out[3];
+            int64_t hii = loi + leni - 1, hij = loj + lenj - 1;
+            /* LargeOverlap vs kept hits (OverlapFract > 0.5) */
+            int large = 0;
+            for (int64_t h = 0; h < n_hits; ++h) {
+                int64_t kloi = out_hsp[4 * h], kloj = out_hsp[4 * h + 1];
+                int64_t kleni = out_hsp[4 * h + 2];
+                int64_t klenj = out_hsp[4 * h + 3];
+                if (leni == 0 || lenj == 0)
+                    break;
+                int64_t khii = kloi + kleni - 1;
+                int64_t khij = kloj + klenj - 1;
+                int64_t mlo_i = loi > kloi ? loi : kloi;
+                int64_t mlo_j = loj > kloj ? loj : kloj;
+                int64_t mhi_i = hii < khii ? hii : khii;
+                int64_t mhi_j = hij < khij ? hij : khij;
+                int64_t ovi = mhi_i < mlo_i ? 0 : mhi_i - mlo_i;
+                int64_t ovj = mhi_j < mlo_j ? 0 : mhi_j - mlo_j;
+                double fract = (double)(ovi * ovj)
+                    / (double)(leni * lenj);
+                if (fract > 0.5) {
+                    large = 1;
+                    break;
+                }
+            }
+            if (large)
+                continue;
+            if (n_hits >= max_hits)
+                return -4;        /* caller retries with bigger arrays */
+            int64_t plen = (int64_t)strlen(tmp_path);
+            if (ppos + plen > path_cap)
+                return -3;
+            memcpy(path_buf + ppos, tmp_path, (size_t)plen);
+            ppos += plen;
+            out_hsp[4 * n_hits] = (int32_t)loi;
+            out_hsp[4 * n_hits + 1] = (int32_t)loj;
+            out_hsp[4 * n_hits + 2] = (int32_t)leni;
+            out_hsp[4 * n_hits + 3] = (int32_t)lenj;
+            double raw = score_local_path_c(q + loi, t + loj, tmp_path,
+                                            plen, mx, (float)local_open,
+                                            (float)local_ext);
+            out_raw[n_hits] = (double)(float)raw;
+            ++n_hits;
+            path_off[n_hits] = ppos;
+            int64_t new_tpos = hij + 1;
+            tpos = new_tpos > tpos ? new_tpos : tpos + 1;
+            kept_here = 1;
+            break;
+        }
+        if (!kept_here)
+            ++tpos;
+    }
+    return n_hits;
+}
+
+/* ---- LocalAligner2::SetQueryImpl word dictionary ----------------------
+ * Rolling query words (wildcards -> 0) sorted by word with stable
+ * position order — a counting sort over the small word space, exactly
+ * np.argsort(kind='stable').  Returns n words. */
+int64_t local_setq_c(const uint8_t *q, int64_t ql,
+                     const uint8_t *ctl, int64_t alpha_size, int64_t wlen,
+                     int64_t *out_sorted_words, int64_t *out_pos_order)
+{
+    if (ql < wlen)
+        return 0;
+    int64_t n = ql - wlen + 1;
+    int64_t nslots = 1;
+    for (int64_t k = 0; k < wlen; ++k)
+        nslots *= alpha_size;
+    int64_t *words = (int64_t *)malloc((size_t)n * sizeof(int64_t));
+    int64_t *cnt = (int64_t *)calloc((size_t)nslots + 1, sizeof(int64_t));
+    int64_t pw = 1;
+    for (int64_t k = 1; k < wlen; ++k)
+        pw *= alpha_size;
+    int64_t word = 0;
+    for (int64_t i = 0; i < ql; ++i) {
+        int64_t let = ctl[q[i]];
+        if (let >= alpha_size)
+            let = 0;
+        if (i >= wlen)
+            word -= (word / pw) * pw;
+        word = word * alpha_size + let;
+        if (i >= wlen - 1) {
+            words[i - wlen + 1] = word;
+            ++cnt[word + 1];
+        }
+    }
+    for (int64_t w = 0; w < nslots; ++w)
+        cnt[w + 1] += cnt[w];
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t w = words[i];
+        int64_t slot = cnt[w]++;
+        out_sorted_words[slot] = w;
+        out_pos_order[slot] = i;
+    }
+    free(words);
+    free(cnt);
+    return n;
+}

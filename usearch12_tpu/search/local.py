@@ -207,10 +207,26 @@ class LocalAligner2:
         # vectorized searchsorted in align_multi (positions ascend per
         # word thanks to the stable argsort)
         if len(seq) > self.word_length:
-            words = _rolling_words(seq, self.word_length, self.nucleo)
-            order = np.argsort(words, kind="stable")
-            self._q_sorted_words = words[order]
-            self._q_pos_order = order
+            if hasattr(self.lib, "local_setq_c"):
+                ctl = getattr(self, "_ctl_c", None)
+                if ctl is None:
+                    ctl = self._ctl_c = np.ascontiguousarray(
+                        CHAR_TO_LETTER_NUCLEO if self.nucleo
+                        else CHAR_TO_LETTER_AMINO)
+                n = len(seq) - self.word_length + 1
+                sw = np.empty(n, np.int64)
+                order = np.empty(n, np.int64)
+                self.lib.local_setq_c(
+                    self.query_seq.ctypes.data, len(seq),
+                    ctl.ctypes.data, 4 if self.nucleo else 20,
+                    self.word_length, sw.ctypes.data, order.ctypes.data)
+                self._q_sorted_words = sw
+                self._q_pos_order = order
+            else:
+                words = _rolling_words(seq, self.word_length, self.nucleo)
+                order = np.argsort(words, kind="stable")
+                self._q_sorted_words = words[order]
+                self._q_pos_order = order
         else:
             self._q_sorted_words = np.zeros(0, dtype=np.int64)
             self._q_pos_order = np.zeros(0, dtype=np.int64)
@@ -231,6 +247,73 @@ class LocalAligner2:
             ctypes.byref(self._evalue), self._path_buf)
         return ok
 
+    def _multi_native(self, t_label, q, ql, t, tl, max_evalue):
+        """Whole AlignMulti scan via local_multi_c; None = unavailable
+        (no C table or ctl for this alphabet)."""
+        lib = self.lib
+        if not hasattr(lib, "local_multi_c"):
+            return None
+        if getattr(self, "_es_scratch", None) is None:
+            self._es_scratch = lib.engine_scratch_create()
+            self._ctl_c = np.ascontiguousarray(
+                CHAR_TO_LETTER_NUCLEO if self.nucleo
+                else CHAR_TO_LETTER_AMINO)
+            self._mh_cap = 64
+            self._mh_hsp = np.empty(self._mh_cap * 4, np.int32)
+            self._mh_raw = np.empty(self._mh_cap, np.float64)
+            self._mh_poff = np.empty(self._mh_cap + 1, np.int64)
+            self._mh_pcap = 1 << 16
+            self._mh_paths = np.empty(self._mh_pcap, np.uint8)
+        sw = self._q_sorted_words
+        qorder = self._q_pos_order
+        alpha = 4 if self.nucleo else 20
+        while True:
+            n = lib.local_multi_c(
+                self.scratch, self._es_scratch,
+                q.ctypes.data, ql, t.ctypes.data, tl,
+                sw.ctypes.data, qorder.ctypes.data, len(sw),
+                self._ctl_c.ctypes.data, alpha, self.word_length,
+                self._mx_ptr,
+                self.ah.xdrop_u, self.ah.xdrop_g,
+                self.ap.local_open, self.ap.local_ext,
+                self.min_ungapped,
+                self.es.gapped_lambda, self.es.log_gapped_k,
+                self.es.db_size, max_evalue,
+                self._mh_cap,
+                self._mh_hsp.ctypes.data, self._mh_raw.ctypes.data,
+                self._mh_paths.ctypes.data, self._mh_pcap,
+                self._mh_poff.ctypes.data)
+            if n == -3:
+                self._mh_pcap *= 2
+                self._mh_paths = np.empty(self._mh_pcap, np.uint8)
+                continue
+            if n == -4:
+                self._mh_cap *= 2
+                self._mh_hsp = np.empty(self._mh_cap * 4, np.int32)
+                self._mh_raw = np.empty(self._mh_cap, np.float64)
+                self._mh_poff = np.empty(self._mh_cap + 1, np.int64)
+                continue
+            break
+        ars: List[AlignResult] = []
+        hs = self._mh_hsp
+        po = self._mh_poff
+        pb = self._mh_paths
+        for k in range(n):
+            loi, loj, leni, lenj = (int(v) for v in hs[4 * k:4 * k + 4])
+            path = pb[int(po[k]):int(po[k + 1])].tobytes().decode("ascii")
+            raw = float(self._mh_raw[k])
+            ar = AlignResult(
+                query_label=self.query_label, target_label=t_label,
+                query_seq=q, target_seq=t, path=path,
+                nucleo=self.nucleo, local=True, loi=loi, loj=loj,
+                raw_score=raw,
+                evalue=self.es.raw_to_evalue(raw, ql, True))
+            ar.leni_local = leni
+            ar.lenj_local = lenj
+            ar.bit_score = self.es.raw_to_bit(raw, True)
+            ars.append(ar)
+        return ars
+
     def align_multi(self, t_label: str, t_seq: np.ndarray
                     ) -> List[AlignResult]:
         """AlignMulti (src/localmulti.cpp:9-118): scan target words; at a
@@ -247,6 +330,10 @@ class LocalAligner2:
         tl = len(t)
         q_ptr = q.ctypes.data
         t_ptr = t.ctypes.data
+        max_evalue = options().flt("evalue")
+        fast = self._multi_native(t_label, q, ql, t, tl, max_evalue)
+        if fast is not None:
+            return fast
         cached = self._tword_cache.get(id(t_seq))
         if cached is None:
             twords = _rolling_words(t, w, self.nucleo)
@@ -254,7 +341,6 @@ class LocalAligner2:
         else:
             twords = cached[1]
         n_tw = len(twords)
-        max_evalue = options().flt("evalue")
         hsps: List[HSP] = []
 
         sw = self._q_sorted_words
