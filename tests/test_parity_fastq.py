@@ -114,3 +114,57 @@ def test_fastq_mergepairs_report_parity(ref_bin, paired_fq, tmp_path):
     assert cli_main(["-fastq_mergepairs", r1, "-reverse", r2,
                      "-fastqout", m_fq, "-report", m_rep, "-quiet"]) == 0
     assert open(g_rep).read() == open(m_rep).read()
+
+
+def _adversarial_pairs(tmp_path, n=600, seed=123):
+    """Odd lengths incl. empty reads, N bases, low quals, CRLF lines."""
+    rng = np.random.default_rng(seed)
+    conv = "ACGTN"
+
+    def rand_read():
+        L = int(rng.integers(0, 80))
+        s = "".join(conv[int(i)] for i in rng.integers(0, 5, L))
+        q = "".join(chr(33 + int(v)) for v in rng.integers(0, 41, L))
+        return s, q
+    f1p = str(tmp_path / "adv1.fq")
+    f2p = str(tmp_path / "adv2.fq")
+    with open(f1p, "w", newline="") as f1, \
+            open(f2p, "w", newline="") as f2:
+        for i in range(n):
+            s1, q1 = rand_read()
+            s2, q2 = rand_read()
+            crlf = "\r\n" if i % 7 == 0 else "\n"
+            f1.write(f"@fz{i} 1:N:0:1{crlf}{s1}{crlf}+{crlf}{q1}{crlf}")
+            f2.write(f"@fz{i} 2:N:0:1{crlf}{s2}{crlf}+{crlf}{q2}{crlf}")
+    return f1p, f2p
+
+
+def test_fastq_adversarial_parity(ref_bin, tmp_path):
+    """Empty reads (ToFastq/ToFasta skip them), CRLF, N runs, low quals
+    through filter/filter2/merge incl. the -report empty-distribution
+    block (src/quarts.cpp:5-16)."""
+    f1, f2 = _adversarial_pairs(tmp_path)
+    g, m = str(tmp_path / "g.out"), str(tmp_path / "m.out")
+    g2, m2 = str(tmp_path / "g2.out"), str(tmp_path / "m2.out")
+
+    args = ["-fastq_filter", f1, "-fastq_maxee", "2.0",
+            "-fastq_trunctail", "5", "-fastq_minlen", "10"]
+    run_ref(ref_bin, args + ["-fastqout", g, "-fastqout_discarded", g2])
+    assert cli_main(args + ["-fastqout", m, "-fastqout_discarded", m2,
+                            "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+    assert open(g2).read() == open(m2).read()
+
+    args = ["-fastq_mergepairs", f1, "-reverse", f2]
+    run_ref(ref_bin, args + ["-fastqout", g, "-report", g2])
+    assert cli_main(args + ["-fastqout", m, "-report", m2,
+                            "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+    assert open(g2).read() == open(m2).read()
+
+    args = ["-fastq_filter2", f1, "-reverse", f2, "-fastq_maxee", "3.0"]
+    run_ref(ref_bin, args + ["-fastqout", g, "-output2", g2])
+    assert cli_main(args + ["-fastqout", m, "-output2", m2,
+                            "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+    assert open(g2).read() == open(m2).read()

@@ -210,19 +210,20 @@ def fastq_filter(input_path: Optional[str]) -> None:
         if qual is None:
             raise SystemExit("fastq_filter requires FASTQ input")
         ff, seq2, qual2 = _filter_one(seq, qual, fq)
+        # SeqInfo::ToFastq/ToFasta skip zero-length sequences
         if ff == FF_GOOD:
             ee = fq.get_ee(qual2) if (o.flag("fastq_eeout") or f_ee) else None
             new_label = rl.relabel(label, ee)
             if f_ee:
                 f_ee.write("%s\t%.2g\n" % (label, ee))
-            if f_fq:
+            if f_fq and len(seq2):
                 write_fastq(f_fq, new_label, seq2, qual2)
-            if f_fa:
+            if f_fa and len(seq2):
                 write_fasta(f_fa, new_label, seq2, o.uns("fasta_cols"))
         else:
-            if f_disc_fq:
+            if f_disc_fq and len(seq2):
                 write_fastq(f_disc_fq, label, seq2, qual2)
-            if f_disc_fa:
+            if f_disc_fa and len(seq2):
                 write_fasta(f_disc_fa, label, seq2, o.uns("fasta_cols"))
 
     for f in (f_fq, f_fa, f_disc_fa, f_disc_fq, f_ee):
@@ -417,9 +418,9 @@ def fastq_filter2(input_path: Optional[str]) -> None:
         n1 = int((s1 == ord("N")).sum() + (s1 == ord("n")).sum())
         n2 = int((s2 == ord("N")).sum() + (s2 == ord("n")).sum())
         if ee1 <= max_ee and ee2 <= max_ee and n1 == 0 and n2 == 0:
-            if f1:
+            if f1 and len(s1):
                 write_fastq(f1, l1, s1, q1)
-            if f2:
+            if f2 and len(s2):
                 write_fastq(f2, l2, s2, q2)
     for f in (f1, f2):
         if f:

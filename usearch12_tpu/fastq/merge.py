@@ -103,16 +103,21 @@ class MergeStats:
         def pct(n, d):
             return 0.0 if d == 0 else 100.0 * n / d
 
-        if self.merge_lengths:
-            ls = sorted(self.merge_lengths)
-            n = len(ls)
-            out.append("")
-            out.append("Merged length distribution:")
-            out.append(f"{ls[0]:10d}  Min")
-            out.append(f"{ls[n // 4]:10d}  Low quartile")
-            out.append(f"{ls[n // 2]:10d}  Median")
-            out.append(f"{ls[(3 * n) // 4]:10d}  High quartile")
-            out.append(f"{ls[n - 1]:10d}  Max")
+        # the reference prints the block whenever -report allocated the
+        # vector; GetQuarts of an empty vector is all zeros
+        # (src/mergestats.cpp:5-22, src/quarts.cpp:5-16)
+        ls = sorted(self.merge_lengths)
+        n = len(ls)
+
+        def at(i):
+            return ls[i] if n else 0
+        out.append("")
+        out.append("Merged length distribution:")
+        out.append(f"{at(0):10d}  Min")
+        out.append(f"{at(n // 4):10d}  Low quartile")
+        out.append(f"{at(n // 2):10d}  Median")
+        out.append(f"{at((3 * n) // 4):10d}  High quartile")
+        out.append(f"{at(n - 1):10d}  Max")
 
         out.append("")
         out.append(f"{self.in_recs:10d}  Read pairs"
@@ -623,14 +628,15 @@ def fastq_mergepairs(fwd_path: Optional[str]) -> None:
             if f_fq:
                 write_fastq(f_fq, label, mseq, mqual)
         else:
-            # notmerged outputs restore original (untrimmed) reads
-            if f_nm_fwd_fq:
+            # notmerged outputs restore original (untrimmed) reads;
+            # SeqInfo::ToFastq/ToFasta skip zero-length sequences
+            if f_nm_fwd_fq and len(orig[0]):
                 write_fastq(f_nm_fwd_fq, l1, orig[0], orig[1])
-            if f_nm_rev_fq:
+            if f_nm_rev_fq and len(orig[2]):
                 write_fastq(f_nm_rev_fq, l2, orig[2], orig[3])
-            if f_nm_fwd_fa:
+            if f_nm_fwd_fa and len(orig[0]):
                 write_fasta(f_nm_fwd_fa, l1, orig[0], o.uns("fasta_cols"))
-            if f_nm_rev_fa:
+            if f_nm_rev_fa and len(orig[2]):
                 write_fasta(f_nm_rev_fa, l2, orig[2], o.uns("fasta_cols"))
 
     if f_rep:

@@ -2347,7 +2347,7 @@ int64_t filter_files_c(
                     v /= 10;
                 } while (v);
             }
-            if (out_fq) {
+            if (out_fq && n > 0) {
                 int64_t need = 1 + wln + nb + 1 + n + 3 + n + 1;
                 if (pfq + need > cap_fq)
                     return -3;
@@ -2366,7 +2366,7 @@ int64_t filter_files_c(
                 pfq += n;
                 out_fq[pfq++] = '\n';
             }
-            if (out_fa) {
+            if (out_fa && n > 0) {
                 int64_t rows = fasta_cols > 0
                     ? (n + fasta_cols - 1) / fasta_cols : 1;
                 if (rows == 0)
@@ -2397,6 +2397,8 @@ int64_t filter_files_c(
                 }
             }
         } else {
+            if (n == 0)    /* SeqInfo::ToFastq/ToFasta skip empty seqs */
+                continue;
             if (out_dfq) {
                 int64_t need = 1 + labn + 1 + n + 3 + n + 1;
                 if (pdfq + need > cap_dfq)
@@ -3179,7 +3181,7 @@ int64_t filter2_files_c(
             ok = 0;
         if (!ok)
             continue;
-        if (out1) {
+        if (out1 && s1n > 0) {     /* ToFastq skips empty seqs */
             int64_t need = 1 + lab1n + 1 + s1n + 3 + q1n + 1;
             if (p1 + need > cap1)
                 return -3;
@@ -3196,7 +3198,7 @@ int64_t filter2_files_c(
             p1 += q1n;
             out1[p1++] = '\n';
         }
-        if (out2) {
+        if (out2 && s2n > 0) {
             int64_t need = 1 + lab2n + 1 + s2n + 3 + q2n + 1;
             if (p2 + need > cap2)
                 return -3;
