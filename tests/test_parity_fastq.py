@@ -168,3 +168,17 @@ def test_fastq_adversarial_parity(ref_bin, tmp_path):
                             "-quiet"]) == 0
     assert open(g).read() == open(m).read()
     assert open(g2).read() == open(m2).read()
+
+
+def test_empty_fasta_record_stream_warn(ref_bin, tmp_path, capsys):
+    """Zero-length FASTA records in streaming mode warn and are skipped
+    (the _warn_empty import path used to crash)."""
+    inp = str(tmp_path / "e.fa")
+    with open(inp, "w") as f:
+        f.write(">a\nACGTACGTAGTC\n>empty\n>b\nACGTACGTAGTC\n")
+    g, m = str(tmp_path / "g.fa"), str(tmp_path / "m.fa")
+    args = ["-fastx_truncate", inp, "-trunclen", "8", "-padlen", "1",
+            "-stripleft", "0", "-stripright", "0"]
+    run_ref(ref_bin, args + ["-fastaout", g])
+    assert cli_main(args + ["-fastaout", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()

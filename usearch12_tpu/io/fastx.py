@@ -91,7 +91,7 @@ def _warn_empty(label: str) -> None:
     """The reference silently skips zero-length records
     (src/fastaseqsource.cpp:31); we additionally warn so discarded
     records leave a trace (suppressed under -quiet)."""
-    from .config import options
+    from ..config import options
     if not options().flag("quiet"):
         import sys
         print(f"WARNING: Ignoring zero-length sequence '{label}'",
