@@ -184,7 +184,7 @@ def _gen_sintax(d):
                         f"g:G{i % 100};\n{s}\n")
         rng2 = np.random.default_rng(10)
         with open(qf, "w") as f:
-            for i in range(2000):
+            for i in range(8000):
                 s = bytearray(seqs[i % len(seqs)].encode())
                 for p in rng2.integers(0, len(s), 6):
                     s[p] = ord(conv[rng2.integers(0, 4)])
@@ -208,7 +208,7 @@ def bench_sintax(ref, d):
     t_my = min(t_m1, t_m2)
     parity = (open(os.path.join(d, "m.sin"), "rb").read() ==
               open(os.path.join(d, "r.sin"), "rb").read())
-    return 2000 / t_my, 2000 / t_ref, t_ref / t_my, parity
+    return 8000 / t_my, 8000 / t_ref, t_ref / t_my, parity
 
 
 def bench_kernel_device():
@@ -275,7 +275,7 @@ def _gen_pairs(d):
     conv = np.frombuffer(b"ACGT", np.uint8)
     comp = {65: 84, 84: 65, 67: 71, 71: 67}
     with open(f1p, "w") as f1, open(f2p, "w") as f2:
-        for i in range(100000):
+        for i in range(250000):
             frag = conv[rng.integers(0, 4, 250)]
             r2 = np.array([comp[c] for c in frag[100:][::-1]], np.uint8)
             q = "I" * 150
@@ -298,7 +298,7 @@ def bench_merge(ref, d):
     t_r2 = _run(rf)
     parity = (open(os.path.join(d, "m.mg"), "rb").read()
               == open(os.path.join(d, "r.mg"), "rb").read())
-    return (100000 / min(t_m1, t_m2), 100000 / min(t_r1, t_r2),
+    return (250000 / min(t_m1, t_m2), 250000 / min(t_r1, t_r2),
             min(t_r1, t_r2) / min(t_m1, t_m2), parity)
 
 
@@ -312,10 +312,11 @@ def bench_unoise(ref, reads, d):
     if not os.path.exists(amp):
         rng = np.random.default_rng(11)
         conv = np.frombuffer(b"ACGT", np.uint8)
-        templates = [conv[rng.integers(0, 4, 250)] for _ in range(8000)]
+        templates = [conv[rng.integers(0, 4, 250)]
+                     for _ in range(16000)]
         with open(amp, "w") as f:
-            for i in range(400000):
-                t = templates[int(rng.integers(0, 8000))]
+            for i in range(800000):
+                t = templates[int(rng.integers(0, 16000))]
                 if rng.random() < 0.4:
                     t = t.copy()
                     for p in rng.integers(0, 250, 2):
