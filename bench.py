@@ -69,6 +69,20 @@ def _run(cmd, timeout=900):
     return time.perf_counter() - t0
 
 
+
+def _paired(rf, my, reps=3):
+    """Alternate ref/mine runs; min of each side.  The rig's clock
+    oscillates, so more alternations beat a single r,m,m,r sandwich."""
+    trs, tms = [], []
+    for k in range(reps):
+        if k % 2 == 0:
+            trs.append(_run(rf))
+            tms.append(_run(my))
+        else:
+            tms.append(_run(my))
+            trs.append(_run(rf))
+    return min(trs), min(tms)
+
 def bench_cluster(ref, reads, d):
     n_seqs = sum(1 for line in open(reads) if line.startswith(">"))
     my = [sys.executable, "-m", "usearch12_tpu.cli", "-cluster_fast",
@@ -77,13 +91,7 @@ def bench_cluster(ref, reads, d):
     rf = [ref, "-cluster_fast", reads, "-id", "0.97", "-uc",
           os.path.join(d, "r.uc"), "-centroids", os.path.join(d, "r.fa"),
           "-quiet", "-threads", "1"]
-    # interleave to cancel clock drift: ref, mine, mine, ref
-    t_r1 = _run(rf)
-    t_m1 = _run(my)
-    t_m2 = _run(my)
-    t_r2 = _run(rf)
-    t_ref = min(t_r1, t_r2)
-    t_my = min(t_m1, t_m2)
+    t_ref, t_my = _paired(rf, my)
     parity = (open(os.path.join(d, "m.uc"), "rb").read() ==
               open(os.path.join(d, "r.uc"), "rb").read())
     return n_seqs / t_my, n_seqs / t_ref, t_ref / t_my, parity
@@ -97,12 +105,7 @@ def bench_global(ref, db, q, d):
     rf = [ref, "-usearch_global", q, "-db", db, "-id", "0.9", "-strand",
           "plus", "-blast6out", os.path.join(d, "r.b6"), "-quiet",
           "-threads", "1"]
-    t_r1 = _run(rf)
-    t_m1 = _run(my)
-    t_m2 = _run(my)
-    t_r2 = _run(rf)
-    t_ref = min(t_r1, t_r2)
-    t_my = min(t_m1, t_m2)
+    t_ref, t_my = _paired(rf, my)
     parity = (open(os.path.join(d, "m.b6"), "rb").read() ==
               open(os.path.join(d, "r.b6"), "rb").read())
     return n_q / t_my, n_q / t_ref, t_ref / t_my, parity
@@ -200,12 +203,7 @@ def bench_sintax(ref, d):
     rf = [ref, "-sintax", qf, "-db", dbf, "-tabbedout",
           os.path.join(d, "r.sin"), "-strand", "both", "-quiet",
           "-randseed", "1", "-threads", "1"]
-    t_r1 = _run(rf)
-    t_m1 = _run(my)
-    t_m2 = _run(my)
-    t_r2 = _run(rf)
-    t_ref = min(t_r1, t_r2)
-    t_my = min(t_m1, t_m2)
+    t_ref, t_my = _paired(rf, my)
     parity = (open(os.path.join(d, "m.sin"), "rb").read() ==
               open(os.path.join(d, "r.sin"), "rb").read())
     return 8000 / t_my, 8000 / t_ref, t_ref / t_my, parity
@@ -292,14 +290,10 @@ def bench_merge(ref, d):
           "-quiet"]
     rf = [ref, "-fastq_mergepairs", f1, "-reverse", f2, "-fastqout",
           os.path.join(d, "r.mg"), "-quiet", "-threads", "1"]
-    t_r1 = _run(rf)
-    t_m1 = _run(my)
-    t_m2 = _run(my)
-    t_r2 = _run(rf)
+    t_ref, t_my = _paired(rf, my)
     parity = (open(os.path.join(d, "m.mg"), "rb").read()
               == open(os.path.join(d, "r.mg"), "rb").read())
-    return (250000 / min(t_m1, t_m2), 250000 / min(t_r1, t_r2),
-            min(t_r1, t_r2) / min(t_m1, t_m2), parity)
+    return 250000 / t_my, 250000 / t_ref, t_ref / t_my, parity
 
 
 def bench_unoise(ref, reads, d):
@@ -332,15 +326,12 @@ def bench_unoise(ref, reads, d):
     rf = [ref, "-unoise3", uniq, "-zotus", os.path.join(d, "r.zfa"),
           "-tabbedout", os.path.join(d, "r.ztab"), "-quiet",
           "-threads", "1"]
-    t_r1 = _run(rf)
-    t_m1 = _run(my)
-    t_m2 = _run(my)
-    t_r2 = _run(rf)
+    t_ref, t_my = _paired(rf, my)
     parity = (open(os.path.join(d, "m.zfa"), "rb").read()
               == open(os.path.join(d, "r.zfa"), "rb").read()
               and open(os.path.join(d, "m.ztab"), "rb").read()
               == open(os.path.join(d, "r.ztab"), "rb").read())
-    return min(t_r1, t_r2) / min(t_m1, t_m2), parity
+    return t_ref / t_my, parity
 
 
 def main():
