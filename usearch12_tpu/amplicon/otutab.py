@@ -31,27 +31,32 @@ def otu_name_from_label(label: str) -> str:
     return name
 
 
+_SAMPLE_LEAD_RE = None
+
+
 def sample_name_from_label(label: str) -> str:
-    """GetSampleNameFromLabel (src/label.cpp:204-233)."""
+    """GetSampleNameFromLabel (src/label.cpp:204-233).  The leading-run
+    scan uses C isalpha/isdigit (ASCII), hence the explicit class."""
     o = options()
-    name = get_str_field(label, "sample=")
-    if name:
-        return name
-    name = get_str_field(label, "barcodelabel=")
-    if name:
-        return name
+    if "sample=" in label:
+        name = get_str_field(label, "sample=")
+        if name:
+            return name
+    if "barcodelabel=" in label:
+        name = get_str_field(label, "barcodelabel=")
+        if name:
+            return name
     if o.filled("sample_delim"):
         d = o.str("sample_delim")
         n = label.find(d)
         if n < 0:
             raise SystemExit(f"delim '{d}' not found in >{label}")
         return label[:n]
-    out = []
-    for c in label:
-        if not (c.isalpha() or c.isdigit() or c == "_"):
-            break
-        out.append(c)
-    return "".join(out)
+    global _SAMPLE_LEAD_RE
+    if _SAMPLE_LEAD_RE is None:
+        import re
+        _SAMPLE_LEAD_RE = re.compile(r"[A-Za-z0-9_]*")
+    return _SAMPLE_LEAD_RE.match(label).group(0)
 
 
 class OTUTable:

@@ -16,11 +16,53 @@ _RANK_NAMES = {
 }
 
 
+def _iter_labels(input_path):
+    """Label-only fastx scan (sequences are never needed here).
+    FASTA skips zero-length records like the reference SeqSource;
+    FASTQ yields every record."""
+    from ..io.fastx import open_maybe_gz, sniff_format, _proc_label
+    fmt = sniff_format(input_path)
+    with open_maybe_gz(input_path) as f:
+        raw = f.read()
+    lines = raw.split(b"\n")
+    if fmt == "fasta":
+        pending = None
+        has_seq = False
+        for line in lines:
+            line = line.rstrip(b"\r")
+            if line.startswith(b">"):
+                if pending is not None and has_seq:
+                    yield pending
+                pending = _proc_label(line[1:])
+                has_seq = False
+            elif line:
+                has_seq = True
+        if pending is not None and has_seq:
+            yield pending
+    elif fmt == "fastq":
+        i = 0
+        n = len(lines)
+        while i < n:
+            line = lines[i].rstrip(b"\r")
+            if not line:
+                i += 1
+                continue
+            yield _proc_label(line[1:], fastq=True)
+            i += 4
+    else:
+        for label, _seq, _q in read_fastx(input_path, stream=True):
+            yield label
+
+
 def fastx_get_sample_names(input_path: Optional[str]) -> None:
     from .otutab import sample_name_from_label
     o = options()
     samples = set()
-    for label, _seq, _q in read_fastx(input_path, stream=True):
+    seen_labels = set()
+    for label in _iter_labels(input_path):
+        if label in seen_labels:
+            continue       # identical label => identical sample name
+        seen_labels.add(label)
         s = sample_name_from_label(label)
         if not s:
             raise SystemExit("Empty sample name")
