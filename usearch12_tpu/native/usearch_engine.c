@@ -870,6 +870,9 @@ static uint32_t cc_rank(
     /* SetTopBump: index-order scan with fused clear */
     uint32_t n_cand = 0, max_u_seen = 0;
     uint32_t *out_tix = cc->cand_tix, *out_counts = cc->cand_cnt;
+    /* maxv/nextv track the count-sort's prefix-record NextValue while
+     * emitting (saves a second pass over the candidate list) */
+    uint32_t maxv = 0, nextv = 0;
     if (bump_pct != 0) {
         uint32_t cur_min = 1;
         for (uint32_t t = 0; t < seq_count; ++t) {
@@ -879,6 +882,10 @@ static uint32_t cc_rank(
                 if (v >= cur_min) {
                     out_tix[n_cand] = t;
                     out_counts[n_cand++] = v;
+                    if (v > maxv) {
+                        nextv = maxv;
+                        maxv = v;
+                    }
                     uint32_t nm = (uint32_t)((uint64_t)v * bump_pct / 100);
                     if (cur_min < nm && nm < max_u_seen)
                         cur_min = nm;
@@ -887,6 +894,10 @@ static uint32_t cc_rank(
             } else if (v >= cur_min) {
                 out_tix[n_cand] = t;
                 out_counts[n_cand++] = v;
+                if (v > maxv) {
+                    nextv = maxv;
+                    maxv = v;
+                }
             }
         }
     } else {
@@ -896,6 +907,10 @@ static uint32_t cc_rank(
             if (v >= 1) {
                 out_tix[n_cand] = t;
                 out_counts[n_cand++] = v;
+                if (v > maxv) {
+                    nextv = maxv;
+                    maxv = v;
+                }
             }
         }
     }
@@ -905,15 +920,8 @@ static uint32_t cc_rank(
                     t_walk, t_delta, t_scan, t_sort); }
     if (n_cand == 0)
         return 0;
-    /* CountSortOrderDesc: stable desc with NextValue/2 cutoff */
-    uint32_t maxv = 0, nextv = 0;
-    for (uint32_t i = 0; i < n_cand; ++i) {
-        uint32_t v = out_counts[i];
-        if (v > maxv) {
-            nextv = maxv;
-            maxv = v;
-        }
-    }
+    /* CountSortOrderDesc: stable desc with NextValue/2 cutoff
+     * (maxv/nextv computed during the emission scan above) */
     uint32_t minv = nextv / 2;
     if (maxv + 1 > cc->hist_cap) {
         free(cc->hist);
