@@ -193,3 +193,41 @@ def test_mask_variants_udb_parity(ref_bin, tmp_path):
             run_mine(["-makeudb_usearch", path, "-output", m,
                       "-dbmask", mk] + hm)
             assert open(g, "rb").read() == open(m, "rb").read(), (mk, hm)
+
+
+def test_userfields_terminal_gap_rows(ref_bin, tmp_path):
+    """Alignments whose path begins/ends with terminal gaps: row/seg
+    fields start at FirstMQPos/FirstMTPos, evalue is -1 for global
+    hits, and qseg/tseg/segf replicate the reference's printf %*.*s
+    space padding (src/userout.cpp:217-246, src/alignresult.h:173)."""
+    import numpy as np
+    rng = np.random.default_rng(77)
+    conv = "ACGT"
+    t = "".join(conv[int(j)] for j in rng.integers(0, 4, 200))
+    db = str(tmp_path / "db.fa")
+    qf = str(tmp_path / "q.fa")
+    with open(db, "w") as f:
+        f.write(f">t0\n{t}\n")
+    with open(qf, "w") as f:
+        # leading extra base (leading-D path) and a clean full match;
+        # trailing-gap queries make the reference's tseg read heap
+        # bytes past the target buffer (undefined) so they are covered
+        # by the row/aln fields only
+        f.write(f">q_lead\nA{t[:-1]}\n")
+        f.write(f">q_trail\n{t[1:]}AA\n")
+        f.write(f">q_full\n{t}\n")
+    flds = ("qrow+trow+qseg+qsegf+evalue+pctpv+pv+aln"
+            "+qlot+qhit+tlot+thit")
+    g, m = str(tmp_path / "g.us"), str(tmp_path / "m.us")
+    args = ["-usearch_global", qf, "-db", db, "-id", "0.7", "-strand",
+            "plus", "-userfields", flds]
+    run_ref(ref_bin, args + ["-userout", g])
+    assert cli_main(args + ["-userout", m, "-quiet"]) == 0
+    assert open(g).read() == open(m).read()
+
+    g2, m2 = str(tmp_path / "g.fp"), str(tmp_path / "m.fp")
+    args = ["-usearch_global", qf, "-db", db, "-id", "0.7", "-strand",
+            "plus"]
+    run_ref(ref_bin, args + ["-fastapairs", g2])
+    assert cli_main(args + ["-fastapairs", m2, "-quiet"]) == 0
+    assert open(g2).read() == open(m2).read()

@@ -75,7 +75,10 @@ def _clusternr(ar):
 
 @_field("evalue")
 def _evalue(ar):
-    return f"{(ar.evalue if ar.evalue is not None else 0.0):.3g}"
+    # GetEvalue returns -1.0 for non-local hits (src/arscorer.cpp:69-73)
+    if not getattr(ar, "local", False) or ar.evalue is None:
+        return "-1"
+    return f"{ar.evalue:.3g}"
 
 
 @_field("id")
@@ -442,14 +445,22 @@ def _tseq(ar):
 
 @_field("qseg")
 def _qseg(ar):
+    # fprintf "%*.*s" with width/precision = HSP Leni over the buffer at
+    # GetQuerySeg() (seq + FirstMQPos, NUL right after the sequence):
+    # with leading terminal gaps the string is shorter than the width
+    # and printf left-pads with spaces (src/userout.cpp:217)
+    ar._fill()
     loi, hii, _lj, _hj = _hsp(ar)
-    return _s(ar.query_seq[loi:hii + 1])
+    n = hii - loi + 1
+    return _s(ar.query_seq[ar.first_m_qpos:ar.first_m_qpos + n]).rjust(n)
 
 
 @_field("tseg")
 def _tseg(ar):
+    ar._fill()
     _li, _hi, loj, hij = _hsp(ar)
-    return _s(ar.target_seq[loj:hij + 1])
+    n = hij - loj + 1
+    return _s(ar.target_seq[ar.first_m_tpos:ar.first_m_tpos + n]).rjust(n)
 
 
 @_field("qsegf")
@@ -509,10 +520,11 @@ def _positive_count(ar):
         mx = nuc_mx(options().flt("match", 1.0),
                     options().flt("mismatch", -2.0)) if ar.nucleo \
             else blosum62_mx()
-    loi, _hii, loj, _hij = _hsp(ar)
     q = ar.query_seq
     t = ar.target_seq
-    qpos, tpos = loi, loj
+    # GetQuerySeg/GetTargetSeg start at the first aligned column's
+    # positions (leading terminal gaps consume positions before it)
+    qpos, tpos = ar.first_m_qpos, ar.first_m_tpos
     n = 0
     for col in range(ar.first_m_col, ar.last_m_col + 1):
         c = ar.path[col]
@@ -533,11 +545,12 @@ def _row(ar, query: bool, dots: bool) -> str:
     q = ar.query_seq
     t = ar.target_seq
     mx = MATCH_MX_NUCLEO if ar.nucleo else MATCH_MX_AMINO
+    # positions at the first rendered column: leading terminal-gap
+    # columns consume query/target positions before first_m_col
     first, last = ar.first_m_col, ar.last_m_col
+    qpos, tpos = ar.first_m_qpos, ar.first_m_tpos
     if o.flag("show_termgaps"):
         first, last = 0, len(ar.path) - 1
-    qpos, tpos = loi, loj
-    if o.flag("show_termgaps"):
         qpos, tpos = loi, loj
     out = []
     for col in range(first, last + 1):
@@ -583,7 +596,10 @@ def _segf(ar, query: bool) -> str:
         fr = f
     left = _s(seq[lo - fl:lo]) if fl > 0 else ""
     mid = _s(seq[lo:lo + seg_len])
-    right = _s(seq[lo + seg_len:lo + seg_len + fr]) if fr > 0 else ""
+    # printf "%*.*s": reading past the sequence end hits the NUL, so a
+    # short (or empty) right flank is space-padded to width fr
+    right = _s(seq[lo + seg_len:lo + seg_len + fr]).rjust(fr) \
+        if fr > 0 else ""
     return f"{left}-{mid}-{right}"
 
 
