@@ -24,11 +24,12 @@ COMMANDS = [
 
 _FLAG_OPTS_NO_VALUE = {
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
-    "top_hit_only", "top_hits_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
-    "sizeout", "xsize", "relabel_keep", "fastq_eeout", "fastq_nostagger",
-    "fastq_allowmergestagger", "interleaved", "uc_hitsonly", "uc_hits_only", "trunclabels",
-    "cluster_members", "wildcards_match_self", "sizeorder", "leftjust",
-    "rightjust", "tax_strip", "verbose", "no_progress", "version",
+    "top_hit_only", "top_hits_only", "output_no_hits", "show_termgaps",
+    "hardmask", "sizein",
+    "sizeout", "fastq_eeout", "fastq_nostagger",
+    "interleaved", "uc_hitsonly", "trunclabels",
+    "maxskew", "tov", "log_objmgr_stats", "log_touched_opts",
+    "no_progress", "version",
     "use_device", "use_cpu_oracle", "notrunclabels", "orf_plusonly",
     "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
     "ignore_label_mismatches", "fastq_forceq", "fastq_noguess", "keepgaps",
@@ -58,6 +59,11 @@ def parse_argv(argv: List[str]):
             opts.declare(name, "flag", False)
             opts.set(name, True)
         else:
+            # strict registry like the reference's MyCmdLine
+            # (src/opts.cpp): options not in the o_*.h lists (plus our
+            # documented extensions) are rejected
+            if not opts.known(name):
+                raise SystemExit(f"Unknown command-line option -{name}")
             if i + 1 >= len(argv):
                 raise SystemExit(f"Command line error, missing value for '{name}'")
             val = argv[i + 1]

@@ -64,51 +64,50 @@ _FLT_OPTS = [
     "id", "evalue", "query_cov", "max_query_cov", "target_cov",
     "max_target_cov", "abskew", "termid", "termidd", "min_sizeratio",
     "minqt", "maxqt", "minsl", "maxsl", "fastq_maxee", "fastq_maxee_rate",
-    "fastq_maxns_pct", "sizeratio",
-    "fastq_minmergelen_pct", "min_otu_size_pct",
     "ka_gapped_k", "ka_gapped_lambda", "ka_ungapped_k", "ka_ungapped_lambda",
 ]
 _UNS_OPTS = [
     "maxaccepts", "maxrejects", "wordlength", "slots", "threads", "hspw",
     "mincols", "maxgaps", "maxdiffs", "mindiffs", "fastq_trunclen",
     "fastq_minlen", "fastq_maxns", "fastq_stripleft", "fastq_stripright",
-    "fastq_trunclen_keep", "minuniquesize", "maxuniquesize", "topn",
-    "maxhits", "dbaccel", "minsize", "maxsize", "sample_size",
-    "fastq_minqual_tail", "fastq_maxmergelen", "fastq_minmergelen",
-    "maxpending", "strand_boots", "stripleft", "stripright", "trunclen",
+    "minuniquesize", "topn",
+    "maxhits", "dbaccel", "minsize",
+    "fastq_maxmergelen", "fastq_minmergelen",
+    "maxpending", "stripleft", "stripright", "trunclen",
     "padlen", "fastq_truncqual", "fastq_minqual",
-    "mincount", "orfstyle",
+    "mincount", "orfstyle", "maxdiffsa", "maxdqm",
 ]
 _STR_OPTS = [
     "output", "blast6out", "uc", "userout", "userfields", "alnout",
     "matched", "notmatched", "matchedfq", "notmatchedfq", "fastaout",
     "fastqout", "fastaout_notmerged_fwd", "fastaout_notmerged_rev",
     "fastqout_notmerged_fwd", "fastqout_notmerged_rev", "centroids",
-    "clusters", "consout", "msaout", "db", "reverse", "uchimeout",
+    "clusters", "db", "reverse", "uchimeout",
     "chimeras", "nonchimeras", "zotus", "otus", "otutabout", "biomout",
-    "mothur_shared_out", "uparseout", "uparsealnout", "tabbedout",
-    "sintax_summary_out", "log", "dbmask", "qmask", "strand", "sort",
+    "uparseout", "uparsealnout", "tabbedout",
+    "log", "dbmask", "strand", "sort",
     "ampout", "uchimealnout", "query", "output2", "db2", "boot_subset",
     "fastaout_discarded", "fastqout_discarded", "mapout", "join_padgap",
     "join_padgapq", "fastqout_overlap_fwd", "fastqout_overlap_rev",
     "fastaout_overlap_fwd", "fastaout_overlap_rev", "padq", "rank",
     "otutabin",
-    "sortedby", "relabel", "sample", "sizeout_str", "gapopen", "gapext",
-    "matrix", "tsegout", "qsegout", "fastapairs", "mergeout", "eetabbedout",
-    "report", "alndiffsout", "otu_radius_str", "label_suffix",
-    "sample_delim", "fastq_eeout_str", "constax_report", "clustout",
-    "biom_json",
+    "sortedby", "relabel", "sample",
+    "matrix", "tsegout", "qsegout", "fastapairs", "eetabbedout",
+    "report", "label_suffix",
+    "sample_delim", "constax_report",
     "bitvec", "hitsout", "fragout", "start_motif", "end_motif",
     "truncstr", "checkpoint",
+    "dbmatched", "dbnotmatched", "dbcutout", "trimout", "fqdir",
+    "input", "alpha", "dataotus", "dbotus", "uparse_ref", "xdrop_save",
 ]
 _FLAG_OPTS = [
     "quiet", "self", "notself", "selfid", "gaforce", "fulldp", "quicksort",
-    "top_hit_only", "top_hits_only", "output_no_hits", "show_termgaps", "hardmask", "sizein",
-    "sizeout", "xsize", "relabel_keep", "fastq_eeout", "fastq_nostagger",
-    "fastq_allowmergestagger", "interleaved", "uc_hitsonly", "uc_hits_only", "trunclabels",
-    "centroid_types", "cluster_members", "wildcards_match_self", "sizeorder",
-    "leftjust", "rightjust", "strand_plus", "strand_both", "tax_strip",
-    "verbose", "no_progress", "use_device", "use_cpu_oracle",
+    "top_hit_only", "top_hits_only", "output_no_hits", "show_termgaps",
+    "hardmask", "sizein",
+    "sizeout", "fastq_eeout", "fastq_nostagger",
+    "interleaved", "uc_hitsonly", "trunclabels",
+    "maxskew", "tov", "log_objmgr_stats", "log_touched_opts",
+    "no_progress", "use_device", "use_cpu_oracle",
     "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
     "orf_plusonly",
     "ignore_label_mismatches", "notrunclabels", "fastq_forceq",
@@ -138,6 +137,9 @@ class Options:
             self._opts.setdefault(n, _Opt(n, _STR))
         for n in _FLAG_OPTS:
             self._opts.setdefault(n, _Opt(n, _FLAG, default=False))
+
+    def known(self, name: str) -> bool:
+        return name in self._opts
 
     # -- declaration ------------------------------------------------------
     def declare(self, name: str, kind: str, default: Any = None) -> None:
