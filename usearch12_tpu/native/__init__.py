@@ -319,6 +319,22 @@ def get_lib():
             vp, i64, vp]
         lib.local_setq_c.restype = i64
         lib.local_setq_c.argtypes = [vp, i64, vp, i64, i64, vp, vp]
+        lib.local_query_c.restype = i64
+        lib.local_query_c.argtypes = [
+            vp, vp,
+            vp, i64,
+            vp, vp,
+            vp, i64,
+            vp, i64, i64,
+            vp, vp,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, i64, ctypes.c_double, i64,
+            ctypes.c_int32, ctypes.c_int32,
+            i64,
+            vp, vp, vp,
+            vp, i64, vp]
         lib.align_holes_c.restype = i64
         lib.align_holes_c.argtypes = [
             vp, ctypes.POINTER(GapParams), vp, ctypes.c_uint32,
@@ -442,6 +458,21 @@ class NativeRanker:
             self._out_tix.ctypes.data, self._out_counts.ctypes.data)
         return (self._out_tix[:n].astype(np.int64),
                 self._out_counts[:n].copy())
+
+    def rank_raw(self, seq: np.ndarray, bump_pct: int, mode: int):
+        """rank() without the int64 cast/copies: returns a uint32 VIEW
+        of the ranked target indexes, valid only until the next call."""
+        seq_count = self.index.seq_count
+        if seq_count == 0:
+            return np.zeros(0, np.uint32)
+        args = self._db_args(seq_count)
+        if not seq.flags["C_CONTIGUOUS"]:
+            seq = np.ascontiguousarray(seq)
+        n = self.lib.usort_rank_c(
+            self._scratch, seq.ctypes.data, len(seq), *args,
+            bump_pct, mode, 0,
+            self._out_tix.ctypes.data, self._out_counts.ctypes.data)
+        return self._out_tix[:n]
 
 
 class NativeAligner:

@@ -3555,3 +3555,151 @@ int64_t local_setq_c(const uint8_t *q, int64_t ql,
     free(cnt);
     return n;
 }
+
+/* ---- usearch_local per-query driver -----------------------------------
+ * Rank order is supplied by the caller; per candidate target this runs
+ * the AlignMulti scan (local_multi_c), applies the -id/-maxid accept
+ * gate per AR (fract id = id_count/aln_length over the local path,
+ * matching AlignResult::GetFractId), feeds the counter terminator with
+ * any-AR-accepted per target, and emits accepted hits.
+ * Returns the number of emitted hits; -3/-4 = grow path/hit buffers. */
+extern int64_t local_multi_c(
+    XDScratch *s, EngineScratch *es,
+    const uint8_t *q, int64_t ql, const uint8_t *t, int64_t tl,
+    const int64_t *q_sorted_words, const int64_t *q_pos_order,
+    int64_t n_qw,
+    const uint8_t *ctl, int64_t alpha_size, int64_t wlen,
+    const float *mx,
+    double xdrop_u, double xdrop_g, double local_open, double local_ext,
+    double min_ungapped,
+    double gapped_lambda, double log_gapped_k, double db_size,
+    double max_evalue,
+    int64_t max_hits,
+    int32_t *out_hsp, double *out_raw,
+    char *path_buf, int64_t path_cap, int64_t *path_off);
+extern int64_t local_setq_c(const uint8_t *q, int64_t ql,
+                            const uint8_t *ctl, int64_t alpha_size,
+                            int64_t wlen,
+                            int64_t *out_sorted_words,
+                            int64_t *out_pos_order);
+
+int64_t local_query_c(
+    XDScratch *xs, EngineScratch *es,
+    const uint8_t *q, int64_t ql,
+    const uint8_t *cat, const int64_t *offs,
+    const uint32_t *tix_order, int64_t n_cand,
+    const uint8_t *ctl, int64_t alpha_size, int64_t wlen,
+    const float *mx, const uint8_t *match_mx,
+    double xdrop_u, double xdrop_g, double local_open, double local_ext,
+    double min_ungapped, double gapped_lambda, double log_gapped_k,
+    double db_size, double max_evalue,
+    double min_id, int64_t has_min_id, double max_id, int64_t has_max_id,
+    int32_t max_accepts, int32_t max_rejects,
+    int64_t max_hits,
+    int32_t *out_tix, int32_t *out_hsp, double *out_raw,
+    char *path_buf, int64_t path_cap, int64_t *path_off)
+{
+    if (ql <= wlen)
+        return 0;
+    int64_t n_qw = ql - wlen + 1;
+    int64_t *sw = (int64_t *)malloc((size_t)n_qw * 2 * sizeof(int64_t));
+    int64_t *qo = sw + n_qw;
+    local_setq_c(q, ql, ctl, alpha_size, wlen, sw, qo);
+
+    /* per-target scratch */
+    enum { TMAX = 64 };
+    int32_t t_hsp[TMAX * 4];
+    double t_raw[TMAX];
+    int64_t t_poff[TMAX + 1];
+    size_t t_pcap = 1 << 16;
+    char *t_paths = (char *)malloc(t_pcap);
+
+    int32_t accepts = 0, rejects = 0;
+    int64_t n_out = 0, ppos = 0;
+    int64_t rc = 0;
+    path_off[0] = 0;
+    for (int64_t c = 0; c < n_cand; ++c) {
+        int32_t tix = (int32_t)tix_order[c];
+        const uint8_t *t = cat + offs[tix];
+        int64_t tl = offs[tix + 1] - offs[tix];
+        int64_t nh;
+        for (;;) {
+            nh = local_multi_c(xs, es, q, ql, t, tl, sw, qo, n_qw,
+                               ctl, alpha_size, wlen, mx,
+                               xdrop_u, xdrop_g, local_open, local_ext,
+                               min_ungapped, gapped_lambda, log_gapped_k,
+                               db_size, max_evalue,
+                               TMAX, t_hsp, t_raw,
+                               t_paths, (int64_t)t_pcap, t_poff);
+            if (nh == -3) {
+                t_pcap *= 2;
+                free(t_paths);
+                t_paths = (char *)malloc(t_pcap);
+                continue;
+            }
+            break;
+        }
+        if (nh < 0) {         /* -4: too many hits on one target */
+            rc = -4;
+            break;
+        }
+        int any_accept = 0;
+        for (int64_t h = 0; h < nh; ++h) {
+            const char *path = t_paths + t_poff[h];
+            int64_t plen = t_poff[h + 1] - t_poff[h];
+            /* aln stats over the local path */
+            int64_t first_m = -1, last_m = -1;
+            int64_t qi = t_hsp[4 * h], tj = t_hsp[4 * h + 1];
+            int64_t ids = 0;
+            for (int64_t k = 0; k < plen; ++k) {
+                char pc = path[k];
+                if (pc == 'M') {
+                    if (first_m < 0)
+                        first_m = k;
+                    last_m = k;
+                    if (match_mx[256 * (size_t)q[qi] + t[tj]])
+                        ++ids;
+                }
+                if (pc == 'M' || pc == 'D')
+                    ++qi;
+                if (pc == 'M' || pc == 'I')
+                    ++tj;
+            }
+            int64_t alnlen = (first_m < 0) ? 0 : last_m - first_m + 1;
+            double fract = alnlen ? (double)ids / (double)alnlen : 0.0;
+            int accept = 1;
+            if (has_min_id && fract < min_id)
+                accept = 0;
+            if (accept && has_max_id && fract > max_id)
+                accept = 0;
+            if (!accept)
+                continue;
+            any_accept = 1;
+            if (n_out >= max_hits || ppos + plen > path_cap) {
+                rc = -5;      /* caller grows output arrays */
+                break;
+            }
+            out_tix[n_out] = tix;
+            memcpy(out_hsp + 4 * n_out, t_hsp + 4 * h,
+                   4 * sizeof(int32_t));
+            out_raw[n_out] = t_raw[h];
+            memcpy(path_buf + ppos, path, (size_t)plen);
+            ppos += plen;
+            ++n_out;
+            path_off[n_out] = ppos;
+        }
+        if (rc < 0)
+            break;
+        if (any_accept)
+            ++accepts;
+        else
+            ++rejects;
+        if (max_accepts > 0 && accepts == max_accepts)
+            break;
+        if (max_rejects > 0 && rejects == max_rejects)
+            break;
+    }
+    free(sw);
+    free(t_paths);
+    return rc < 0 ? rc : n_out;
+}

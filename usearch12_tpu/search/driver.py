@@ -190,6 +190,15 @@ class SearchContext:
 
     def _search_strand(self, q_label: str, q_seq: np.ndarray,
                        revcomp: bool, orf=None) -> None:
+        if self.local and orf is None and self._local_fast_ok():
+            nr = getattr(self.ranker, "_native", None)
+            if nr is not None and not options().flag("quicksort"):
+                tix_raw = nr.rank_raw(q_seq, options().uns("bump"), 0)
+                if len(tix_raw) == 0:
+                    return
+                if self._local_query_native(q_label, q_seq, revcomp,
+                                            tix_raw):
+                    return
         tix_order, _counts = self.ranker.rank(q_seq)
         if len(tix_order) == 0:
             return
@@ -234,12 +243,150 @@ class SearchContext:
             if self.terminator.terminate(self.hitmgr, accept):
                 return
 
+    def _local_fast_ok(self) -> bool:
+        """True when the whole per-query local loop can run in C:
+        counter-only termination and -id/-maxid/-evalue-only gates."""
+        cached = getattr(self, "_local_fast", None)
+        if cached is not None:
+            return cached
+        ok = False
+        la2 = self.local_aligner
+        if la2 is not None and hasattr(la2.lib, "local_query_c"):
+            o = options()
+            a = self.accepter
+            others = (a._f_self, a._f_notself, a._f_selfid,
+                      a._min_sizeratio, a._mincols, a._maxgaps,
+                      a._query_cov, a._max_query_cov, a._target_cov,
+                      a._max_target_cov, a._maxdiffs, a._mindiffs,
+                      a._abskew, a._any_pair_ratio, a.accept_all)
+            ok = (not any(x for x in others)
+                  and not o.filled("termid") and not o.filled("termidd")
+                  and self.terminator.max_accepts > 0
+                  and self.terminator.max_rejects > 0)
+        if ok:
+            # static target DB: one concat view for the C loop
+            seqs = self.db.seqs
+            n = len(seqs)
+            lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            cat = np.concatenate(
+                [np.ascontiguousarray(s) for s in seqs]) if n else \
+                np.zeros(0, np.uint8)
+            la2._dbv = (cat, offs)
+            la2._lq_hsp = np.empty(64 * 4, np.int32)
+            la2._lq_tix = np.empty(64, np.int32)
+            la2._lq_raw = np.empty(64, np.float64)
+            la2._lq_poff = np.empty(65, np.int64)
+            la2._lq_pcap = 1 << 16
+            la2._lq_paths = np.empty(la2._lq_pcap, np.uint8)
+            la2._lq_cap = 64
+        self._local_fast = ok
+        return ok
+
+    def _local_query_native(self, q_label, q_seq, revcomp,
+                            tix_order) -> bool:
+        """One C call for the whole local query (local_query_c)."""
+        import ctypes
+        la2 = self.local_aligner
+        lib = la2.lib
+        a = self.accepter
+        q = np.ascontiguousarray(q_seq)
+        la2.query_seq = q
+        la2.min_ungapped = float(np.float32(
+            la2.es.min_ungapped_raw_score(len(q))))
+        cat, offs = la2._dbv
+        tix = tix_order if (tix_order.dtype == np.uint32
+                            and tix_order.flags["C_CONTIGUOUS"]) else \
+            np.ascontiguousarray(tix_order, dtype=np.uint32)
+        ctl = getattr(la2, "_ctl_c", None)
+        if ctl is None:
+            from ..alpha import (CHAR_TO_LETTER_NUCLEO,
+                                 CHAR_TO_LETTER_AMINO)
+            ctl = la2._ctl_c = np.ascontiguousarray(
+                CHAR_TO_LETTER_NUCLEO if la2.nucleo
+                else CHAR_TO_LETTER_AMINO)
+        mm = getattr(la2, "_match_u8", None)
+        if mm is None:
+            from ..alpha import MATCH_MX_NUCLEO, MATCH_MX_AMINO
+            mm = la2._match_u8 = np.ascontiguousarray(
+                (MATCH_MX_NUCLEO if la2.nucleo
+                 else MATCH_MX_AMINO).astype(np.uint8))
+        max_evalue = options().flt("evalue")
+        while True:
+            n = lib.local_query_c(
+                la2.scratch, getattr(la2, "_es_scratch", None)
+                or self._ensure_la2_es(),
+                q.ctypes.data, len(q),
+                cat.ctypes.data, offs.ctypes.data,
+                tix.ctypes.data, len(tix),
+                ctl.ctypes.data, 4 if la2.nucleo else 20,
+                la2.word_length,
+                la2._mx_ptr, mm.ctypes.data,
+                la2.ah.xdrop_u, la2.ah.xdrop_g,
+                la2.ap.local_open, la2.ap.local_ext,
+                la2.min_ungapped, la2.es.gapped_lambda,
+                la2.es.log_gapped_k, la2.es.db_size, max_evalue,
+                a._id if a._id is not None else 0.0,
+                int(a._id is not None),
+                a._maxid if a._maxid is not None else 0.0,
+                int(a._maxid is not None),
+                self.terminator.max_accepts, self.terminator.max_rejects,
+                la2._lq_cap,
+                la2._lq_tix.ctypes.data, la2._lq_hsp.ctypes.data,
+                la2._lq_raw.ctypes.data,
+                la2._lq_paths.ctypes.data, la2._lq_pcap,
+                la2._lq_poff.ctypes.data)
+            if n == -5:
+                la2._lq_cap *= 2
+                la2._lq_pcap *= 2
+                la2._lq_hsp = np.empty(la2._lq_cap * 4, np.int32)
+                la2._lq_tix = np.empty(la2._lq_cap, np.int32)
+                la2._lq_raw = np.empty(la2._lq_cap, np.float64)
+                la2._lq_poff = np.empty(la2._lq_cap + 1, np.int64)
+                la2._lq_paths = np.empty(la2._lq_pcap, np.uint8)
+                continue
+            if n == -4:
+                return False    # >64 hits on one target: python fallback
+            break
+        db = self.db
+        hs = la2._lq_hsp
+        po = la2._lq_poff
+        pb = la2._lq_paths
+        for k in range(n):
+            t_ix = int(la2._lq_tix[k])
+            loi, loj, leni, lenj = (int(v) for v in hs[4 * k:4 * k + 4])
+            path = pb[int(po[k]):int(po[k + 1])].tobytes().decode("ascii")
+            raw = float(la2._lq_raw[k])
+            ar = AlignResult(
+                query_label=q_label, target_label=db.labels[t_ix],
+                query_seq=q, target_seq=db.seqs[t_ix], path=path,
+                nucleo=la2.nucleo, local=True, loi=loi, loj=loj,
+                raw_score=raw,
+                evalue=la2.es.raw_to_evalue(raw, len(q), True),
+                target_index=t_ix, query_revcomp=revcomp)
+            ar.leni_local = leni
+            ar.lenj_local = lenj
+            ar.bit_score = la2.es.raw_to_bit(raw, True)
+            self.hitmgr.append_hit(ar)
+        return True
+
+    def _ensure_la2_es(self):
+        la2 = self.local_aligner
+        if getattr(la2, "_es_scratch", None) is None:
+            la2._es_scratch = la2.lib.engine_scratch_create()
+        return la2._es_scratch
+
     def _search_strand_local(self, q_label: str, q_seq: np.ndarray,
                              revcomp: bool, tix_order, orf=None) -> None:
         """Local branch of Searcher::Align (src/searcher.cpp:26-50): one
         AlignMulti per target; the terminator is fed once per target with
         accept = any AR accepted."""
         la2 = self.local_aligner
+        if orf is None and self._local_fast_ok() \
+                and self._local_query_native(q_label, q_seq, revcomp,
+                                             tix_order):
+            return
         la2.set_query(q_label, q_seq)
         db = self.db
         for tix in tix_order.tolist():
