@@ -273,6 +273,7 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
     f_nm = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
     f_user = open(o.str("userout"), "w") if o.filled("userout") else None
     f_aln = open(o.str("alnout"), "w") if o.filled("alnout") else None
+    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
 
     def on_query_done(label, seq, hits):
         from .search.hitmgr import HitMgr
@@ -300,6 +301,12 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
             from .out.userout import user_out_lines
             for ar in ordered:
                 f_user.write(user_out_lines(ar))
+        if f_uc:
+            from .out import uc as uc_mod
+            for ar in ordered:
+                f_uc.write(uc_mod.uc_hit_record(ar))
+            if not ordered:
+                f_uc.write(uc_mod.uc_no_hit_record(label, len(seq)))
         if ordered:
             if f_m:
                 write_fasta(f_m, label, seq, o.uns("fasta_cols"))
@@ -310,7 +317,7 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
     search_file("usearch_local", query_path, db, on_query_done,
                 index=db_index)
 
-    for f in (f_b6, f_m, f_nm, f_user, f_aln):
+    for f in (f_b6, f_m, f_nm, f_user, f_aln, f_uc):
         if f:
             f.close()
 
