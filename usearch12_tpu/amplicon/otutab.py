@@ -117,7 +117,11 @@ def otutab(query_path: Optional[str]) -> None:
         raise SystemExit("Must specify OTU FASTA -db, -otus or -zotus")
     db, db_index = load_db(db_path)
     table = OTUTable()
-    f_map = open(o.str("mapout"), "w") if o.filled("mapout") else None
+    # OTUTableSink (and its -mapout file) only exists when a table
+    # output was requested (src/makedbsearcher.cpp:217-219)
+    f_map = open(o.str("mapout"), "w") \
+        if o.filled("mapout") and (o.filled("otutabout")
+                                   or o.filled("biomout")) else None
     f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
     f_b6 = open(o.str("blast6out"), "w") if o.filled("blast6out") else None
 
@@ -156,21 +160,44 @@ def otutab(query_path: Optional[str]) -> None:
 
 
 def _to_biom(table: OTUTable, path: str) -> None:
-    """Minimal BIOM (JSON) output (src/otutab.cpp ToJsonFile)."""
-    import json
-    rows = [{"id": n, "metadata": None} for n in table.otu_names]
-    cols = [{"id": n, "metadata": None} for n in table.sample_names]
-    data = [[oi, si, c] for (oi, si), c in sorted(table.counts.items())]
-    doc = {
-        "id": None, "format": "Biological Observation Matrix 1.0.0",
-        "format_url": "http://biom-format.org",
-        "type": "OTU table", "generated_by": "usearch12_tpu",
-        "matrix_type": "sparse", "matrix_element_type": "int",
-        "shape": [len(rows), len(cols)],
-        "rows": rows, "columns": cols, "data": data,
-    }
+    """BIOM JSON byte-matching OTUTable::ToJsonFile (src/json.cpp:32-104)
+    except the run-time "date" field."""
+    import time
+    no = len(table.otu_names)
+    ns = len(table.sample_names)
     with open(path, "w") as f:
-        json.dump(doc, f)
+        f.write("{\n")
+        f.write(f'\t"id":"{path}",\n')
+        f.write('\t"format": "Biological Observation Matrix 1.0",\n')
+        f.write('\t"format_url": "http://biom-format.org",\n')
+        f.write('\t"generated_by": "usearch",\n')
+        f.write('\t"type": "OTU table",\n')
+        f.write(f'\t"date": "{time.asctime()[:24]}",\n')
+        f.write('\t"matrix_type": "sparse",\n')
+        f.write('\t"matrix_element_type": "float",\n')
+        f.write(f'\t"shape": [{no},{ns}],\n')
+        f.write('\t"rows":[\n')
+        for oi, n in enumerate(table.otu_names):
+            f.write('\t\t{"id":"%s", "metadata":null}%s\n'
+                    % (n, "," if oi + 1 != no else ""))
+        f.write("\t],\n")
+        f.write('\t"columns":[\n')
+        for si, n in enumerate(table.sample_names):
+            f.write('\t\t{"id":"%s", "metadata":null}%s\n'
+                    % (n, "," if si + 1 != ns else ""))
+        f.write("\t],\n")
+        f.write('\t"data": [\n')
+        # sparse cells in (OTU, sample) scan order; trailing-comma rule
+        # follows the reference's per-cell index test
+        for oi in range(no):
+            for si in range(ns):
+                c = table.counts.get((oi, si), 0)
+                if c == 0:
+                    continue
+                sep = "," if (oi + 1 < no or si + 1 < ns) else ""
+                f.write(f"\t\t[{oi},{si},{c}]{sep}\n")
+        f.write("\t]\n")
+        f.write("}\n")
 
 
 def closed_ref(query_path: Optional[str]) -> None:
