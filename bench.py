@@ -210,16 +210,45 @@ def bench_sintax(ref, d):
 
 
 def bench_kernel_device():
-    """Run the device kernel sweep in a child with a hard timeout."""
+    """Run the device kernel sweep in a child with a hard timeout.
+    Retries once; on failure returns (None, cause-string) so the bench
+    record always says WHY the device number is missing (round-2 lost
+    its TPU evidence to a silent `except: pass` here)."""
+    cause = "unknown"
+    for attempt in range(2):
+        try:
+            r = subprocess.run([sys.executable, "-c",
+                                _KERNEL_CHILD % {"here": HERE}],
+                               capture_output=True, timeout=600, text=True)
+            if r.returncode == 0:
+                return json.loads(r.stdout.strip().splitlines()[-1]), "ok"
+            cause = "rc=%d: %s" % (r.returncode,
+                                   r.stderr.strip()[-300:])
+        except subprocess.TimeoutExpired:
+            cause = "timeout after 600s"
+        except Exception as e:  # noqa: BLE001
+            cause = repr(e)[:300]
+    return None, cause
+
+
+def run_tpu_test_tier():
+    """Run the device test tier (pallas kernel, traceback, engine-with-
+    device) against the real chip; returns a summary string."""
+    env = dict(os.environ)
+    env["USEARCH_TPU_TESTS"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
     try:
-        r = subprocess.run([sys.executable, "-c",
-                            _KERNEL_CHILD % {"here": HERE}],
-                           capture_output=True, timeout=600, text=True)
-        if r.returncode == 0:
-            return json.loads(r.stdout.strip().splitlines()[-1])
-    except Exception:
-        pass
-    return None
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q",
+             os.path.join(HERE, "tests", "test_pallas_nw.py")],
+            capture_output=True, timeout=1800, text=True, env=env)
+        tail = (r.stdout.strip().splitlines() or ["no output"])[-1]
+        return ("pass: " if r.returncode == 0 else "FAIL: ") + tail[:200]
+    except subprocess.TimeoutExpired:
+        return "FAIL: timeout after 1800s"
+    except Exception as e:  # noqa: BLE001
+        return "FAIL: " + repr(e)[:200]
 
 
 def bench_kernel_cpu():
@@ -337,6 +366,12 @@ def bench_unoise(ref, reads, d):
 def main():
     import tempfile
     d = tempfile.mkdtemp(prefix="usearch_bench_")
+    # a stale "bad" device-health verdict from an earlier transient
+    # failure must not decide this bench's device path
+    try:
+        os.unlink("/tmp/usearch_device_health")
+    except OSError:
+        pass
     ref = _prepare_ref()
     reads, db, q = _gen_workloads(d)
 
@@ -364,7 +399,7 @@ def main():
         extra["unoise3_vs_ref"] = round(u_ratio, 3)
         extra["output_parity"] = parity_ok
 
-    kern = bench_kernel_device()
+    kern, kern_cause = bench_kernel_device()
     if kern is not None:
         extra["kernel_gcells_per_s"] = kern
         cpu = bench_kernel_cpu()
@@ -373,7 +408,8 @@ def main():
             extra["kernel_vs_cpu"] = round(
                 max(kern.values()) / cpu, 1)
     else:
-        extra["kernel_gcells_per_s"] = "device unavailable"
+        extra["kernel_gcells_per_s"] = "unavailable: " + kern_cause
+    extra["tpu_test_tier"] = run_tpu_test_tier()
 
     if c_my is not None:
         print(json.dumps({

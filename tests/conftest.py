@@ -5,10 +5,12 @@ import sys
 # import.  Forced (not setdefault): the environment profile exports
 # JAX_PLATFORMS=axon, which would silently run the whole suite over the
 # tunneled TPU (slow, flaky, 1 device).  TPU hardware coverage comes from
-# bench.py and the driver's dryrun instead.
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# the USEARCH_TPU_TESTS=1 tier (run by bench.py against the real chip)
+# plus the driver's dryrun.
+if os.environ.get("USEARCH_TPU_TESTS") != "1":
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -53,8 +53,9 @@ _HEALTH_TTL = 600.0
 def _device_healthy() -> bool:
     """Probe the accelerator in a SUBPROCESS with a timeout: a wedged
     device tunnel hangs any in-process dispatch un-interruptibly, so the
-    probe must be killable.  The verdict is cached in-process AND on
-    disk with a TTL, so short CLI runs don't pay the ~2s probe each."""
+    probe must be killable.  Only an "ok" verdict is cached on disk (with
+    a TTL): a transient tunnel hiccup must NOT poison later runs, so a
+    failed probe is retried once here and never persisted."""
     if _DEVICE_HEALTH[0] is not None:
         return _DEVICE_HEALTH[0]
     import os
@@ -63,28 +64,37 @@ def _device_healthy() -> bool:
         st = os.stat(_HEALTH_CACHE)
         if time.time() - st.st_mtime < _HEALTH_TTL:
             with open(_HEALTH_CACHE) as f:
-                _DEVICE_HEALTH[0] = f.read().strip() == "ok"
-            return _DEVICE_HEALTH[0]
+                if f.read().strip() == "ok":
+                    _DEVICE_HEALTH[0] = True
+                    return True
+        else:
+            os.unlink(_HEALTH_CACHE)
     except OSError:
         pass
     import subprocess
     import sys as _sys
-    try:
-        r = subprocess.run(
-            [_sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
-             "print('ok')"],
-            capture_output=True, timeout=30, text=True)
-        _DEVICE_HEALTH[0] = (r.returncode == 0 and "ok" in r.stdout)
-    except Exception:
-        _DEVICE_HEALTH[0] = False
-    try:
-        with open(_HEALTH_CACHE, "w") as f:
-            f.write("ok" if _DEVICE_HEALTH[0] else "bad")
-    except OSError:
-        pass
-    return _DEVICE_HEALTH[0]
+    ok = False
+    for _attempt in range(2):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
+                 "print('ok')"],
+                capture_output=True, timeout=30, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                ok = True
+                break
+        except Exception:
+            pass
+    _DEVICE_HEALTH[0] = ok
+    if ok:
+        try:
+            with open(_HEALTH_CACHE, "w") as f:
+                f.write("ok")
+        except OSError:
+            pass
+    return ok
 
 
 def _engine_device():
@@ -237,7 +247,7 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
         if only_b6:
             from .engine.emit import Blast6Emitter
             em = Blast6Emitter(f_b6, db, o.flag("output_no_hits"))
-            eng.run_file(query_path, on_query_done, fast_emit=em.emit,
+            eng.run_file(query_path, on_query_done, fast_emit=em,
                          rank_override=rank_override)
         else:
             eng.run_file(query_path, on_query_done,

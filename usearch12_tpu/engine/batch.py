@@ -422,9 +422,14 @@ class BatchEngine:
 
     def search_window(self, jbuf: np.ndarray, j_off: np.ndarray,
                       collect_hits: Callable,
-                      rank_override: Optional[Callable] = None) -> None:
+                      rank_override: Optional[Callable] = None,
+                      collect_round: Optional[Callable] = None) -> None:
         """Run all jobs to termination.  collect_hits(j, tix, path_bytes,
         stats_row) is called per accepted hit in acceptance order.
+        collect_round, when given, replaces the per-hit loop: it is
+        called once per candidate round with the round's packed arrays
+        (hit_job, hit_tix, hit_paths, hit_path_off, hit_stats) — hits
+        stable-sorted by job across rounds reproduce acceptance order.
         rank_override(jbuf, j_off) -> (cand, cnts, out_n) substitutes the
         ranking stage (e.g. the mesh-sharded device ranker)."""
         n_jobs = len(j_off) - 1
@@ -454,7 +459,11 @@ class BatchEngine:
                 jbuf, j_off, pair_j, pair_t, status, pair_seg_off,
                 hole_paths, hole_off, job_state)
             ptr[live] += take
-            if len(hit_job):
+            if collect_round is not None:
+                if len(hit_job):
+                    collect_round(hit_job, hit_tix, hit_paths,
+                                  hit_path_off, hit_stats)
+            elif len(hit_job):
                 jobs_l = hit_job.tolist()
                 tix_l = hit_tix.tolist()
                 offs_l = hit_path_off.tolist()
@@ -495,6 +504,13 @@ class BatchEngine:
         # fast label decode (slow _proc_label only when options demand)
         trunclabels = o.flag("trunclabels")
         truncstr = o.str("truncstr") if o.filled("truncstr") else None
+        # packed C emit path: raw labels go straight to the C formatter
+        packed_em = getattr(fast_emit, "emit_packed", None)
+        if packed_em is not None and (trunclabels or truncstr is not None):
+            packed_em = None
+        if packed_em is None and fast_emit is not None \
+                and not callable(fast_emit):
+            fast_emit = fast_emit.emit
         raw_bytes = win.raw            # bytes slicing beats np round-trip
         lbl_off = win.lbl_off.tolist()
         lbl_end = win.lbl_end.tolist()
@@ -526,6 +542,33 @@ class BatchEngine:
                 jbuf = np.ascontiguousarray(win.seq_buf[soff[lo]:soff[hi]])
                 j_off = (soff[lo:hi + 1] - soff[lo]).astype(np.int64)
                 jobs_per_rec = 1
+
+            if packed_em is not None:
+                rounds = []
+
+                def collect_round(hj, ht, hp, hpo, hs):
+                    rounds.append((hj.copy(), ht.copy(), hs.copy()))
+
+                self.search_window(jbuf, j_off, None,
+                                   rank_override=rank_override,
+                                   collect_round=collect_round)
+                n_jobs = nrec * jobs_per_rec
+                if rounds:
+                    hj = np.concatenate([x[0] for x in rounds])
+                    ht = np.concatenate([x[1] for x in rounds])
+                    hs = np.vstack([x[2] for x in rounds])
+                    order = np.argsort(hj, kind="stable")
+                    hj, ht, hs = hj[order], ht[order], hs[order]
+                else:
+                    hj = np.zeros(0, np.int32)
+                    ht = np.zeros(0, np.uint32)
+                    hs = np.zeros((0, 10), np.int64)
+                job_start = np.searchsorted(
+                    hj, np.arange(n_jobs + 1)).astype(np.int64)
+                packed_em(win.buf, win.lbl_off[lo:hi], win.lbl_end[lo:hi],
+                          jobs_per_rec, j_off, hj, ht, hs, job_start)
+                progress.tick(hi, n)
+                continue
 
             per_job_hits: List[List] = [[] for _ in range(
                 nrec * jobs_per_rec)]

@@ -38,6 +38,56 @@ class Blast6Emitter:
         self.no_hits = output_no_hits
         self._tlabels = db.labels
         self._tlens = [len(s) for s in db.seqs]
+        self._packed = None
+
+    def _prep_packed(self):
+        """Concatenated target-label bytes for the C emitter."""
+        lbls = [lab.encode("latin1") for lab in self._tlabels]
+        buf = np.frombuffer(b"".join(lbls), dtype=np.uint8)
+        if len(buf) == 0:
+            buf = np.zeros(1, np.uint8)
+        off = np.zeros(len(lbls) + 1, np.int64)
+        np.cumsum([len(x) for x in lbls], out=off[1:])
+        tlen = np.array(self._tlens, dtype=np.int64)
+        if len(tlen) == 0:
+            tlen = np.zeros(1, np.int64)
+        self._packed = (np.ascontiguousarray(buf),
+                        np.ascontiguousarray(off),
+                        np.ascontiguousarray(tlen))
+        self._out_cap = 1 << 20
+
+    def emit_packed(self, raw_buf, lbl_off, lbl_end, jobs_per_rec, j_off,
+                    hit_job, hit_tix, hit_stats, job_start) -> None:
+        """Whole-window C formatting (blast6_emit_c); hit arrays are
+        job-sorted, job_start is the per-job prefix."""
+        from ..native import get_lib
+        import ctypes
+        lib = get_lib()
+        if self._packed is None:
+            self._prep_packed()
+        tbuf, toff, tlen = self._packed
+        nrec = len(lbl_off)
+        lbl_off = np.ascontiguousarray(lbl_off, np.int64)
+        lbl_end = np.ascontiguousarray(lbl_end, np.int64)
+        j_off = np.ascontiguousarray(j_off, np.int64)
+        hit_job = np.ascontiguousarray(hit_job, np.int32)
+        hit_tix = np.ascontiguousarray(hit_tix, np.uint32)
+        hit_stats = np.ascontiguousarray(hit_stats, np.int64)
+        job_start = np.ascontiguousarray(job_start, np.int64)
+        while True:
+            out = ctypes.create_string_buffer(self._out_cap)
+            n = lib.blast6_emit_c(
+                raw_buf.ctypes.data, lbl_off.ctypes.data,
+                lbl_end.ctypes.data, nrec, jobs_per_rec,
+                j_off.ctypes.data,
+                hit_job.ctypes.data, hit_tix.ctypes.data,
+                hit_stats.ctypes.data, job_start.ctypes.data,
+                tbuf.ctypes.data, toff.ctypes.data, tlen.ctypes.data,
+                int(self.no_hits), out, self._out_cap)
+            if n >= 0:
+                break
+            self._out_cap *= 4
+        self.f.write(out.raw[:n].decode("latin1"))
 
     def emit(self, label_of, lo, hi, per_job_hits, jobs_per_rec, j_off,
              jbuf) -> None:

@@ -191,6 +191,12 @@ def get_lib():
             vp, vp, vp, vp, i64,                  # segs
             vp, vp, vp, vp, vp, vp, i64,          # holes
             vp, i64]                              # lit buf
+        lib.blast6_emit_c.restype = i64
+        lib.blast6_emit_c.argtypes = [
+            vp, vp, vp, i64, ctypes.c_int32, vp,   # raw, loff, lend, nrec, jpr, j_off
+            vp, vp, vp, vp,                        # hit_job, tix, stats, job_start
+            vp, vp, vp, ctypes.c_int32,            # tlbl buf/off, tlen, no_hits
+            vp, i64]                               # out, cap
         lib.uchime_left_right_c.restype = ctypes.c_int
         lib.uchime_left_right_c.argtypes = [
             vp, vp, ctypes.c_char_p, i64, vp, i64, vp]

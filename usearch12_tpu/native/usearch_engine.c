@@ -3703,3 +3703,131 @@ int64_t local_query_c(
     free(t_paths);
     return rc < 0 ? rc : n_out;
 }
+
+/* ---------------------------------------------------------------- */
+/* blast6 fast emitter: format a whole window's blast6 lines straight
+ * from the packed hit arrays (semantics of engine/emit.py
+ * Blast6Emitter / out/blast6.py, i.e. src/blast6out.cpp:27-103 for
+ * global search: qlo..qhi = 1..LA, tlo/thi flipped for a revcomp
+ * query, evalue/bitscore = '*').
+ *
+ * Hit order per record replays HitMgr's QuickSortOrderDesc over
+ * float32 fract-id (src/sort.h:62-101, Hoare partition, middle
+ * pivot) -- identical swap sequence => identical tie ordering. */
+
+static void b6_order_qsort(const float *sc, int32_t *order, int left,
+                           int right)
+{
+    int i = left, j = right;
+    float pivot = sc[order[(left + right) / 2]];
+    while (i <= j) {
+        while (sc[order[i]] > pivot) ++i;
+        while (sc[order[j]] < pivot) --j;
+        if (i <= j) {
+            int32_t t = order[i]; order[i] = order[j]; order[j] = t;
+            ++i; --j;
+        }
+    }
+    if (left < j) b6_order_qsort(sc, order, left, j);
+    if (i < right) b6_order_qsort(sc, order, i, right);
+}
+
+/* Returns bytes written, or -1 if out_cap would overflow (caller grows
+ * the buffer and retries).  job_start is the per-job prefix (len
+ * n_jobs+1) into the job-sorted hit arrays; jobs of record r are
+ * r*jobs_per_rec .. +jobs_per_rec-1, job 2r+1 = revcomp strand. */
+int64_t blast6_emit_c(
+    const uint8_t *raw, const int64_t *lbl_off, const int64_t *lbl_end,
+    int64_t nrec, int32_t jobs_per_rec, const int64_t *j_off,
+    const int32_t *hit_job_unused, const uint32_t *hit_tix,
+    const int64_t *hit_stats, const int64_t *job_start,
+    const uint8_t *tlbl_buf, const int64_t *tlbl_off,
+    const int64_t *tlen, int32_t output_no_hits,
+    char *out, int64_t out_cap)
+{
+    (void)hit_job_unused;
+    int64_t pos = 0;
+    int64_t n_jobs = nrec * jobs_per_rec;
+    int64_t max_hits = job_start[n_jobs];
+    int cap_local = 8;
+    int32_t ord_local[8];
+    int32_t rc_local[8];
+    int64_t idx_local[8], la_local[8];
+    float sc_local[8];
+    int32_t *ord = ord_local, *rcf = rc_local;
+    int64_t *idx = idx_local, *la = la_local;
+    float *sc = sc_local;
+    int heap = 0;
+    for (int64_t r = 0; r < nrec; ++r) {
+        int64_t j0 = r * jobs_per_rec;
+        int n = 0;
+        for (int s = 0; s < jobs_per_rec; ++s)
+            n += (int)(job_start[j0 + s + 1] - job_start[j0 + s]);
+        int64_t llen = lbl_end[r] - lbl_off[r];
+        if (n == 0) {
+            if (!output_no_hits)
+                continue;
+            if (pos + llen + 64 > out_cap)
+                goto overflow;
+            memcpy(out + pos, raw + lbl_off[r], (size_t)llen);
+            pos += llen;
+            pos += sprintf(out + pos,
+                           "\t*\t0\t0\t0\t0\t0\t0\t0\t0\t*\t0\n");
+            continue;
+        }
+        if (n > cap_local && !heap) {
+            ord = (int32_t *)malloc((size_t)max_hits * sizeof(int32_t));
+            rcf = (int32_t *)malloc((size_t)max_hits * sizeof(int32_t));
+            idx = (int64_t *)malloc((size_t)max_hits * sizeof(int64_t));
+            la = (int64_t *)malloc((size_t)max_hits * sizeof(int64_t));
+            sc = (float *)malloc((size_t)max_hits * sizeof(float));
+            heap = 1;
+        }
+        int k = 0;
+        for (int s = 0; s < jobs_per_rec; ++s) {
+            int64_t j = j0 + s;
+            int64_t ja = j_off[j + 1] - j_off[j];
+            for (int64_t h = job_start[j]; h < job_start[j + 1]; ++h) {
+                idx[k] = h;
+                rcf[k] = s == 1;
+                la[k] = ja;
+                const int64_t *st = hit_stats + 10 * h;
+                sc[k] = (float)((double)st[6]
+                                / (double)(st[1] - st[0] + 1));
+                ord[k] = k;
+                ++k;
+            }
+        }
+        if (n > 1)
+            b6_order_qsort(sc, ord, 0, n - 1);
+        for (int m = 0; m < n; ++m) {
+            int kk = ord[m];
+            int64_t h = idx[kk];
+            uint32_t tix = hit_tix[h];
+            const int64_t *st = hit_stats + 10 * h;
+            int64_t alnlen = st[1] - st[0] + 1;
+            int64_t tl_len = tlbl_off[tix + 1] - tlbl_off[tix];
+            if (pos + llen + tl_len + 192 > out_cap)
+                goto overflow;
+            memcpy(out + pos, raw + lbl_off[r], (size_t)llen);
+            pos += llen;
+            out[pos++] = '\t';
+            memcpy(out + pos, tlbl_buf + tlbl_off[tix], (size_t)tl_len);
+            pos += tl_len;
+            int64_t lb = tlen[tix];
+            int64_t tlo = rcf[kk] ? lb : 1, thi = rcf[kk] ? 1 : lb;
+            pos += sprintf(out + pos,
+                           "\t%.1f\t%lld\t%lld\t%lld\t1\t%lld\t%lld\t"
+                           "%lld\t*\t*\n",
+                           100.0 * ((double)st[6] / (double)alnlen),
+                           (long long)alnlen, (long long)(st[8] - st[6]),
+                           (long long)st[9], (long long)la[kk],
+                           (long long)tlo, (long long)thi);
+        }
+    }
+    if (heap) { free(ord); free(rcf); free(idx); free(la); free(sc); }
+    return pos;
+overflow:
+    if (heap) { free(ord); free(rcf); free(idx); free(la); free(sc); }
+    return -1;
+}
