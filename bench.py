@@ -241,7 +241,8 @@ def run_tpu_test_tier():
     try:
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q",
-             os.path.join(HERE, "tests", "test_pallas_nw.py")],
+             os.path.join(HERE, "tests", "test_pallas_nw.py"),
+             os.path.join(HERE, "tests", "test_batch_search.py")],
             capture_output=True, timeout=1800, text=True, env=env)
         tail = (r.stdout.strip().splitlines() or ["no output"])[-1]
         return ("pass: " if r.returncode == 0 else "FAIL: ") + tail[:200]
@@ -368,10 +369,12 @@ def main():
     d = tempfile.mkdtemp(prefix="usearch_bench_")
     # a stale "bad" device-health verdict from an earlier transient
     # failure must not decide this bench's device path
-    try:
-        os.unlink("/tmp/usearch_device_health")
-    except OSError:
-        pass
+    import glob as _glob
+    for p in _glob.glob("/tmp/usearch_device_health*"):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
     ref = _prepare_ref()
     reads, db, q = _gen_workloads(d)
 

@@ -11,6 +11,26 @@ if os.environ.get("USEARCH_TPU_TESTS") != "1":
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    # a sitecustomize may have imported jax at interpreter start and
+    # captured JAX_PLATFORMS=<accelerator> into the live config — the
+    # env overrides above would then be ineffective and the whole CPU
+    # suite would try to initialize (and, on a wedged tunnel, hang on)
+    # the accelerator plugin.  Rewrite the live config and drop the
+    # plugin factory outright.
+    import sys as _sys
+    if "jax" in _sys.modules:
+        try:
+            import jax as _jax
+            _jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        try:
+            from jax._src import xla_bridge as _xb
+            for _name in list(getattr(_xb, "_backend_factories", {})):
+                if _name not in ("cpu",):
+                    _xb._backend_factories.pop(_name, None)
+        except Exception:
+            pass
 
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -74,13 +74,23 @@ def test_mesh_blast6_byte_parity(small_db):
     db.mask()
     mesh_b6 = f"{d}/mesh.b6"
     host_b6 = f"{d}/host.b6"
+    # topk=64 >= maxaccepts+maxrejects (33): capacity fallback is
+    # impossible by design, so assert none fired
     with open(mesh_b6, "w") as f:
         em = Blast6Emitter(f, db, False)
         stats = mesh_search_file(q_fa, db, mesh, lambda *a: None,
-                                 fast_emit=em.emit, window=64, topk=32)
+                                 fast_emit=em.emit, window=64, topk=64)
     with open(host_b6, "w") as f:
         em2 = Blast6Emitter(f, db, False)
         eng = BatchEngine("usearch_global", db)
         eng.run_file(q_fa, lambda *a: None, fast_emit=em2.emit)
     assert stats["fallbacks"] == 0
     assert open(mesh_b6).read() == open(host_b6).read()
+    # topk=32 < 33: the capacity edge CAN fire; the host re-rank
+    # fallback must still give byte parity
+    small_b6 = f"{d}/mesh_small.b6"
+    with open(small_b6, "w") as f:
+        em3 = Blast6Emitter(f, db, False)
+        stats2 = mesh_search_file(q_fa, db, mesh, lambda *a: None,
+                                  fast_emit=em3.emit, window=64, topk=32)
+    assert open(small_b6).read() == open(host_b6).read()

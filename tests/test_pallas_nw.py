@@ -146,3 +146,24 @@ def test_wavefront_sharded_matches_single():
     sharded = dev.run_batch_sharded(batch, mesh)
     for a, b in zip(single, sharded):
         assert np.array_equal(a, b)
+
+
+def test_fused_wave_matches_oracle():
+    """Letters-in/ops-out fused device path: bit-exact scores and paths.
+
+    On the CPU tier FusedWaveAligner falls back to the legacy align()
+    (interpret mode); the fused pack->kernel->traceback chain itself is
+    exercised on the real-TPU tier (USEARCH_TPU_TESTS=1, run by bench).
+    """
+    from usearch12_tpu.ops.wavefront_nw import (WavefrontNWDevice,
+                                                FusedWaveAligner)
+    ap = make_ap()
+    rng = np.random.default_rng(17)
+    pairs = rand_pairs(rng, 12, lmin=40, lmax=220)
+    dev = WavefrontNWDevice(ap, pb=8)
+    fa = FusedWaveAligner(dev)
+    scores, paths = fa.align(pairs, band_radius=16)
+    for k, (a, b) in enumerate(pairs):
+        s_o, p_o = banded_nw_main_diag(a, b, 16, ap)
+        assert np.float32(s_o) == np.float32(scores[k])
+        assert p_o == paths[k]

@@ -46,55 +46,72 @@ def _load_db(path: str) -> SeqDB:
 
 
 _DEVICE_HEALTH = [None]
-_HEALTH_CACHE = "/tmp/usearch_device_health"
+# keyed by the env's platform selection: a JAX_PLATFORMS=cpu test run
+# must not write a verdict that a later accelerator run would read
+import os as _os
+_HEALTH_CACHE = "/tmp/usearch_device_health_%s" % (
+    _os.environ.get("JAX_PLATFORMS", "auto").replace(",", "_") or "auto")
 _HEALTH_TTL = 600.0
 
 
-def _device_healthy() -> bool:
+def _device_healthy():
     """Probe the accelerator in a SUBPROCESS with a timeout: a wedged
     device tunnel hangs any in-process dispatch un-interruptibly, so the
-    probe must be killable.  Only an "ok" verdict is cached on disk (with
-    a TTL): a transient tunnel hiccup must NOT poison later runs, so a
-    failed probe is retried once here and never persisted."""
+    probe must be killable — and it must run BEFORE any in-process jax
+    backend init (jax.devices()/default_backend() dial the tunnel even
+    under JAX_PLATFORMS=cpu once the PJRT plugin is registered).  Only
+    an "ok" verdict is cached on disk (with a TTL): a transient tunnel
+    hiccup must NOT poison later runs, so a failed probe is retried once
+    here and never persisted.  Returns (ok, platform)."""
     if _DEVICE_HEALTH[0] is not None:
         return _DEVICE_HEALTH[0]
     import os
     import time
     try:
         st = os.stat(_HEALTH_CACHE)
-        if time.time() - st.st_mtime < _HEALTH_TTL:
-            with open(_HEALTH_CACHE) as f:
-                if f.read().strip() == "ok":
-                    _DEVICE_HEALTH[0] = True
-                    return True
-        else:
+        age = time.time() - st.st_mtime
+        with open(_HEALTH_CACHE) as f:
+            tok = f.read().split()
+        if tok and tok[0] == "ok" and age < _HEALTH_TTL:
+            plat = tok[1] if len(tok) > 1 else "tpu"
+            _DEVICE_HEALTH[0] = (True, plat)
+            return _DEVICE_HEALTH[0]
+        # a failed probe costs 2x30s; remember it just long enough that
+        # back-to-back CLI runs don't each re-pay it (60s, NOT the 600s
+        # ok-TTL that poisoned round 2's bench)
+        if tok and tok[0] == "bad" and age < 60.0:
+            _DEVICE_HEALTH[0] = (False, "none")
+            return _DEVICE_HEALTH[0]
+        if age >= _HEALTH_TTL:
             os.unlink(_HEALTH_CACHE)
     except OSError:
         pass
     import subprocess
     import sys as _sys
-    ok = False
+    ok, plat = False, "none"
     for _attempt in range(2):
         try:
             r = subprocess.run(
                 [_sys.executable, "-c",
                  "import jax, jax.numpy as jnp;"
                  "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
-                 "print('ok')"],
+                 "print('ok', jax.devices()[0].platform)"],
                 capture_output=True, timeout=30, text=True)
             if r.returncode == 0 and "ok" in r.stdout:
                 ok = True
+                parts = r.stdout.split()
+                plat = parts[parts.index("ok") + 1] \
+                    if len(parts) > parts.index("ok") + 1 else "tpu"
                 break
         except Exception:
             pass
-    _DEVICE_HEALTH[0] = ok
-    if ok:
-        try:
-            with open(_HEALTH_CACHE, "w") as f:
-                f.write("ok")
-        except OSError:
-            pass
-    return ok
+    _DEVICE_HEALTH[0] = (ok, plat)
+    try:
+        with open(_HEALTH_CACHE, "w") as f:
+            f.write(f"ok {plat}" if ok else "bad")
+    except OSError:
+        pass
+    return _DEVICE_HEALTH[0]
 
 
 def _engine_device():
@@ -103,17 +120,17 @@ def _engine_device():
     o = options()
     if o.flag("no_engine_device"):
         return None
-    try:
-        import jax
-        platform = jax.devices()[0].platform
-    except Exception:
-        return None
     interpret = False
+    # health probe FIRST (killable subprocess): in-process jax.devices()
+    # on a wedged tunnel hangs un-interruptibly, so it must only run
+    # after the probe says the backend answers
+    healthy, platform = _device_healthy()
     if platform not in ("tpu", "axon"):
         if not o.flag("engine_device"):
             return None
         interpret = True   # CPU test path
-    elif not _device_healthy():
+        platform = "cpu"
+    elif not healthy:
         import sys as _sys
         print("WARNING: accelerator unresponsive, using host DP path",
               file=_sys.stderr)

@@ -387,8 +387,9 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+def _make_run(steps: int, chunk: int, pb: int, rho0: int, SW: int,
               match: float, mismatch: float, interpret: bool):
+    """Un-jitted kernel wrapper (jit it, or compose into a fused jit)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -423,7 +424,15 @@ def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             interpret=interpret,
         )(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp)
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+              match: float, mismatch: float, interpret: bool):
+    import jax
+    return jax.jit(_make_run(steps, chunk, pb, rho0, SW, match, mismatch,
+                             interpret))
 
 
 class WavefrontNWDevice:
@@ -666,9 +675,9 @@ import functools as _ft
 from .banded_nw import OP_M, OP_D, OP_I, OP_PAD, decode_packed_ops
 
 
-@_ft.lru_cache(maxsize=32)
-def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
-                             steps: int, jmax: int):
+@_ft.lru_cache(maxsize=64)
+def _make_traceback_wave(n_words: int, gpv: int, sw: int, rho0: int,
+                         steps: int, jmax: int):
     import jax
     import jax.numpy as jnp
 
@@ -681,7 +690,12 @@ def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
         pidx = jnp.arange(P)
         qrow = pidx // gpv
         base = (pidx % gpv) * sw
-        tb_flat = tb.reshape(tb.shape[0], -1)
+        # one flat buffer + composed indices: the pointer chase gathers
+        # P scalars per step; row-then-column gathers would materialize a
+        # (P, n_words*128) intermediate every step
+        wtot = n_words * 128
+        tb_all = tb.reshape(-1)
+        qoff = qrow * wtot
 
         r_open_a = gp[0, 6]
         r_ext_a = gp[0, 10]
@@ -756,8 +770,7 @@ def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
             u_lb = (la + lb - i - dlo - rho) // 2
             lane = jnp.clip(base + u_lb, 0, 127)
             widx = jnp.clip(t // 8, 0, n_words - 1) * 128 + lane
-            word = jnp.take_along_axis(tb_flat[qrow], widx[:, None],
-                                       axis=1)[:, 0]
+            word = tb_all[qoff + widx]
             nib = (word >> (4 * (t % 8))) & 15
             lb_bits = jnp.where((u_lb >= 0) & (u_lb < sw), nib, TB_MD)
             # band cell
@@ -765,8 +778,7 @@ def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
             u = (la + t - dlo - rho) // 2 - i
             lane_b = jnp.clip(base + u, 0, 127)
             widx_b = jnp.clip(t // 8, 0, n_words - 1) * 128 + lane_b
-            word_b = jnp.take_along_axis(tb_flat[qrow], widx_b[:, None],
-                                         axis=1)[:, 0]
+            word_b = tb_all[qoff + widx_b]
             nib_b = (word_b >> (4 * (t % 8))) & 15
             band_bits = jnp.where((k >= 0) & (k < bw) & (u >= 0)
                                   & (u < sw), nib_b, 0)
@@ -789,22 +801,33 @@ def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
             di = jnp.where(st == OP_I, 0, 1)
             dj = jnp.where(st == OP_D, 0, 1)
             op = jnp.where(done, OP_PAD, st)
+            # ops is (steps, P): each step writes one CONTIGUOUS row
+            # (a (P, steps) column write is a strided scatter per step)
             ops = jax.lax.dynamic_update_slice(
-                ops, op.astype(jnp.int8)[:, None], (0, step))
+                ops, op.astype(jnp.int8)[None, :], (step, 0))
             i = jnp.where(done, i, i - di)
             j = jnp.where(done, j, j - dj)
             st = jnp.where(done, st, st_new)
             return (i, j, st, ops)
 
-        ops0 = jnp.full((P, steps), OP_PAD, dtype=jnp.int8)
+        ops0 = jnp.full((steps, P), OP_PAD, dtype=jnp.int8)
         _i, _j, _st, ops = jax.lax.fori_loop(
             0, steps, step_fn, (la, lb, st0, ops0))
+        ops = ops.T
         o = ops.reshape(P, steps // 4, 4).astype(jnp.uint8)
         packed = (o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4)
                   | (o[:, :, 3] << 6))
         return scores, packed
 
-    return jax.jit(run)
+    return run
+
+
+@_ft.lru_cache(maxsize=32)
+def _traceback_compiled_wave(n_words: int, gpv: int, sw: int, rho0: int,
+                             steps: int, jmax: int):
+    import jax
+    return jax.jit(_make_traceback_wave(n_words, gpv, sw, rho0, steps,
+                                        jmax))
 
 
 def _is_dyadic(x: float) -> bool:
@@ -835,3 +858,263 @@ def trace_batch_device(dev: WavefrontNWDevice, batch: WaveBatch, tb, mle,
         jnp.asarray(batch.bw.astype(np.int32)), jnp.asarray(dev.gp))
     paths = decode_packed_ops(np.asarray(packed), P)
     return np.asarray(scores_d)[:P], paths
+
+
+# ---------------------------------------------------------------------------
+# Fused device path: letters in, 2-bit ops out.
+#
+# run_batch/trace_batch_device round-trip the (R, steps/8, 128) traceback
+# tensor through the host — ~64 KB per pair row, which over a slow
+# host<->device link costs orders of magnitude more than the DP itself.
+# The fused path instead uploads only the raw letter arrays (~1 byte per
+# residue) and geometry, computes the WaveBatch tiles ON DEVICE with the
+# same integer arithmetic as pack_wave (bit-identical tiles), runs the
+# pallas kernel, and runs the pointer-chase traceback on device, so the
+# only downloads are scores (4 B/pair) and packed ops ((la+lb)/4 B/pair).
+# This is what makes device DP deployable end-to-end: ~15 cells of DP
+# per byte moved instead of ~0.25.
+# ---------------------------------------------------------------------------
+
+
+def _pack_jax_builder(P: int, amax: int, bmax: int, steps: int, SW: int,
+                      gpv: int, rho0: int):
+    """Returns a traced fn (a_let, b_let, la, lb, dlo, bw) -> 9 kernel
+    input tiles, bit-identical to pack_wave + pack_ins + the pb padding
+    (dummy rows hold la=lb=1 mini-pairs instead of fill constants —
+    equally inert)."""
+    import jax.numpy as jnp
+
+    nrows = P // gpv
+    lanes_pad = LANES - gpv * SW
+
+    # static step tables (identical to pack_wave's r_t/s_t)
+    t_arr = np.arange(steps + 1)
+    rho_t = (rho0 + t_arr) % 2
+    r_t = (t_arr + rho0 - rho_t) // 2
+    s_t = t_arr - r_t
+    bump_a = np.zeros(steps, dtype=bool)
+    bump_a[1:] = r_t[1:steps] != r_t[0:steps - 1]
+    bump_b = np.zeros(steps, dtype=bool)
+    bump_b[1:] = s_t[1:steps] != s_t[0:steps - 1]
+    r_of_t = r_t[:steps].astype(np.int32)
+    s_of_t = s_t[:steps].astype(np.int32)
+
+    W_MID = np.int32(0x04040404)
+
+    def rows(x, fill):
+        # (P, SW) -> (nrows, 128) with lane padding
+        x = x.reshape(nrows, gpv * SW)
+        if lanes_pad:
+            pad = jnp.full((nrows, lanes_pad), fill, x.dtype)
+            x = jnp.concatenate([x, pad], axis=1)
+        return x
+
+    def pack4(v):
+        # (P, steps) int32 byte values -> (P, steps//4) int32 words
+        v = v.astype(jnp.uint32).reshape(P, steps // 4, 4)
+        return (v[:, :, 0] | (v[:, :, 1] << 8) | (v[:, :, 2] << 16)
+                | (v[:, :, 3] << 24)).astype(jnp.int32)
+
+    def pack(a_let, b_let, la, lb, dlo, bw):
+        a_let = a_let.astype(jnp.int32)
+        b_let = b_let.astype(jnp.int32)
+        i0 = (la - dlo - rho0) // 2
+        m = jnp.arange(SW, dtype=jnp.int32)[None, :]
+        la_s = jnp.broadcast_to(la[:, None], (P, SW))
+        lb_s = jnp.broadcast_to(lb[:, None], (P, SW))
+        ib_s = i0[:, None] - m
+        jb_s = -i0[:, None] + m
+        ume_s = jnp.broadcast_to(((bw - 1 - rho0) // 2)[:, None], (P, SW))
+        umo_s = jnp.broadcast_to(((bw - 1 - (1 - rho0)) // 2)[:, None],
+                                 (P, SW))
+        ia = ib_s
+        a_init_s = jnp.where(
+            (ia >= 0) & (ia < la[:, None]),
+            jnp.take_along_axis(a_let, jnp.clip(ia, 0, amax - 1), axis=1),
+            4)
+        jc = jb_s
+        b_init_s = jnp.where(
+            (jc >= 0) & (jc < lb[:, None]),
+            jnp.take_along_axis(b_let, jnp.clip(jc, 0, bmax - 1), axis=1),
+            4)
+
+        # insert streams
+        a_idx = i0[:, None] + r_of_t[None, :]
+        insA = jnp.where(
+            bump_a[None, :] & (a_idx >= 0) & (a_idx < la[:, None]),
+            jnp.take_along_axis(a_let, jnp.clip(a_idx, 0, amax - 1),
+                                axis=1),
+            4)
+        b_idx = -i0[:, None] + s_of_t[None, :] + (SW - 1)
+        insB = jnp.where(
+            bump_b[None, :] & (b_idx >= 0) & (b_idx < lb[:, None]),
+            jnp.take_along_axis(b_let, jnp.clip(b_idx, 0, bmax - 1),
+                                axis=1),
+            4)
+        wA = pack4(insA)            # (P, C)
+        wB = pack4(insB)
+        C = steps // 4
+        u = jnp.arange(SW, dtype=jnp.int32)[None, None, :]
+        w = jnp.where(u == 0, wA[:, :, None],
+                      jnp.where(u == SW - 1, wB[:, :, None], W_MID))
+        w = w.reshape(nrows, gpv, C, SW).transpose(0, 2, 1, 3) \
+             .reshape(nrows, C, gpv * SW)
+        if lanes_pad:
+            pad = jnp.full((nrows, C, lanes_pad), W_MID, jnp.int32)
+            w = jnp.concatenate([w, pad], axis=2)
+        ins = w.reshape(nrows, C * LANES)
+        return (rows(la_s, 1), rows(lb_s, 1),
+                rows(ib_s, -10**6), rows(jb_s, -10**6),
+                rows(ume_s, -1), rows(umo_s, -1),
+                rows(a_init_s, 4), rows(b_init_s, 4), ins)
+
+    return pack
+
+
+@_ft.lru_cache(maxsize=64)
+def _fused_compiled(P: int, amax: int, bmax: int, steps: int, chunk: int,
+                    pb: int, rho0: int, SW: int, gpv: int, match: float,
+                    mismatch: float, interpret: bool):
+    import jax
+
+    n_words = steps // 8
+    jmax = ((bmax + 1 + 127) // 128) * 128
+    tsteps = ((steps + 8 + 3) // 4) * 4
+    # three separately-jitted stages chained through device-resident
+    # arrays: composing them into one jit multiplies XLA compile time
+    # ~15x (the pallas call fused with a 500-step loop) for zero
+    # transfer benefit — intermediates never leave the device either way
+    pack_j = jax.jit(_pack_jax_builder(P, amax, bmax, steps, SW, gpv,
+                                       rho0))
+    kern_j = _compiled(steps, chunk, pb, rho0, SW, match, mismatch,
+                       interpret)
+    tb_j = _traceback_compiled_wave(n_words, gpv, SW, rho0, tsteps, jmax)
+
+    def fused(a_let, b_let, la, lb, dlo, bw, gp):
+        tiles = pack_j(a_let, b_let, la, lb, dlo, bw)
+        tb, mle, mlo, dlb = kern_j(*tiles, gp)
+        tb3 = tb.reshape(tb.shape[0], n_words, LANES)
+        return tb_j(tb3, mle, mlo, dlb, la, lb, dlo, bw, gp)
+
+    return fused
+
+
+_OPS_ASCII = np.frombuffer(b"MDI?", dtype=np.uint8)
+
+
+def _decode_ops_np(packed: np.ndarray, n: int) -> List[str]:
+    """Vectorized packed-2-bit-ops -> path strings (reversed emit order)."""
+    P, nb = packed.shape
+    ops = np.zeros((P, nb * 4), dtype=np.uint8)
+    ops[:, 0::4] = packed & 3
+    ops[:, 1::4] = (packed >> 2) & 3
+    ops[:, 2::4] = (packed >> 4) & 3
+    ops[:, 3::4] = (packed >> 6) & 3
+    asc = _OPS_ASCII[ops]
+    lens = np.argmax(ops == OP_PAD, axis=1)
+    lens[~(ops == OP_PAD).any(axis=1)] = nb * 4
+    out = []
+    for p in range(n):
+        L = lens[p]
+        out.append(asc[p, :L][::-1].tobytes().decode("ascii"))
+    return out
+
+
+def _quant_up(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+class FusedWaveAligner:
+    """align()-compatible scores+paths via the fused device path."""
+
+    def __init__(self, dev: WavefrontNWDevice):
+        self.dev = dev
+
+    def align(self, pairs, band_radius: int, nucleo: bool = True):
+        dev = self.dev
+        ap = dev.ap
+        if dev.interpret or not (_is_dyadic(ap.r_open_a)
+                                 and _is_dyadic(ap.r_ext_a)):
+            return dev.align(pairs, band_radius, nucleo)
+        P0 = len(pairs)
+        out_scores = np.zeros(P0, np.float32)
+        out_paths: List[Optional[str]] = [None] * P0
+        geo = np.zeros((P0, 4), np.int32)
+        idx = ([], [])
+        for i, pair in enumerate(pairs):
+            a, b = pair[0], pair[1]
+            if len(pair) >= 4:
+                d0, d1 = pair[2], pair[3]
+            else:
+                d0, d1 = band_diag_range(len(a), len(b), band_radius)
+            geo[i] = (len(a), len(b), d0, d1 - d0 + 1)
+            idx[(len(a) - d0) % 2].append(i)
+        for rho0 in (0, 1):
+            if idx[rho0]:
+                self._group(pairs, idx[rho0], geo, rho0, nucleo,
+                            out_scores, out_paths)
+        return out_scores, out_paths
+
+    def _group(self, pairs, idxs, geo, rho0, nucleo, out_scores,
+               out_paths):
+        import jax.numpy as jnp
+        dev = self.dev
+        n = len(idxs)
+        g = geo[idxs]
+        la, lb, dlo, bw = (np.ascontiguousarray(g[:, k]) for k in range(4))
+        SW = slot_width(int(bw.max()))
+        if dev.sw_min:
+            SW = max(SW, dev.sw_min)
+        gpv = LANES // SW
+        if gpv < 1 or SW < 2:
+            # band too wide for one vector row: legacy per-batch path
+            sc, ps = dev.align([pairs[i] for i in idxs],
+                               0, nucleo)
+            for k, i in enumerate(idxs):
+                out_scores[i], out_paths[i] = sc[k], ps[k]
+            return
+        steps = _quant_up(int((la + lb).max()),
+                          max(dev.chunk, dev.steps_quantum or 0))
+        amax = _quant_up(int(la.max()), 128)
+        bmax = _quant_up(int(lb.max()), 128)
+        nrows = _quant_up((n + gpv - 1) // gpv, dev.pb)
+        # pow2 row bucketing bounds compile count across window fills
+        cap = dev.pb
+        while cap < nrows:
+            cap *= 2
+        nrows = cap
+        P = nrows * gpv
+
+        a_let = np.full((P, amax), 4, np.int8)
+        b_let = np.full((P, bmax), 4, np.int8)
+        # vectorized ragged fill: one LUT pass over the concatenation,
+        # boolean row-major scatter (the per-pair loop dominated the
+        # whole fused path at ~0.5s / 4k pairs)
+        cat_a = np.concatenate([np.asarray(pairs[i][0]) for i in idxs])
+        cat_b = np.concatenate([np.asarray(pairs[i][1]) for i in idxs])
+        cols = np.arange(max(amax, bmax))
+        a_let[:n][cols[None, :amax] < la[:, None]] = \
+            _letters(cat_a, nucleo).astype(np.int8)
+        b_let[:n][cols[None, :bmax] < lb[:, None]] = \
+            _letters(cat_b, nucleo).astype(np.int8)
+        la_p = np.ones(P, np.int32)
+        lb_p = np.ones(P, np.int32)
+        dlo_p = np.full(P, -1 - rho0, np.int32)   # parity-correct dummy
+        bw_p = np.full(P, 4, np.int32)
+        la_p[:n], lb_p[:n], dlo_p[:n], bw_p[:n] = la, lb, dlo, bw
+        a_let[n:, 0] = 0
+        b_let[n:, 0] = 0
+
+        fn = _fused_compiled(P, amax, bmax, steps, dev.chunk, dev.pb,
+                             rho0, SW, gpv, dev.match, dev.mismatch,
+                             dev.interpret)
+        scores_d, packed_d = fn(
+            jnp.asarray(a_let), jnp.asarray(b_let), jnp.asarray(la_p),
+            jnp.asarray(lb_p), jnp.asarray(dlo_p), jnp.asarray(bw_p),
+            jnp.asarray(dev.gp))
+        scores = np.asarray(scores_d)
+        packed = np.asarray(packed_d)
+        paths = _decode_ops_np(packed, n)
+        for k, i in enumerate(idxs):
+            out_scores[i] = scores[k]
+            out_paths[i] = paths[k]
