@@ -85,7 +85,7 @@ def _paired(rf, my, reps=3):
 
 def bench_cluster(ref, reads, d):
     n_seqs = sum(1 for line in open(reads) if line.startswith(">"))
-    my = [sys.executable, "-m", "usearch12_tpu.cli", "-cluster_fast",
+    my = [os.path.join(HERE, "bin", "usearch"), "-cluster_fast",
           reads, "-id", "0.97", "-uc", os.path.join(d, "m.uc"),
           "-centroids", os.path.join(d, "m.fa"), "-quiet"]
     rf = [ref, "-cluster_fast", reads, "-id", "0.97", "-uc",
@@ -99,7 +99,7 @@ def bench_cluster(ref, reads, d):
 
 def bench_global(ref, db, q, d):
     n_q = sum(1 for line in open(q) if line.startswith(">"))
-    my = [sys.executable, "-m", "usearch12_tpu.cli", "-usearch_global",
+    my = [os.path.join(HERE, "bin", "usearch"), "-usearch_global",
           q, "-db", db, "-id", "0.9", "-strand", "plus", "-blast6out",
           os.path.join(d, "m.b6"), "-quiet"]
     rf = [ref, "-usearch_global", q, "-db", db, "-id", "0.9", "-strand",
@@ -197,7 +197,7 @@ def _gen_sintax(d):
 
 def bench_sintax(ref, d):
     dbf, qf = _gen_sintax(d)
-    my = [sys.executable, "-m", "usearch12_tpu.cli", "-sintax", qf,
+    my = [os.path.join(HERE, "bin", "usearch"), "-sintax", qf,
           "-db", dbf, "-tabbedout", os.path.join(d, "m.sin"), "-strand",
           "both", "-quiet", "-randseed", "1"]
     rf = [ref, "-sintax", qf, "-db", dbf, "-tabbedout",
@@ -315,7 +315,7 @@ def _gen_pairs(d):
 
 def bench_merge(ref, d):
     f1, f2 = _gen_pairs(d)
-    my = [sys.executable, "-m", "usearch12_tpu.cli", "-fastq_mergepairs",
+    my = [os.path.join(HERE, "bin", "usearch"), "-fastq_mergepairs",
           f1, "-reverse", f2, "-fastqout", os.path.join(d, "m.mg"),
           "-quiet"]
     rf = [ref, "-fastq_mergepairs", f1, "-reverse", f2, "-fastqout",
@@ -347,10 +347,10 @@ def bench_unoise(ref, reads, d):
                         t[p] = conv[int(rng.integers(0, 4))]
                 f.write(f">amp{i}\n{t.tobytes().decode()}\n")
     if not os.path.exists(uniq):
-        _run([sys.executable, "-m", "usearch12_tpu.cli",
+        _run([os.path.join(HERE, "bin", "usearch"),
               "-fastx_uniques", amp, "-fastaout", uniq, "-sizeout",
               "-relabel", "Uniq", "-quiet"])
-    my = [sys.executable, "-m", "usearch12_tpu.cli", "-unoise3", uniq,
+    my = [os.path.join(HERE, "bin", "usearch"), "-unoise3", uniq,
           "-zotus", os.path.join(d, "m.zfa"), "-tabbedout",
           os.path.join(d, "m.ztab"), "-quiet"]
     rf = [ref, "-unoise3", uniq, "-zotus", os.path.join(d, "r.zfa"),

@@ -7,6 +7,7 @@ pctid), posterior quality combination for the overlap, post filters.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -449,12 +450,30 @@ def _merge_files_native(nat, fwd_path, rev_path, fq, stats, f_fq,
     out_len = np.zeros(1, np.int64)
     ml_cap = len(fwd) // 8 + 16
     mlens = np.empty(ml_cap, np.int32)
-    cap = len(fwd) + len(rev) + 1024
+    # streaming output: the C loop writes the fd in 4MB chunks so the
+    # kernel's async writeback overlaps merge compute (one end-of-run
+    # ~100MB write serializes compute + disk and cost ~0.25x of the
+    # whole command on a ~75MB/s disk); buffer only needs chunk + one
+    # record of headroom
+    out_fd = -1
+    fd_pos0 = 0
+    if f_fq is not None:
+        f_fq.flush()
+        out_fd = f_fq.buffer.fileno()
+        fd_pos0 = os.lseek(out_fd, 0, os.SEEK_CUR)
+        cap = (8 << 20)
+    else:
+        cap = len(fwd) + len(rev) + 1024
     ctp = fq._ctp_c()
     while True:
         out_buf = np.empty(cap, np.uint8)
         si[:] = 0
         sf[:] = 0
+        if out_fd >= 0:
+            # grow-retry / python-fallback must not duplicate already-
+            # streamed records
+            os.lseek(out_fd, fd_pos0, os.SEEK_SET)
+            os.ftruncate(out_fd, fd_pos0)
         n = lib.merge_files_c(
             nat["hf"], nat["es"],
             fwd, len(fwd), rev, len(rev),
@@ -469,11 +488,15 @@ def _merge_files_native(nat, fwd_path, rev_path, fq, stats, f_fq,
             prefix, len(prefix),
             nat["pm"].ctypes.data, nat["pmm"].ctypes.data,
             out_buf.ctypes.data, cap, out_len.ctypes.data,
+            out_fd,
             mlens.ctypes.data, si.ctypes.data, sf.ctypes.data)
         if n == -3:
             cap *= 2
             continue
         if n < 0:
+            if out_fd >= 0:
+                os.lseek(out_fd, fd_pos0, os.SEEK_SET)
+                os.ftruncate(out_fd, fd_pos0)
             return False     # python loop reproduces exact diagnostics
         break
     (stats.in_recs, stats.out_recs, stats.tail1, stats.tail2,
@@ -486,7 +509,7 @@ def _merge_files_native(nat, fwd_path, rev_path, fq, stats, f_fq,
     stats.sum_merged_ee = float(sf[2])
     stats.sum_ov_length = float(sf[3])
     stats.sum_merged_length = float(sf[4])
-    if f_fq is not None:
+    if f_fq is not None and out_fd < 0:
         f_fq.flush()
         f_fq.buffer.write(out_buf[:int(out_len[0])].tobytes())
     if f_rep:

@@ -236,6 +236,7 @@ def get_lib():
             ctypes.c_char_p, i64,
             vp, vp,
             vp, i64, vp,
+            i64,
             vp, vp, vp]
         lib.filter_files_c.restype = i64
         lib.filter_files_c.argtypes = [
