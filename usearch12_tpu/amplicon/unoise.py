@@ -52,11 +52,18 @@ def _unoise_greedy_native(input_db, uniq_count, alpha, max_accepts,
     from ..alpha import (CHAR_TO_LETTER_NUCLEO, MATCH_MX_NUCLEO,
                         IS_LOWER)
     o = options()
-    seqs = input_db.seqs[:uniq_count]
-    lens = np.fromiter((len(s) for s in seqs), np.int64, uniq_count)
-    offs = np.zeros(uniq_count + 1, np.int64)
-    np.cumsum(lens, out=offs[1:])
-    qbuf = np.concatenate([np.ascontiguousarray(s) for s in seqs])
+    bb = getattr(input_db, "_bulk_buf", None)
+    if bb is not None and len(getattr(input_db, "_bulk_off", ())) > uniq_count:
+        # bulk-parse fast path: seqs are consecutive in one buffer from
+        # offset 0, so the C call can use it directly (no re-concat)
+        offs = np.ascontiguousarray(input_db._bulk_off[:uniq_count + 1])
+        qbuf = bb
+    else:
+        seqs = input_db.seqs[:uniq_count]
+        lens = np.fromiter((len(s) for s in seqs), np.int64, uniq_count)
+        offs = np.zeros(uniq_count + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        qbuf = np.concatenate([np.ascontiguousarray(s) for s in seqs])
     qsizes = np.fromiter(
         (size_from_label(l, 0xFFFFFFFF)
          for l in input_db.labels[:uniq_count]), np.int64, uniq_count)
@@ -102,7 +109,9 @@ def unoise3(input_path: Optional[str]) -> None:
 
     f_tab = open(o.str("tabbedout"), "w") if o.filled("tabbedout") else None
 
-    input_db = SeqDB.from_fastx(input_path)
+    # lazy: the input is size-sorted and only the >= minsize head (often
+    # a few % of a 300k-record uniques file) is ever touched
+    input_db = SeqDB.from_fastx(input_path, lazy=True)
     input_db.set_is_nucleo(True)
     nucleo = True
     ap = AlnParams.from_cmdline(nucleo)

@@ -109,6 +109,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     # and mymutex profiler); view with xprof/tensorboard.
     xprof = options().str("xprof") if options().filled("xprof") else None
     if xprof:
+        from .device import ensure_device_runtime
+        ensure_device_runtime()
         import jax
         jax.profiler.start_trace(xprof)
     try:

@@ -88,6 +88,7 @@ def _device_healthy():
         pass
     import subprocess
     import sys as _sys
+    from .device import device_env
     ok, plat = False, "none"
     for _attempt in range(2):
         try:
@@ -96,7 +97,8 @@ def _device_healthy():
                  "import jax, jax.numpy as jnp;"
                  "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
                  "print('ok', jax.devices()[0].platform)"],
-                capture_output=True, timeout=30, text=True)
+                capture_output=True, timeout=30, text=True,
+                env=device_env())
             if r.returncode == 0 and "ok" in r.stdout:
                 ok = True
                 parts = r.stdout.split()
@@ -135,6 +137,10 @@ def _engine_device():
         print("WARNING: accelerator unresponsive, using host DP path",
               file=_sys.stderr)
         return None
+    # lazy PJRT registration (skipped at startup by the bin/usearch
+    # launcher) — must precede any in-process jax backend init
+    from .device import ensure_device_runtime
+    ensure_device_runtime()
     # persistent compilation cache: kernel compiles (~30s each over the
     # tunneled link) must amortize across CLI runs, not per process
     try:

@@ -40,6 +40,75 @@ def relabel_with_size(label: str, size: int) -> str:
     return f"{base}size={size};"
 
 
+class _LazyCol:
+    """List-like column that materializes elements from the bulk parse
+    buffers on first access.  Loading a 300k-record FASTA eagerly costs
+    ~2s of Python object churn (3 objects/record); commands like unoise3
+    touch only the head of the (size-sorted) file, so per-record cost
+    must be paid per *access*, not per load.  Supports the list surface
+    the rest of the codebase uses: len/index/slice/iter/append."""
+
+    __slots__ = ("n", "_extra")
+
+    def __init__(self, n: int) -> None:
+        self.n = n
+        self._extra: list = []
+
+    def _make(self, i: int):
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return self.n + len(self._extra)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        if 0 <= i < self.n:
+            return self._make(i)
+        return self._extra[i - self.n]
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield self._make(i)
+        yield from self._extra
+
+    def append(self, x) -> None:
+        self._extra.append(x)
+
+
+class _LazyLabels(_LazyCol):
+    __slots__ = ("raw", "lo", "hi")
+
+    def __init__(self, raw: bytes, lo, hi, n: int) -> None:
+        super().__init__(n)
+        self.raw, self.lo, self.hi = raw, lo, hi
+
+    def _make(self, i: int) -> str:
+        # per-access decode: decoding the whole multi-MB input up front
+        # costs more than decoding the few labels actually touched
+        return self.raw[self.lo[i]:self.hi[i]].decode("latin1")
+
+
+class _LazySeqs(_LazyCol):
+    __slots__ = ("buf", "off")
+
+    def __init__(self, buf, off, n: int) -> None:
+        super().__init__(n)
+        self.buf, self.off = buf, off
+
+    def _make(self, i: int):
+        return self.buf[self.off[i]:self.off[i + 1]]
+
+
+class _LazyQuals(_LazyCol):
+    __slots__ = ()
+
+    def _make(self, i: int):
+        return None
+
+
 class SeqDB:
     def __init__(self) -> None:
         self.labels: List[str] = []
@@ -49,8 +118,8 @@ class SeqDB:
 
     # -- construction -----------------------------------------------------
     @classmethod
-    def from_fastx(cls, path: str) -> "SeqDB":
-        db = cls._from_fasta_bulk(path)
+    def from_fastx(cls, path: str, lazy: bool = False) -> "SeqDB":
+        db = cls._from_fasta_bulk(path, lazy=lazy)
         if db is not None:
             return db
         from .fastx import read_fastx
@@ -63,7 +132,7 @@ class SeqDB:
         return db
 
     @classmethod
-    def _from_fasta_bulk(cls, path: str):
+    def _from_fasta_bulk(cls, path: str, lazy: bool = False):
         """Bulk C FASTA parse (fasta_parse_c); None => caller falls back
         to the streaming parser (FASTQ, or no native lib)."""
         from ..native import get_lib
@@ -102,6 +171,15 @@ class SeqDB:
         db = cls()
         o = options()
         plain = not (o.flag("trunclabels") or o.filled("truncstr"))
+        if lazy and plain:
+            db.labels = _LazyLabels(raw, lbl_off[:nrec].copy(),
+                                    lbl_end[:nrec].copy(), nrec)
+            off = seq_off[:nrec + 1].copy()
+            db.seqs = _LazySeqs(seq_buf, off, nrec)
+            db.quals = _LazyQuals(nrec)
+            db._bulk_buf = seq_buf
+            db._bulk_off = off
+            return db
         labels = db.labels
         seqs = db.seqs
         quals = db.quals

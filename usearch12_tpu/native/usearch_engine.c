@@ -172,14 +172,15 @@ int64_t fasta_parse_c(const uint8_t *buf, int64_t n, const uint8_t *keep,
     int64_t cur_lbl_off = -1, cur_lbl_end = -1;
     seq_off[0] = 0;
     while (i < n) {
-        /* find end of line */
-        int64_t eol = i;
-        while (eol < n && buf[eol] != '\n')
-            ++eol;
+        /* find end of line (memchr: the byte-at-a-time scan was the
+         * whole-load bottleneck at ~100 MB/s; this parses ~1 GB/s) */
+        const uint8_t *nl = (const uint8_t *)
+            memchr(buf + i, '\n', (size_t)(n - i));
+        int64_t eol = nl ? (int64_t)(nl - buf) : n;
         int64_t end = eol;
         if (end > i && buf[end - 1] == '\r')
             --end;
-        if (i < n && buf[i] == '>') {
+        if (buf[i] == '>') {
             if (cur_lbl_off >= 0) {
                 if (spos > seq_off[nrec]) {
                     lbl_off[nrec] = cur_lbl_off;
@@ -195,13 +196,36 @@ int64_t fasta_parse_c(const uint8_t *buf, int64_t n, const uint8_t *keep,
             cur_lbl_off = i + 1;
             cur_lbl_end = end;
         } else if (cur_lbl_off >= 0) {
-            for (int64_t k = i; k < end; ++k) {
-                uint8_t c = buf[k];
-                if (keep[c]) {
-                    if (spos >= seq_cap)
-                        return -1;
-                    seq_buf[spos++] = c;
+            /* copy the whole line, then verify every byte is kept —
+             * true for any real sequence line; compact only on the
+             * rare line with embedded deletable bytes */
+            int64_t len = end - i;
+            if (spos + len > seq_cap)
+                return -1;
+            memcpy(seq_buf + spos, buf + i, (size_t)len);
+            int64_t k = i;
+            /* branchless 8-wide keep check: one branch per 8 bytes */
+            while (k + 8 <= end) {
+                unsigned m = keep[buf[k]] & keep[buf[k + 1]]
+                           & keep[buf[k + 2]] & keep[buf[k + 3]]
+                           & keep[buf[k + 4]] & keep[buf[k + 5]]
+                           & keep[buf[k + 6]] & keep[buf[k + 7]];
+                if (!m)
+                    break;
+                k += 8;
+            }
+            while (k < end && keep[buf[k]])
+                ++k;
+            if (k == end) {
+                spos += len;
+            } else {
+                int64_t w = spos + (k - i);
+                for (; k < end; ++k) {
+                    uint8_t c = buf[k];
+                    if (keep[c])
+                        seq_buf[w++] = c;
                 }
+                spos = w;
             }
         }
         i = eol + 1;
@@ -2891,6 +2915,11 @@ int64_t unoise_greedy_c(
     int32_t *out_ti, int32_t *out_diffs)
 {
     const int MAX_HOT_C = 8, MAX_DROP_C = 8;
+    /* USEARCH_PROF=1: per-phase wall time on stderr (rank vs align) */
+    int prof = getenv("USEARCH_PROF") != NULL;
+    double t_rank = 0.0, t_align = 0.0;
+    int64_t n_aligns = 0;
+    struct timespec ts0, ts1;
     cc_index_init(cc, slot_count);
     int64_t *cent_size = (int64_t *)malloc(
         (size_t)n_queries * sizeof(int64_t));
@@ -2899,9 +2928,16 @@ int64_t unoise_greedy_c(
         const uint8_t *seq = qbuf + q_off[q];
         int64_t L = q_off[q + 1] - q_off[q];
         uint32_t nuw = 0;
+        if (prof)
+            clock_gettime(CLOCK_MONOTONIC, &ts0);
         uint32_t n_cand = cc_rank(cc, seq, L, ctl_rank, alpha_size,
                                   wlen, slot_count, (uint32_t)cc->db_n,
                                   bump_pct, MAX_HOT_C, &nuw);
+        if (prof) {
+            clock_gettime(CLOCK_MONOTONIC, &ts1);
+            t_rank += (double)(ts1.tv_sec - ts0.tv_sec)
+                + 1e-9 * (double)(ts1.tv_nsec - ts0.tv_nsec);
+        }
         int32_t best_t = -1, best_diffs = -1;
         if (n_cand) {
             hsp_set_a(hf, seq, (uint32_t)L);
@@ -2923,10 +2959,18 @@ int64_t unoise_greedy_c(
                     es->path = (char *)malloc(es->path_cap);
                 }
                 float fr = 0.0f;
+                if (prof)
+                    clock_gettime(CLOCK_MONOTONIC, &ts0);
                 int n = global_align_c(hf, as, gp, match_mx, band_radius,
                                        min_hsp_len, min_hsp_fract,
                                        min_hsp_score, xdrop_g, 0, 1,
                                        es->path, &fr);
+                if (prof) {
+                    clock_gettime(CLOCK_MONOTONIC, &ts1);
+                    t_align += (double)(ts1.tv_sec - ts0.tv_sec)
+                        + 1e-9 * (double)(ts1.tv_nsec - ts0.tv_nsec);
+                    ++n_aligns;
+                }
                 if (n > 0) {
                     /* mismatch diffs over M columns */
                     int64_t qi = 0, tj = 0, diffs = 0;
@@ -3035,6 +3079,12 @@ int64_t unoise_greedy_c(
                 cc_flush_raw(cc);
         }
     }
+    if (prof)
+        fprintf(stderr,
+                "unoise_greedy_c: rank %.3fs align %.3fs (%lld aligns, "
+                "%lld queries, %lld centroids)\n",
+                t_rank, t_align, (long long)n_aligns,
+                (long long)n_queries, (long long)n_cent);
     free(cent_size);
     return n_cent;
 }

@@ -34,6 +34,8 @@ from ..ops.batch_align import BatchedGlobalAligner
 
 def batch_search_file(cmd: str, query_path: str, db: SeqDB,
                       on_query_done: Callable, window: int = 8192) -> None:
+    from ..device import ensure_device_runtime
+    ensure_device_runtime()
     o = options()
     nucleo = db.get_is_nucleo()
     ap = AlnParams.from_cmdline(nucleo)

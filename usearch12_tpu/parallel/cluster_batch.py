@@ -182,6 +182,8 @@ def _rank_from_u(u: np.ndarray):
 def cluster_mt_batched(input_path: Optional[str], mesh=None) -> None:
     """cluster_mt with the U-counting phase on device (single chip or a
     sharded mesh).  Byte-identical outputs to cluster.uclust.cluster_mt."""
+    from ..device import ensure_device_runtime
+    ensure_device_runtime()
     o = options()
     if not o.filled("id"):
         raise SystemExit("Must set -id")

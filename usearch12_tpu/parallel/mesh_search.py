@@ -241,6 +241,8 @@ def mesh_search_file(query_path: str, db: SeqDB, mesh,
                      topk: int = 64, window: int = 4096) -> dict:
     """usearch_global with mesh-sharded ranking + engine alignment.
     Returns stats {queries, fallbacks}."""
+    from ..device import ensure_device_runtime
+    ensure_device_runtime()
     from ..engine.batch import BatchEngine
     eng = BatchEngine("usearch_global", db, index=index)
     ranker = MeshRanker(mesh, eng.index, topk=topk)

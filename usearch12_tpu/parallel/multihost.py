@@ -35,6 +35,8 @@ def init_multihost(coordinator: Optional[str] = None,
     env vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
     JAX_PROCESS_ID); no-op when num_processes <= 1 and no coordinator
     is configured."""
+    from ..device import ensure_device_runtime
+    ensure_device_runtime()
     import jax
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
