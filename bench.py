@@ -209,6 +209,87 @@ def bench_sintax(ref, d):
     return 8000 / t_my, 8000 / t_ref, t_ref / t_my, parity
 
 
+def _gen_longseq(d):
+    """Long-sequence global search with big inter-HSP holes: conserved
+    600bp ends anchor the HSP chain, a divergent 4kb middle leaves one
+    huge banded-DP hole per pair — the workload class where the device
+    DP displaces the host kernel (viterbifastbandmem.cpp:89-163)."""
+    import numpy as np
+    qf = os.path.join(d, "bench_lq.fa")
+    tf = os.path.join(d, "bench_lt.fa")
+    if os.path.exists(qf):
+        return qf, tf
+    rng = np.random.default_rng(21)
+    conv = np.frombuffer(b"ACGT", np.uint8)
+    pre = conv[rng.integers(0, 4, 600)]
+    suf = conv[rng.integers(0, 4, 600)]
+    with open(tf, "w") as f:
+        for i in range(256):
+            mid = conv[rng.integers(0, 4, 4000)]
+            s = np.concatenate([pre, mid, suf]).tobytes().decode()
+            f.write(f">lt{i}\n{s}\n")
+    with open(qf, "w") as f:
+        for i in range(512):
+            mid = conv[rng.integers(0, 4, 4000)]
+            s = np.concatenate([pre, mid, suf]).tobytes().decode()
+            f.write(f">lq{i}\n{s}\n")
+    return qf, tf
+
+
+def bench_device_ablation(ref, d):
+    """usearch_global on the long-seq workload three ways — host-forced,
+    adaptive gate, device-forced — against the reference binary.
+    Returns an extras dict with per-leg wall time, device cells actually
+    dispatched (USEARCH_DEVICE_STATS), and byte parity of every leg."""
+    qf, tf = _gen_longseq(d)
+
+    def my_cmd(tag, extra_opts):
+        return ([os.path.join(HERE, "bin", "usearch"), "-usearch_global",
+                 qf, "-db", tf, "-id", "0.4", "-strand", "plus",
+                 "-blast6out", os.path.join(d, f"abl_{tag}.b6"), "-quiet"]
+                + extra_opts)
+
+    rf = [ref, "-usearch_global", qf, "-db", tf, "-id", "0.4",
+          "-strand", "plus", "-blast6out", os.path.join(d, "abl_ref.b6"),
+          "-quiet", "-threads", "1"]
+    legs = [("host", ["-dev_batch_cells", "1000000000000000"]),
+            ("auto", []),
+            ("device", ["-dev_batch_cells", "1"])]
+    out = {}
+    t_ref = min(_run(rf), _run(rf))
+    out["ref_s"] = round(t_ref, 3)
+    ref_b6 = open(os.path.join(d, "abl_ref.b6"), "rb").read()
+    for tag, opts in legs:
+        stats_path = os.path.join(d, f"abl_{tag}.stats")
+        env_save = os.environ.get("USEARCH_DEVICE_STATS")
+        os.environ["USEARCH_DEVICE_STATS"] = stats_path
+        try:
+            t = min(_run(my_cmd(tag, opts)), _run(my_cmd(tag, opts)))
+        finally:
+            if env_save is None:
+                os.environ.pop("USEARCH_DEVICE_STATS", None)
+            else:
+                os.environ["USEARCH_DEVICE_STATS"] = env_save
+        dev_cells = host_cells = 0
+        dev_on = False
+        try:
+            with open(stats_path) as f:
+                lines = [json.loads(x) for x in f if x.strip()]
+            # two timed runs appended two lines; report the last
+            if lines:
+                dev_cells = lines[-1].get("device_cells", 0)
+                host_cells = lines[-1].get("host_cells", 0)
+                dev_on = bool(lines[-1].get("device"))
+        except OSError:
+            pass
+        parity = (open(os.path.join(d, f"abl_{tag}.b6"), "rb").read()
+                  == ref_b6)
+        out[tag] = {"s": round(t, 3), "vs_ref": round(t_ref / t, 3),
+                    "device_used": dev_on, "device_cells": dev_cells,
+                    "host_cells": host_cells, "parity": parity}
+    return out
+
+
 def bench_kernel_device():
     """Run the device kernel sweep in a child with a hard timeout.
     Retries once; on failure returns (None, cause-string) so the bench
@@ -401,6 +482,12 @@ def main():
         extra["fastq_mergepairs_vs_ref"] = round(m_ratio, 3)
         extra["unoise3_vs_ref"] = round(u_ratio, 3)
         extra["output_parity"] = parity_ok
+
+    if ref is not None:
+        try:
+            extra["device_ablation"] = bench_device_ablation(ref, d)
+        except Exception as e:  # noqa: BLE001
+            extra["device_ablation"] = "failed: " + repr(e)[:300]
 
     kern, kern_cause = bench_kernel_device()
     if kern is not None:
