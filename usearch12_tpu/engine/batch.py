@@ -136,6 +136,20 @@ class DevicePerfModel:
         self.dev_rate /= f
 
 
+def _thread_count() -> int:
+    """Requested worker-thread count: -threads when set, else
+    min(10, cores) — GetRequestedThreadCount semantics
+    (src/myutils.cpp:151-175)."""
+    o = options()
+    if o.filled("threads"):
+        return max(1, int(o.uns("threads")))
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cores = os.cpu_count() or 1
+    return min(10, cores)
+
+
 def engine_eligible(cmd: str, nucleo: bool, xlat: bool) -> bool:
     """True when the batch engine reproduces the serial driver exactly:
     global search, bounded terminator, -id-only acceptance."""
@@ -154,6 +168,54 @@ def engine_eligible(cmd: str, nucleo: bool, xlat: bool) -> bool:
     if term.max_accepts <= 0 or term.max_rejects <= 0:
         return False
     return True
+
+
+class _Scratch:
+    """Per-thread mutable engine state: C scratch objects plus the
+    growable batch buffers.  One instance per worker thread lets the
+    window pipeline run `-threads` windows concurrently (the reference
+    model: one searcher object per thread, search.cpp:119-128) while
+    every array the C calls write stays thread-private."""
+
+    __slots__ = ("hf", "as_", "rs", "es", "seg_cap", "hole_cap",
+                 "lit_cap", "hitpath_cap", "seg_kind", "seg_val",
+                 "seg_val2", "hole_pair", "hole_aoff", "hole_boff",
+                 "hole_alen", "hole_blen", "hole_cls", "lit_buf",
+                 "keep_alive")
+
+    def __init__(self, lib, ah, nucleo, sub_mx, ctl_aln) -> None:
+        self.hf = lib.hsp_create(ah.hsp_word_length,
+                                 4 if nucleo else 20, sub_mx, ctl_aln)
+        self.as_ = lib.scratch_create()
+        self.rs = lib.rank_scratch_create()
+        self.es = lib.engine_scratch_create()
+        self.seg_cap = 1 << 16
+        self.hole_cap = 1 << 12
+        self.lit_cap = 1 << 20
+        self.hitpath_cap = 1 << 20
+        self.keep_alive = None
+        self.alloc_round_bufs()
+
+    def alloc_round_bufs(self) -> None:
+        self.seg_kind = np.empty(self.seg_cap, np.uint8)
+        self.seg_val = np.empty(self.seg_cap, np.int64)
+        self.seg_val2 = np.empty(self.seg_cap, np.int64)
+        self.hole_pair = np.empty(self.hole_cap, np.int32)
+        self.hole_aoff = np.empty(self.hole_cap, np.int64)
+        self.hole_boff = np.empty(self.hole_cap, np.int64)
+        self.hole_alen = np.empty(self.hole_cap, np.int32)
+        self.hole_blen = np.empty(self.hole_cap, np.int32)
+        self.hole_cls = np.empty(self.hole_cap, np.uint8)
+        self.lit_buf = np.empty(self.lit_cap, np.uint8)
+
+    def destroy(self, lib) -> None:
+        try:
+            lib.hsp_destroy(self.hf)
+            lib.scratch_destroy(self.as_)
+            lib.rank_scratch_destroy(self.rs)
+            lib.engine_scratch_destroy(self.es)
+        except Exception:
+            pass
 
 
 class _FastaWindows:
@@ -249,13 +311,10 @@ class BatchEngine:
         self._comp = CHAR_TO_COMP_CHAR
         self._gp = GapParams.from_alnparams(ap)
 
-        lib = self.lib
-        self._hf = lib.hsp_create(self.ah.hsp_word_length,
-                                  4 if ap.nucleo else 20,
-                                  self._sub_mx, self._ctl_aln)
-        self._as = lib.scratch_create()
-        self._rs = lib.rank_scratch_create()
-        self._es = lib.engine_scratch_create()
+        import threading
+        self._lock = threading.Lock()     # device/perf/stats guard
+        self._scratches: List[_Scratch] = []
+        self._sc = self._new_scratch()
 
         # db view
         seqs = db.seqs
@@ -299,36 +358,20 @@ class BatchEngine:
             if platform in ("axon", "tpu", "auto"):
                 self.perf = DevicePerfModel(platform)
 
-        # growable batch buffers
-        self._seg_cap = 1 << 16
-        self._hole_cap = 1 << 12
-        self._lit_cap = 1 << 20
-        self._hitpath_cap = 1 << 20
-        self._alloc_round_bufs()
+    def _new_scratch(self) -> _Scratch:
+        sc = _Scratch(self.lib, self.ah, self.ap.nucleo, self._sub_mx,
+                      self._ctl_aln)
+        self._scratches.append(sc)
+        return sc
 
     def __del__(self):
-        try:
-            self.lib.hsp_destroy(self._hf)
-            self.lib.scratch_destroy(self._as)
-            self.lib.rank_scratch_destroy(self._rs)
-            self.lib.engine_scratch_destroy(self._es)
-        except Exception:
-            pass
-
-    def _alloc_round_bufs(self) -> None:
-        self._seg_kind = np.empty(self._seg_cap, np.uint8)
-        self._seg_val = np.empty(self._seg_cap, np.int64)
-        self._seg_val2 = np.empty(self._seg_cap, np.int64)
-        self._hole_pair = np.empty(self._hole_cap, np.int32)
-        self._hole_aoff = np.empty(self._hole_cap, np.int64)
-        self._hole_boff = np.empty(self._hole_cap, np.int64)
-        self._hole_alen = np.empty(self._hole_cap, np.int32)
-        self._hole_blen = np.empty(self._hole_cap, np.int32)
-        self._hole_cls = np.empty(self._hole_cap, np.uint8)
-        self._lit_buf = np.empty(self._lit_cap, np.uint8)
+        for sc in getattr(self, "_scratches", ()):
+            sc.destroy(self.lib)
 
     # -- one window ------------------------------------------------------
-    def _rank_jobs(self, jbuf: np.ndarray, j_off: np.ndarray):
+    def _rank_jobs(self, jbuf: np.ndarray, j_off: np.ndarray,
+                   sc: Optional[_Scratch] = None):
+        sc = sc or self._sc
         lib = self.lib
         ix = self.index
         p = ix.params
@@ -352,7 +395,7 @@ class BatchEngine:
         # mode 0 = SetTopBump + count-sort, the rank() path (quicksort is
         # rejected by engine_eligible)
         lib.rank_batch_c(
-            self._rs, self._es,
+            sc.rs, sc.es,
             jbuf.ctypes.data, j_off.ctypes.data, n_jobs,
             self._ctl_rank.ctypes.data, p.alpha_size, p.word_length,
             p.slot_count,
@@ -363,10 +406,10 @@ class BatchEngine:
             ix.seq_count, self.bump, 0, K,
             cand.ctypes.data, cnts.ctypes.data, out_n.ctypes.data,
             out_more.ctypes.data)
-        self._keep_alive = (sw, st, pw, pt)
+        sc.keep_alive = (sw, st, pw, pt)
         return cand, cnts, out_n
 
-    def _chain_round(self, jbuf, j_off, pair_j, pair_t):
+    def _chain_round(self, sc, jbuf, j_off, pair_j, pair_t):
         """chain_batch_c with capacity retry; returns packed plan."""
         lib = self.lib
         ah = self.ah
@@ -375,7 +418,7 @@ class BatchEngine:
         pair_seg_off = np.empty(n_pairs + 1, np.int64)
         while True:
             n_hole = lib.chain_batch_c(
-                self._hf, self._as, self._es,
+                sc.hf, sc.as_, sc.es,
                 ctypes.byref(self._gp), self._sub_mx.ctypes.data,
                 self._match.ctypes.data,
                 ah.band_radius, ah.min_global_hsp_length,
@@ -388,27 +431,27 @@ class BatchEngine:
                 pair_j.ctypes.data, pair_t.ctypes.data, n_pairs,
                 self.dev_min_cells,
                 status.ctypes.data,
-                self._seg_kind.ctypes.data, self._seg_val.ctypes.data,
-                self._seg_val2.ctypes.data, pair_seg_off.ctypes.data,
-                self._seg_cap,
-                self._hole_pair.ctypes.data, self._hole_aoff.ctypes.data,
-                self._hole_boff.ctypes.data, self._hole_alen.ctypes.data,
-                self._hole_blen.ctypes.data, self._hole_cls.ctypes.data,
-                self._hole_cap,
-                self._lit_buf.ctypes.data, self._lit_cap)
+                sc.seg_kind.ctypes.data, sc.seg_val.ctypes.data,
+                sc.seg_val2.ctypes.data, pair_seg_off.ctypes.data,
+                sc.seg_cap,
+                sc.hole_pair.ctypes.data, sc.hole_aoff.ctypes.data,
+                sc.hole_boff.ctypes.data, sc.hole_alen.ctypes.data,
+                sc.hole_blen.ctypes.data, sc.hole_cls.ctypes.data,
+                sc.hole_cap,
+                sc.lit_buf.ctypes.data, sc.lit_cap)
             if n_hole >= 0:
                 return status, pair_seg_off, int(n_hole)
             if n_hole == -1:
-                self._seg_cap *= 4
+                sc.seg_cap *= 4
             elif n_hole == -2:
-                self._hole_cap *= 4
+                sc.hole_cap *= 4
             elif n_hole == -3:
-                self._lit_cap *= 4
+                sc.lit_cap *= 4
             else:
                 raise RuntimeError("chain_batch_c DP error")
-            self._alloc_round_bufs()
+            sc.alloc_round_bufs()
 
-    def _align_holes(self, jbuf, n_hole: int):
+    def _align_holes(self, sc, jbuf, n_hole: int):
         """Device wavefront alignment of the emitted holes, grouped by
         terminal class.  Returns (hole_paths bytes, hole_off int64).
 
@@ -420,11 +463,11 @@ class BatchEngine:
         import time
         if n_hole == 0:
             return np.zeros(1, np.uint8), np.zeros(1, np.int64)
-        cls = self._hole_cls[:n_hole]
-        aoff = self._hole_aoff[:n_hole]
-        boff = self._hole_boff[:n_hole]
-        alen = self._hole_alen[:n_hole]
-        blen = self._hole_blen[:n_hole]
+        cls = sc.hole_cls[:n_hole]
+        aoff = sc.hole_aoff[:n_hole]
+        boff = sc.hole_boff[:n_hole]
+        alen = sc.hole_alen[:n_hole]
+        blen = sc.hole_blen[:n_hole]
         db = self._db_concat
         total_cells = int((np.minimum(alen, blen).astype(np.int64)
                            * (2 * self.ah.band_radius + 1)).sum())
@@ -442,40 +485,45 @@ class BatchEngine:
                 use_device = self.perf.device_wins(
                     total_cells, up_bytes, dn_bytes,
                     max(1, 2 * self._windows_left))
-        if use_device and self.device is None \
-                and not self._factory_tried:
-            self._factory_tried = True
-            self.device = self._device_factory()
+        if use_device:
+            with self._lock:
+                if self.device is None and not self._factory_tried:
+                    self._factory_tried = True
+                    self.device = self._device_factory()
         if not use_device or self.device is None:
             t0 = time.perf_counter()
-            out = self._align_holes_host(jbuf, n_hole, aoff, boff,
+            out = self._align_holes_host(sc, jbuf, n_hole, aoff, boff,
                                          alen, blen, cls)
-            if self.perf is not None:
-                self.perf.observe_host(total_cells,
-                                       time.perf_counter() - t0)
-            self.dev_stats["host_cells"] += total_cells
+            dt = time.perf_counter() - t0
+            with self._lock:
+                if self.perf is not None:
+                    self.perf.observe_host(total_cells, dt)
+                self.dev_stats["host_cells"] += total_cells
             return out
-        t0 = time.perf_counter()
-        paths: List[Optional[bytes]] = [None] * n_hole
-        for c in np.unique(cls):
-            idx = np.nonzero(cls == c)[0]
-            sub_pairs = [(jbuf[aoff[h]:aoff[h] + alen[h]],
-                          db[boff[h]:boff[h] + blen[h]]) for h in idx]
-            fa = self._class_fused_aligner(int(c))
-            _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
-                                   nucleo=self.ap.nucleo)
-            for k, h in enumerate(idx):
-                paths[h] = ps[k].encode("ascii")
-        if self.perf is not None:
-            self.perf.observe_dev(total_cells, up_bytes, dn_bytes,
-                                  time.perf_counter() - t0)
-        self.dev_stats["dispatches"] += 1
-        self.dev_stats["device_cells"] += total_cells
+        # device dispatch serializes on the lock: host chains in other
+        # threads keep running while one thread feeds the chip
+        with self._lock:
+            t0 = time.perf_counter()
+            paths: List[Optional[bytes]] = [None] * n_hole
+            for c in np.unique(cls):
+                idx = np.nonzero(cls == c)[0]
+                sub_pairs = [(jbuf[aoff[h]:aoff[h] + alen[h]],
+                              db[boff[h]:boff[h] + blen[h]]) for h in idx]
+                fa = self._class_fused_aligner(int(c))
+                _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
+                                       nucleo=self.ap.nucleo)
+                for k, h in enumerate(idx):
+                    paths[h] = ps[k].encode("ascii")
+            if self.perf is not None:
+                self.perf.observe_dev(total_cells, up_bytes, dn_bytes,
+                                      time.perf_counter() - t0)
+            self.dev_stats["dispatches"] += 1
+            self.dev_stats["device_cells"] += total_cells
         hole_off = np.zeros(n_hole + 1, np.int64)
         np.cumsum([len(p) for p in paths], out=hole_off[1:])
         return np.frombuffer(b"".join(paths), dtype=np.uint8), hole_off
 
-    def _align_holes_host(self, jbuf, n_hole, aoff, boff, alen, blen,
+    def _align_holes_host(self, sc, jbuf, n_hole, aoff, boff, alen, blen,
                           cls):
         """Host-kernel fallback for emitted holes (align_holes_c)."""
         lib = self.lib
@@ -488,7 +536,7 @@ class BatchEngine:
         blen_c = np.ascontiguousarray(blen, dtype=np.int32)
         cls_c = np.ascontiguousarray(cls, dtype=np.uint8)
         n = lib.align_holes_c(
-            self._es, ctypes.byref(self._gp), self._sub_mx.ctypes.data,
+            sc.es, ctypes.byref(self._gp), self._sub_mx.ctypes.data,
             self.ah.band_radius,
             jbuf.ctypes.data, self._db_concat.ctypes.data,
             aoff_c.ctypes.data, boff_c.ctypes.data, alen_c.ctypes.data,
@@ -527,7 +575,7 @@ class BatchEngine:
             self._class_devices[cls_bits] = dev
         return dev
 
-    def _finish_round(self, jbuf, j_off, pair_j, pair_t, status,
+    def _finish_round(self, sc, jbuf, j_off, pair_j, pair_t, status,
                       pair_seg_off, hole_paths, hole_off, job_state):
         lib = self.lib
         n_pairs = len(pair_j)
@@ -540,16 +588,16 @@ class BatchEngine:
             out_used = np.zeros(len(j_off) - 1, np.int32)
             hit_job = np.empty(max_hits, np.int32)
             hit_tix = np.empty(max_hits, np.uint32)
-            hit_paths = np.empty(self._hitpath_cap, np.uint8)
+            hit_paths = np.empty(sc.hitpath_cap, np.uint8)
             hit_path_off = np.empty(max_hits + 1, np.int64)
             hit_stats = np.empty((max_hits, 10), np.int64)
             n_hits = lib.finish_replay_c(
-                self._es,
+                sc.es,
                 status.ctypes.data,
-                self._seg_kind.ctypes.data, self._seg_val.ctypes.data,
-                self._seg_val2.ctypes.data, pair_seg_off.ctypes.data,
+                sc.seg_kind.ctypes.data, sc.seg_val.ctypes.data,
+                sc.seg_val2.ctypes.data, pair_seg_off.ctypes.data,
                 pair_j.ctypes.data, pair_t.ctypes.data, n_pairs,
-                self._lit_buf.ctypes.data,
+                sc.lit_buf.ctypes.data,
                 hole_paths.ctypes.data, hole_off.ctypes.data,
                 jbuf.ctypes.data, j_off.ctypes.data,
                 self._db_concat.ctypes.data, self._db_off.ctypes.data,
@@ -560,10 +608,10 @@ class BatchEngine:
                 job_state_try.ctypes.data, out_used.ctypes.data,
                 hit_job.ctypes.data, hit_tix.ctypes.data,
                 hit_paths.ctypes.data, hit_path_off.ctypes.data,
-                self._hitpath_cap, hit_stats.ctypes.data, max_hits)
+                sc.hitpath_cap, hit_stats.ctypes.data, max_hits)
             if n_hits >= 0:
                 break
-            self._hitpath_cap *= 4
+            sc.hitpath_cap *= 4
         job_state[:] = job_state_try
         return (hit_job[:n_hits], hit_tix[:n_hits], hit_paths,
                 hit_path_off[:n_hits + 1], hit_stats[:n_hits], out_used)
@@ -571,7 +619,8 @@ class BatchEngine:
     def search_window(self, jbuf: np.ndarray, j_off: np.ndarray,
                       collect_hits: Callable,
                       rank_override: Optional[Callable] = None,
-                      collect_round: Optional[Callable] = None) -> None:
+                      collect_round: Optional[Callable] = None,
+                      sc: Optional[_Scratch] = None) -> None:
         """Run all jobs to termination.  collect_hits(j, tix, path_bytes,
         stats_row) is called per accepted hit in acceptance order.
         collect_round, when given, replaces the per-hit loop: it is
@@ -580,11 +629,12 @@ class BatchEngine:
         stable-sorted by job across rounds reproduce acceptance order.
         rank_override(jbuf, j_off) -> (cand, cnts, out_n) substitutes the
         ranking stage (e.g. the mesh-sharded device ranker)."""
+        sc = sc or self._sc
         n_jobs = len(j_off) - 1
         if rank_override is not None:
             cand, cnts, out_n = rank_override(jbuf, j_off)
         else:
-            cand, cnts, out_n = self._rank_jobs(jbuf, j_off)
+            cand, cnts, out_n = self._rank_jobs(jbuf, j_off, sc)
         job_state = np.zeros((n_jobs, 3), np.int32)
         ptr = np.zeros(n_jobs, np.int32)
         depth = 1
@@ -600,11 +650,11 @@ class BatchEngine:
             pair_k = np.repeat(ptr[live], take) + within
             pair_t = np.ascontiguousarray(cand[pair_j, pair_k])
             status, pair_seg_off, n_hole = self._chain_round(
-                jbuf, j_off, pair_j, pair_t)
-            hole_paths, hole_off = self._align_holes(jbuf, n_hole)
+                sc, jbuf, j_off, pair_j, pair_t)
+            hole_paths, hole_off = self._align_holes(sc, jbuf, n_hole)
             (hit_job, hit_tix, hit_paths, hit_path_off, hit_stats,
              out_used) = self._finish_round(
-                jbuf, j_off, pair_j, pair_t, status, pair_seg_off,
+                sc, jbuf, j_off, pair_j, pair_t, status, pair_seg_off,
                 hole_paths, hole_off, job_state)
             ptr[live] += take
             if collect_round is not None:
@@ -671,11 +721,10 @@ class BatchEngine:
             return raw.decode("latin1")
 
         n_windows = max(1, (n + window - 1) // window)
-        for wi, lo in enumerate(range(0, n, window)):
-            self._windows_left = n_windows - wi
-            hi = min(lo + window, n)
+        soff = win.seq_off
+
+        def build_window(lo, hi):
             nrec = hi - lo
-            soff = win.seq_off
             if strand_both:
                 parts = []
                 for r in range(lo, hi):
@@ -687,12 +736,16 @@ class BatchEngine:
                 lens = np.repeat(soff[lo + 1:hi + 1] - soff[lo:hi], 2)
                 j_off = np.zeros(2 * nrec + 1, np.int64)
                 np.cumsum(lens, out=j_off[1:])
-                jobs_per_rec = 2
-            else:
-                jbuf = np.ascontiguousarray(win.seq_buf[soff[lo]:soff[hi]])
-                j_off = (soff[lo:hi + 1] - soff[lo]).astype(np.int64)
-                jobs_per_rec = 1
+                return jbuf, j_off, 2
+            jbuf = np.ascontiguousarray(win.seq_buf[soff[lo]:soff[hi]])
+            j_off = (soff[lo:hi + 1] - soff[lo]).astype(np.int64)
+            return jbuf, j_off, 1
 
+        def compute_window(lo, hi, sc):
+            """All C/DP work for one window — thread-safe given a
+            thread-private scratch; emission happens separately so
+            output order stays deterministic under any thread count."""
+            jbuf, j_off, jobs_per_rec = build_window(lo, hi)
             if packed_em is not None:
                 rounds = []
 
@@ -701,7 +754,22 @@ class BatchEngine:
 
                 self.search_window(jbuf, j_off, None,
                                    rank_override=rank_override,
-                                   collect_round=collect_round)
+                                   collect_round=collect_round, sc=sc)
+                return (jbuf, j_off, jobs_per_rec, rounds, None)
+            per_job_hits: List[List] = [[] for _ in range(
+                (hi - lo) * jobs_per_rec)]
+
+            def collect(j, tix, path_b, stats):
+                per_job_hits[j].append((tix, path_b, stats))
+
+            self.search_window(jbuf, j_off, collect,
+                               rank_override=rank_override, sc=sc)
+            return (jbuf, j_off, jobs_per_rec, None, per_job_hits)
+
+        def emit_window(lo, hi, res):
+            jbuf, j_off, jobs_per_rec, rounds, per_job_hits = res
+            nrec = hi - lo
+            if rounds is not None:
                 n_jobs = nrec * jobs_per_rec
                 if rounds:
                     hj = np.concatenate([x[0] for x in rounds])
@@ -717,19 +785,7 @@ class BatchEngine:
                     hj, np.arange(n_jobs + 1)).astype(np.int64)
                 packed_em(win.buf, win.lbl_off[lo:hi], win.lbl_end[lo:hi],
                           jobs_per_rec, j_off, hj, ht, hs, job_start)
-                progress.tick(hi, n)
-                continue
-
-            per_job_hits: List[List] = [[] for _ in range(
-                nrec * jobs_per_rec)]
-
-            def collect(j, tix, path_b, stats):
-                per_job_hits[j].append((tix, path_b, stats))
-
-            self.search_window(jbuf, j_off, collect,
-                               rank_override=rank_override)
-
-            if fast_emit is not None:
+            elif fast_emit is not None:
                 fast_emit(label_of, lo, hi, per_job_hits, jobs_per_rec,
                           j_off, jbuf)
             else:
@@ -748,6 +804,32 @@ class BatchEngine:
                                 path_b.decode("ascii"), stats, is_rc))
                     on_query_done(label, seq, hits)
             progress.tick(hi, n)
+
+        bounds = [(lo, min(lo + window, n)) for lo in range(0, n, window)]
+        n_threads = _thread_count()
+        if n_threads > 1 and len(bounds) > 1 and rank_override is None:
+            # per-thread scratch; ex.map preserves window order, so the
+            # emitted bytes are identical to the serial path
+            import concurrent.futures as cf
+            import threading
+            tl = threading.local()
+
+            def work(b):
+                sc = getattr(tl, "sc", None)
+                if sc is None:
+                    with self._lock:
+                        sc = self._new_scratch()
+                    tl.sc = sc
+                return compute_window(b[0], b[1], sc)
+
+            self._windows_left = n_windows
+            with cf.ThreadPoolExecutor(max_workers=n_threads) as ex:
+                for (lo, hi), res in zip(bounds, ex.map(work, bounds)):
+                    emit_window(lo, hi, res)
+        else:
+            for wi, (lo, hi) in enumerate(bounds):
+                self._windows_left = n_windows - wi
+                emit_window(lo, hi, compute_window(lo, hi, self._sc))
         progress.done(f"{n} queries")
         from .. import runlog
         runlog.note_index(self.index)
