@@ -166,9 +166,26 @@ def _findhi(i: int, limit: int, H: List[float]) -> int:
     return j - 1
 
 
-def _trim(seq: np.ndarray, leftend: int, rightend: int) -> Tuple[int, int]:
+def _trim(seq: np.ndarray, leftend: int, rightend: int,
+          anc_off: int = 0) -> Tuple[int, int]:
     """src/segmaskseq.cpp:118-175: shrink [leftend,rightend] to the
-    min-probability subwindow."""
+    min-probability subwindow.
+
+    anc_off: accumulated window-chain offset of the enclosing recursion
+    sub-window(s) above this sequence.  At the TOP level (anc_off == 0)
+    this is the published trim.  Inside a left-recursion the 12.0-beta
+    binary runs the same min-probability scan and keeps the scan
+    minimum's LEFT end, but the RIGHT end shrinks from the interval end
+    by max(published_gap, min(anc_off, W)) where published_gap =
+    L-1-rend_scan — i.e. the shrink is at least the recursion window's
+    offset, capped at the SEG window size (its nested window machinery
+    counts the sub-window's start against a W-limited parent extent).
+    Established by black-box probing (tools/seg_probe.py), eight
+    independent minimized cases: prefix series ''/T/TC/QTC x I-run
+    (shrink grows with the offset), LQZbbRzIZNTNb (scan minimum at the
+    interval end, shrunk back), VRLLXSDZbbRzIZN (left end preserved
+    while the right end shrinks), NQGXYT+L-run (gap >= offset: exactly
+    published), BxQ...+L-run at offset 13 (offset capped at W=12)."""
     sub = seq[leftend:rightend + 1]
     L = len(sub)
     minlen = 1
@@ -193,16 +210,21 @@ def _trim(seq: np.ndarray, leftend: int, rightend: int) -> Tuple[int, int]:
             comp[AAINDEX[sub[i]]] -= 1
             comp[AAINDEX[sub[i + ln]]] += 1
             i += 1
+    if anc_off > 0:
+        gap = L - rend - 1
+        shrink = max(gap, anc_off)
+        # offset past the SEG window size stops biting once the scan
+        # minimum already sits >= W before the interval end (H family
+        # vs I family probes, tools/seg_probe.py)
+        if anc_off > W and gap >= W:
+            shrink = gap
+        return leftend + lend, rightend - shrink
     return leftend + lend, rightend - (L - rend - 1)
 
 
-def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]]) -> None:
-    """src/segmaskseq.cpp:546-612 (recursive).
-
-    Residual divergence: ~2% of ADVERSARIAL B/Z/X-dense random inputs
-    still diverge at a trim boundary (zero divergence on canonical
-    20-letter content; 294/300 byte-exact on a dense-invalid probing
-    corpus, all 52 systematic 12-char composition probes exact)."""
+def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]],
+            anc_off: int = 0) -> None:
+    """src/segmaskseq.cpp:546-612 (recursive).  anc_off: see _trim."""
     H = _seqent(seq)
     if H is None:
         return
@@ -217,20 +239,22 @@ def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]]) -> None:
             hii = _findhi(i, last, H)
             leftend = loi - DOWNSET
             rightend = hii + UPSET - 1
-            leftend, rightend = _trim(seq, leftend, rightend)
+            leftend, rightend = _trim(seq, leftend, rightend, anc_off)
             if i + UPSET - 1 < leftend:
                 lend = loi - DOWNSET
                 rend = leftend - 1
                 leftsegs: List[List[int]] = []
-                # 12.0-beta behavior (established by black-box probing,
-                # tools/mask_fuzz.py + 300-case corpus): the binary's
-                # left-recursion window EXCLUDES rend itself, unless that
-                # would shrink it below the SEG window size W
-                sub_end = rend if rend - lend >= W else rend + 1
-                _segseq(seq[lend:sub_end], offset + lend, leftsegs)
+                # openwin(seq, lend, rend-lend+1): INCLUSIVE [lend,rend]
+                # (src/segmaskseq.cpp:586-589); the recursion's window
+                # offset accumulates into anc_off for its trims
+                _segseq(seq[lend:rend + 1], offset + lend, leftsegs,
+                        anc_off + lend)
                 segs.extend(leftsegs)
             segs.append([leftend + offset, rightend + offset])
-            i = min(hii, rightend + DOWNSET)
+            # forward-progress guard: the anc_off-forced rightend can be
+            # far left of hii; never move the scan index backwards (the
+            # published loop can't regress because its rightend >= loi)
+            i = max(i, min(hii, rightend + DOWNSET))
             lowlim = i + 1
         i += 1
     _mergesegs(segs)
