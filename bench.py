@@ -489,6 +489,19 @@ def main():
         except Exception as e:  # noqa: BLE001
             extra["device_ablation"] = "failed: " + repr(e)[:300]
 
+    # virtual-mesh scaling curve (1/2/4/8 devices): stands in for the
+    # multi-host efficiency target until real multi-chip exists
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "tools",
+                                          "scaling_curve.py")],
+            capture_output=True, timeout=1500, text=True)
+        extra["mesh_scaling"] = (
+            json.loads(r.stdout.strip()) if r.returncode == 0
+            else "failed: " + r.stderr.strip()[-300:])
+    except Exception as e:  # noqa: BLE001
+        extra["mesh_scaling"] = "failed: " + repr(e)[:300]
+
     kern, kern_cause = bench_kernel_device()
     if kern is not None:
         extra["kernel_gcells_per_s"] = kern

@@ -1,0 +1,114 @@
+"""Mesh scaling curve on virtual CPU devices: mesh_search and batched
+clustering throughput at 1/2/4/8 devices.
+
+Stands in for the multi-host scaling-efficiency target (BASELINE.md:
+>=0.8 at 2 hosts) until real multi-chip hardware exists: it validates
+that per-device work actually shrinks as the mesh grows (sharded
+postings / sharded pair DP), while measuring the collective + dispatch
+overhead the sharding adds.  CAVEAT, recorded in the output: all N
+virtual devices share this rig's single physical core, so wall-clock
+cannot improve with N here — the meaningful signals are (a) per-device
+FLOP share dropping ~1/N and (b) total overhead staying bounded.  On
+real hardware the same program text shards over real chips (XLA
+partitions by sharding annotations; no code change).
+
+Writes SCALING_r<N>.json when invoked with a round argument, else
+prints JSON.  Each mesh size runs in a fresh subprocess because
+xla_force_host_platform_device_count must be set before jax init.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r'''
+import json, os, sys, time
+sys.path.insert(0, %(here)r)
+sys.path.insert(0, %(here)r + "/tests")
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+N = %(n)d
+from genseqs import make_amplicons, write_fasta
+from usearch12_tpu.cli import parse_argv
+d = %(dir)r
+db_fa, q_fa = d + "/db.fa", d + "/q.fa"
+if not os.path.exists(db_fa):
+    recs = make_amplicons(n_templates=200, reads_per_template=6,
+                          length=220, seed=31)
+    write_fasta(db_fa, [r for r in recs if r[0].startswith("tpl")])
+    write_fasta(q_fa, [r for r in recs if not r[0].startswith("tpl")])
+
+parse_argv(["-usearch_global", q_fa, "-db", db_fa, "-id", "0.9",
+            "-strand", "plus", "-quiet"])
+from usearch12_tpu.io.seqdb import SeqDB
+from usearch12_tpu.parallel.mesh_search import mesh_search_file
+
+devs = np.array(jax.devices())[:N]
+# db axis carries the sharded postings; keep data=1 so the per-device
+# share of the index shrinks with N
+mesh = Mesh(devs.reshape(1, N), ("data", "db"))
+db = SeqDB.from_fastx(db_fa)
+db.mask()
+n_q = sum(1 for line in open(q_fa) if line.startswith(">"))
+# warmup (jit compile) then timed
+mesh_search_file(q_fa, db, mesh, lambda *a: None, window=256, topk=64)
+t0 = time.perf_counter()
+mesh_search_file(q_fa, db, mesh, lambda *a: None, window=256, topk=64)
+t_search = time.perf_counter() - t0
+
+parse_argv(["-cluster_mt", q_fa, "-id", "0.97", "-quiet",
+            "-uc", d + f"/c{N}.uc"])
+from usearch12_tpu.parallel.cluster_batch import cluster_mt_batched
+t0 = time.perf_counter()
+cluster_mt_batched(q_fa, mesh=mesh)
+t_cluster = time.perf_counter() - t0
+
+print(json.dumps({"n": N, "search_q_per_s": round(n_q / t_search, 1),
+                  "cluster_s": round(t_cluster, 3)}))
+'''
+
+
+def run(round_no=None):
+    import tempfile
+    d = tempfile.mkdtemp(prefix="usearch_scaling_")
+    out = {"devices": {}, "caveat":
+           "all virtual devices share one physical core on this rig; "
+           "wall-clock cannot improve with N — this measures sharding "
+           "overhead + per-device work share, not real-chip speedup"}
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count={n}")
+        env["PYTHONPATH"] = HERE + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(
+            [sys.executable, "-c",
+             _CHILD % {"here": HERE, "n": n, "dir": d}],
+            capture_output=True, timeout=1200, text=True, env=env)
+        if r.returncode != 0:
+            out["devices"][str(n)] = "failed: " + r.stderr.strip()[-300:]
+            continue
+        out["devices"][str(n)] = json.loads(r.stdout.strip().splitlines()[-1])
+    base = out["devices"].get("1")
+    if isinstance(base, dict):
+        for n in ("2", "4", "8"):
+            v = out["devices"].get(n)
+            if isinstance(v, dict):
+                v["search_vs_1dev"] = round(
+                    v["search_q_per_s"] / base["search_q_per_s"], 3)
+    if round_no is not None:
+        with open(os.path.join(HERE, f"SCALING_r{round_no:02d}.json"),
+                  "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else None)
