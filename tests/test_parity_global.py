@@ -91,8 +91,9 @@ def test_userout_fields_parity(ref_bin, amplicons_small_fa, tmp_path,
 
 
 def test_alnout_parity(ref_bin, amplicons_small_fa, tmp_path):
-    """Human-readable -alnout; the reference's 2-line run banner (command
-    line + version/RAM/cores) is environment-specific and skipped."""
+    """Human-readable -alnout; both sides stamp a 2-line run banner
+    (command line + version/RAM/cores — environment-specific, same
+    shape, compared structurally); the body must be byte-exact."""
     g, m = str(tmp_path / "g.txt"), str(tmp_path / "m.txt")
     base = ["-usearch_global", amplicons_small_fa, "-db",
             amplicons_small_fa, "-id", "0.9", "-strand", "plus"]
@@ -101,7 +102,11 @@ def test_alnout_parity(ref_bin, amplicons_small_fa, tmp_path):
                    check=True, capture_output=True)
     assert cli_main(base + ["-alnout", m, "-quiet"]) == 0
     g_body = "".join(open(g).readlines()[2:])
-    assert g_body == open(m).read()
+    m_lines = open(m).readlines()
+    # banner shape: cmdline echo then "<prog> v<ver>, <N> RAM, <N> cores"
+    assert "-usearch_global" in m_lines[0]
+    assert " RAM, " in m_lines[1] and " cores" in m_lines[1]
+    assert g_body == "".join(m_lines[2:])
 
 
 def test_alnout_local_parity(ref_bin, amplicons_small_fa, tmp_path):
@@ -113,7 +118,7 @@ def test_alnout_local_parity(ref_bin, amplicons_small_fa, tmp_path):
                    check=True, capture_output=True)
     assert cli_main(base + ["-alnout", m, "-quiet"]) == 0
     g_body = "".join(open(g).readlines()[2:])
-    assert g_body == open(m).read()
+    assert g_body == "".join(open(m).readlines()[2:])
 
 
 def test_seg_trim_outputs_parity(ref_bin, amplicons_small_fa, tmp_path):

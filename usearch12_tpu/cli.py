@@ -39,6 +39,7 @@ _FLAG_OPTS_NO_VALUE = {
 def parse_argv(argv: List[str]):
     """Returns (cmd, cmd_arg) and fills the option registry."""
     opts = reset_options()
+    opts.argv = list(argv)      # for PrintCmdLine-style file banners
     cmd = None
     cmd_arg = None
     i = 0

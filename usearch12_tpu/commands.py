@@ -173,6 +173,9 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
 
     f_b6 = open(o.str("blast6out"), "w") if o.filled("blast6out") else None
     f_aln = open(o.str("alnout"), "w") if o.filled("alnout") else None
+    if f_aln:
+        from .out.alnout import write_program_header
+        write_program_header(f_aln)
     f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
     f_m = open(o.str("matched"), "w") if o.filled("matched") else None
     f_nm = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
@@ -306,6 +309,9 @@ def cmd_usearch_local(query_path: Optional[str]) -> None:
     f_nm = open(o.str("notmatched"), "w") if o.filled("notmatched") else None
     f_user = open(o.str("userout"), "w") if o.filled("userout") else None
     f_aln = open(o.str("alnout"), "w") if o.filled("alnout") else None
+    if f_aln:
+        from .out.alnout import write_program_header
+        write_program_header(f_aln)
     f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
 
     def on_query_done(label, seq, hits):

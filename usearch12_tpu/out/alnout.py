@@ -15,6 +15,42 @@ from ..alpha import MATCH_MX_AMINO, MATCH_MX_NUCLEO, TO_UPPER, IS_ACGTU
 from .userout import _row, _hsp
 
 
+def mem_bytes_to_str(b: float) -> str:
+    """MemBytesToStr (src/myutils.cpp:855-870) format tiers."""
+    if b < 1e4:
+        return f"{b:.1f}b"
+    if b < 1e6:
+        return f"{b / 1e3:.1f}kb"
+    if b < 10e6:
+        return f"{b / 1e6:.1f}Mb"
+    if b < 1e9:
+        return f"{b / 1e6:.0f}Mb"
+    if b < 100e9:
+        return f"{b / 1e9:.1f}Gb"
+    return f"{b / 1e9:.0f}Gb"
+
+
+def write_program_header(f) -> None:
+    """PrintCmdLine + PrintProgramInfo (src/myutils.cpp:1637-1674): the
+    reference stamps search -alnout files with the invoking command
+    line and 'usearch v12.0 [hash], NGb RAM, N cores'.  Same two-line
+    shape here; the bytes necessarily differ in the program token (this
+    is not that binary) and wherever RAM/core counts differ — all
+    content below is byte-exact (COMPONENTS.md deviations)."""
+    import os
+    from .. import __version__
+    o = options()
+    argv = getattr(o, "argv", None) or []
+    f.write("usearch12_tpu " + "".join(a + " " for a in argv) + "\n")
+    try:
+        ram = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE"))
+    except (ValueError, OSError):
+        ram = 0
+    cores = os.cpu_count() or 1
+    f.write(f"usearch12_tpu v{__version__}, "
+            f"{mem_bytes_to_str(float(ram))} RAM, {cores} cores\n")
+
+
 def fasta_pair(f, ar) -> None:
     """-fastapairs: aligned query/target rows as FASTA (src/outputsink.cpp)."""
     q = _row(ar, query=True, dots=False)
