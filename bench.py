@@ -167,6 +167,16 @@ for n_pairs in (2048, 8192, 65536):
         dt = (time.perf_counter() - t0) / reps
         best = dt if best is None else min(best, dt)
     out[str(n_pairs)] = round(cells / best / 1e9, 2)
+# utilization vs per-chip VPU peak: the banded-DP recurrence costs
+# ~12 f32 VPU ops/cell (match select + 3x2 add/max for M/D/I + band
+# shift); v5e VPU f32 peak ~= 4 ALUs x (8x128) lanes x 0.94 GHz
+# ~= 3.85e12 ops/s (MXU is irrelevant: no matmuls in the DP)
+OPS_PER_CELL = 12.0
+VPU_PEAK = 3.85e12
+best_g = max(out.values())
+out = {"gcells": out, "ops_per_cell_est": OPS_PER_CELL,
+       "pct_vpu_peak_at_best": round(100.0 * best_g * 1e9 * OPS_PER_CELL
+                                     / VPU_PEAK, 2)}
 print(json.dumps(out))
 """
 
@@ -504,12 +514,16 @@ def main():
 
     kern, kern_cause = bench_kernel_device()
     if kern is not None:
-        extra["kernel_gcells_per_s"] = kern
+        gcells = kern.get("gcells", kern)
+        extra["kernel_gcells_per_s"] = gcells
+        extra["kernel_utilization"] = {
+            k: kern[k] for k in ("ops_per_cell_est",
+                                 "pct_vpu_peak_at_best") if k in kern}
         cpu = bench_kernel_cpu()
         if cpu:
             extra["kernel_cpu_gcells_per_s"] = round(cpu, 3)
             extra["kernel_vs_cpu"] = round(
-                max(kern.values()) / cpu, 1)
+                max(gcells.values()) / cpu, 1)
     else:
         extra["kernel_gcells_per_s"] = "unavailable: " + kern_cause
     extra["tpu_test_tier"] = run_tpu_test_tier()
@@ -525,7 +539,8 @@ def main():
     else:
         print(json.dumps({
             "metric": "kernel_banded_nw_throughput",
-            "value": max(kern.values()) if kern else None,
+            "value": (max(kern.get("gcells", kern).values())
+                      if kern else None),
             "unit": "Gcells/s",
             "vs_baseline": None,
             "extra": extra,
