@@ -382,6 +382,9 @@ class BatchEngine:
         out_n = np.empty(n_jobs, np.int32)
         out_more = np.empty(n_jobs, np.uint8)
         has_csr = ix._postings is not None and len(ix._postings) > 0
+        p16 = getattr(ix, "_postings16", None)
+        csr_mode = 2 if (has_csr and p16 is not None) else int(has_csr)
+        csr_post = p16 if csr_mode == 2 else ix._postings
         Z64 = np.zeros(1, np.int64)
         Z32 = np.zeros(1, np.int32)
         sw = ix._sorted_w if ix._sorted_w is not None else Z64
@@ -400,7 +403,7 @@ class BatchEngine:
             self._ctl_rank.ctypes.data, p.alpha_size, p.word_length,
             p.slot_count,
             ix._starts.ctypes.data if has_csr else None,
-            ix._postings.ctypes.data if has_csr else None, int(has_csr),
+            csr_post.ctypes.data if has_csr else None, csr_mode,
             sw.ctypes.data, st.ctypes.data, n_sorted,
             pw.ctypes.data, pt.ctypes.data, n_pending,
             ix.seq_count, self.bump, 0, K,

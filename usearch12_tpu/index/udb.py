@@ -177,6 +177,7 @@ class UDBIndex:
         # flattened CSR (lazily rebuilt)
         self._flat_dirty = True
         self._starts: Optional[np.ndarray] = None
+        self._postings16: Optional[np.ndarray] = None
         self._sizes: Optional[np.ndarray] = None
         self._postings: Optional[np.ndarray] = None
 
@@ -294,6 +295,15 @@ class UDBIndex:
         self._sorted_w = None
         self._sorted_t = None
         self._flat_dirty = False
+        # 16-bit postings mirror: the rank walk is DRAM-latency bound on
+        # the postings array; halving its bytes nearly halves the walk
+        # on DBs that fit uint16 target indexes.  Entries stay valid if
+        # seq_count later grows past 65535 (appends go to the pending
+        # tiers, never this CSR).
+        if self.seq_count <= 0xFFFF and len(self._postings):
+            self._postings16 = self._postings.astype(np.uint16)
+        else:
+            self._postings16 = None
 
     @property
     def sizes(self) -> np.ndarray:

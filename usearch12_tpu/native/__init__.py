@@ -429,6 +429,9 @@ class NativeRanker:
             self._out_tix = np.zeros(cap, dtype=np.uint32)
             self._out_counts = np.zeros(cap, dtype=np.uint32)
         has_csr = ix._postings is not None and len(ix._postings) > 0
+        p16 = getattr(ix, "_postings16", None)
+        csr_mode = 2 if (has_csr and p16 is not None) else int(has_csr)
+        csr_post = p16 if csr_mode == 2 else ix._postings
         sw = ix._sorted_w if ix._sorted_w is not None else self._ZI64
         st = ix._sorted_t if ix._sorted_t is not None else self._ZI32
         if ix._pending_words:
@@ -439,7 +442,7 @@ class NativeRanker:
         args = (self._table.ctypes.data,
                 p.alpha_size, p.word_length, p.slot_count,
                 ix._starts.ctypes.data if has_csr else None,
-                ix._postings.ctypes.data if has_csr else None, int(has_csr),
+                csr_post.ctypes.data if has_csr else None, csr_mode,
                 sw.ctypes.data, st.ctypes.data, len(sw),
                 pw.ctypes.data, pt.ctypes.data, len(pw),
                 seq_count)
@@ -447,7 +450,7 @@ class NativeRanker:
         # (including the CSR arrays) so none can be freed or their ids
         # reused while the cache entry is alive
         self._db_cache = (key, args,
-                          (sw, st, pw, pt, ix._starts, ix._postings))
+                          (sw, st, pw, pt, ix._starts, csr_post))
         return args
 
     def rank(self, seq: np.ndarray, bump_pct: int, mode: int):

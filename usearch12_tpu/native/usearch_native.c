@@ -1635,7 +1635,35 @@ int64_t usort_rank_c(
      * accesses into multi-MB arrays; hide the latency a few words ahead */
     for (uint32_t k = 0; k < nuw; ++k) {
         int64_t w = s->uw[k];
-        if (has_csr) {
+        if (has_csr == 2) {
+            /* 16-bit postings (caller guarantees seq_count <= 0xFFFF at
+             * flatten time): half the bytes through the DRAM-latency-
+             * bound walk */
+            const uint16_t *p16 = (const uint16_t *)postings;
+            if (k + 4 < nuw) {
+                int64_t wn = s->uw[k + 4];
+                __builtin_prefetch(&starts[wn], 0, 1);
+            }
+            if (k + 2 < nuw) {
+                int64_t wn = s->uw[k + 2];
+                __builtin_prefetch(&p16[starts[wn]], 0, 1);
+            }
+            int64_t lo = starts[w], hi = starts[w + 1];
+            if (dense_clear) {
+                for (int64_t p = lo; p < hi; ++p) {
+                    uint32_t t = p16[p];
+                    if (t < seq_count)
+                        ++u[t];
+                }
+            } else {
+                for (int64_t p = lo; p < hi; ++p) {
+                    uint32_t t = p16[p];
+                    if (t < seq_count) {
+                        if (u[t]++ == 0) touched[nt++] = (int32_t)t;
+                    }
+                }
+            }
+        } else if (has_csr) {
             if (k + 4 < nuw) {
                 int64_t wn = s->uw[k + 4];
                 __builtin_prefetch(&starts[wn], 0, 1);
