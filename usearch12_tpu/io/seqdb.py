@@ -143,10 +143,9 @@ class SeqDB:
         from ..config import options
         try:
             with open_maybe_gz(path) as f:
-                head = f.read(1)
-                if head != b">":
-                    return None
-                raw = head + f.read()
+                raw = f.read()
+            if not raw.startswith(b">"):
+                return None
         except (OSError, ValueError):
             return None
         buf = np.frombuffer(raw, dtype=np.uint8)
@@ -154,7 +153,10 @@ class SeqDB:
         keep = np.ones(256, dtype=np.uint8)
         for c in _seq_delete_table(False):
             keep[c] = 0
-        max_rec = max(n // 8, 1024)
+        # every record starts with a line-initial '>', so the total count
+        # of '>' bytes bounds the record count; sizing the offset arrays
+        # by n//8 cost ~0.5s of first-touch page faults on an 86MB input
+        max_rec = int(np.count_nonzero(buf == 0x3E)) + 1
         while True:
             seq_buf = np.empty(max(n, 1), dtype=np.uint8)
             seq_off = np.empty(max_rec + 1, dtype=np.int64)
