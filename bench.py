@@ -300,11 +300,42 @@ def bench_device_ablation(ref, d):
     return out
 
 
+def _device_reachable():
+    """30s-capped subprocess probe of the accelerator (twice).  The
+    expensive device stages (kernel sweep child: 2x600s, TPU test tier:
+    1800s) would otherwise hang their full timeout on a wedged tunnel —
+    ~40 min of dead time per bench run.  Returns (ok, cause)."""
+    sys.path.insert(0, HERE)
+    from usearch12_tpu.device import device_env
+    cause = "unknown"
+    for _attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = (jnp.ones((8, 128)) * 2).block_until_ready();"
+                 "print('ok', jax.devices()[0].platform)"],
+                capture_output=True, timeout=30, text=True,
+                env=device_env())
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True, "ok"
+            cause = "probe rc=%d: %s" % (r.returncode,
+                                         r.stderr.strip()[-200:])
+        except subprocess.TimeoutExpired:
+            cause = "probe timeout after 30s (tunnel wedged)"
+        except Exception as e:  # noqa: BLE001
+            cause = repr(e)[:200]
+    return False, cause
+
+
 def bench_kernel_device():
     """Run the device kernel sweep in a child with a hard timeout.
     Retries once; on failure returns (None, cause-string) so the bench
     record always says WHY the device number is missing (round-2 lost
     its TPU evidence to a silent `except: pass` here)."""
+    ok, cause = _device_reachable()
+    if not ok:
+        return None, "device unreachable: " + cause
     cause = "unknown"
     for attempt in range(2):
         try:
@@ -325,6 +356,9 @@ def bench_kernel_device():
 def run_tpu_test_tier():
     """Run the device test tier (pallas kernel, traceback, engine-with-
     device) against the real chip; returns a summary string."""
+    ok, cause = _device_reachable()
+    if not ok:
+        return "SKIP: device unreachable: " + cause
     env = dict(os.environ)
     env["USEARCH_TPU_TESTS"] = "1"
     env.pop("JAX_PLATFORMS", None)
