@@ -489,6 +489,18 @@ def bench_unoise(ref, reads, d):
     return t_ref / t_my, parity
 
 
+def _log_tpu_evidence(stage, payload):
+    """Append a successful device-stage record to TPU_EVIDENCE.jsonl so
+    hardware evidence survives a later tunnel outage (see TPU_EVIDENCE.md)."""
+    try:
+        with open(os.path.join(HERE, "TPU_EVIDENCE.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "stage": stage, "result": payload}) + "\n")
+    except OSError:
+        pass
+
+
 def main():
     import tempfile
     d = tempfile.mkdtemp(prefix="usearch_bench_")
@@ -548,6 +560,12 @@ def main():
 
     kern, kern_cause = bench_kernel_device()
     if kern is not None:
+        _log_tpu_evidence("kernel_sweep", kern)
+    if isinstance(extra.get("device_ablation"), dict) and any(
+            isinstance(v, dict) and v.get("device_used")
+            for v in extra["device_ablation"].values()):
+        _log_tpu_evidence("device_ablation", extra["device_ablation"])
+    if kern is not None:
         gcells = kern.get("gcells", kern)
         extra["kernel_gcells_per_s"] = gcells
         extra["kernel_utilization"] = {
@@ -561,6 +579,8 @@ def main():
     else:
         extra["kernel_gcells_per_s"] = "unavailable: " + kern_cause
     extra["tpu_test_tier"] = run_tpu_test_tier()
+    if extra["tpu_test_tier"].startswith("pass:"):
+        _log_tpu_evidence("tpu_test_tier", extra["tpu_test_tier"])
 
     if c_my is not None:
         print(json.dumps({
