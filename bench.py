@@ -266,20 +266,32 @@ def bench_device_ablation(ref, d):
             ("auto", []),
             ("device", ["-dev_batch_cells", "1"])]
     out = {}
-    t_ref = min(_run(rf), _run(rf))
+    # interleave every leg (and the reference) within each round so the
+    # rig's oscillating clock can't fake a between-leg ratio; a wedged
+    # device tunnel costs the first device-forced run a ~60s probe, so
+    # warm it once untimed before the timed rounds
+    _run(my_cmd("device", legs[2][1]))
+    times = {tag: [] for tag, _ in legs}
+    ref_times = []
+    for _ in range(2):
+        ref_times.append(_run(rf))
+        for tag, opts in legs:
+            stats_path = os.path.join(d, f"abl_{tag}.stats")
+            env_save = os.environ.get("USEARCH_DEVICE_STATS")
+            os.environ["USEARCH_DEVICE_STATS"] = stats_path
+            try:
+                times[tag].append(_run(my_cmd(tag, opts)))
+            finally:
+                if env_save is None:
+                    os.environ.pop("USEARCH_DEVICE_STATS", None)
+                else:
+                    os.environ["USEARCH_DEVICE_STATS"] = env_save
+    t_ref = min(ref_times)
     out["ref_s"] = round(t_ref, 3)
     ref_b6 = open(os.path.join(d, "abl_ref.b6"), "rb").read()
     for tag, opts in legs:
         stats_path = os.path.join(d, f"abl_{tag}.stats")
-        env_save = os.environ.get("USEARCH_DEVICE_STATS")
-        os.environ["USEARCH_DEVICE_STATS"] = stats_path
-        try:
-            t = min(_run(my_cmd(tag, opts)), _run(my_cmd(tag, opts)))
-        finally:
-            if env_save is None:
-                os.environ.pop("USEARCH_DEVICE_STATS", None)
-            else:
-                os.environ["USEARCH_DEVICE_STATS"] = env_save
+        t = min(times[tag])
         dev_cells = host_cells = 0
         dev_on = False
         try:
