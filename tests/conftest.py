@@ -15,22 +15,14 @@ if os.environ.get("USEARCH_TPU_TESTS") != "1":
     # captured JAX_PLATFORMS=<accelerator> into the live config — the
     # env overrides above would then be ineffective and the whole CPU
     # suite would try to initialize (and, on a wedged tunnel, hang on)
-    # the accelerator plugin.  Rewrite the live config and drop the
-    # plugin factory outright.
+    # the accelerator plugin.  The package guard rewrites the live
+    # config to match the env (and hooks jax's import if it hasn't
+    # happened yet); see usearch12_tpu/device.py:honor_env_platforms.
     import sys as _sys
-    if "jax" in _sys.modules:
-        try:
-            import jax as _jax
-            _jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
-        try:
-            from jax._src import xla_bridge as _xb
-            for _name in list(getattr(_xb, "_backend_factories", {})):
-                if _name not in ("cpu",):
-                    _xb._backend_factories.pop(_name, None)
-        except Exception:
-            pass
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from usearch12_tpu.device import install_env_platform_guard
+    install_env_platform_guard()
 
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -20,3 +20,11 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# An explicit host-only JAX_PLATFORMS env (tests, the driver's
+# dryrun_multichip) must win over a site hook that force-registers the
+# tunneled accelerator plugin — see device.honor_env_platforms.
+from .device import install_env_platform_guard as _guard  # noqa: E402
+
+_guard()
+del _guard
