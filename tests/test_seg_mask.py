@@ -32,6 +32,19 @@ CASES = [
     "LbKIDLbVFBzTYM" + "MGFWEbEbEbEbLKLKL" + "YXIYXIYIYIYHTHTAHTAHTAHT",
     # case from the TTCIN family: long prefix windows must not score
     "TTCINSATGNGNGNGNYIIIIIIIIIIII",
+    # recursion at offset 34 with three trims: the SECOND trim
+    # (interval start 7) takes the full uncapped offset shrink and goes
+    # degenerate — the I7/V15 runs stay UNmasked in the binary
+    "ILFPDMNDZXEZXEZXEQQQQQQQQQQQQQQYKQZAZTDSL" + "I" * 7 + "V" * 15
+    + "DLDDLDDLDFPP" + "C" * 20 + "A" * 10 + "CbZC",
+    # F-family: first-interval trim with scan gap 13 (one past W) takes
+    # the FULL offset shrink (14), not the published gap — the old
+    # "gap >= W" cap masked one char too many
+    "EDKDbQSXbXXMASbWGLLxN" + "F" * 9
+    + "THBFbDDzXYbHQBbBxZBBXZzxVVVVVVVVVVVVVV" + "x" * 11,
+    # H-family boundary: scan gap EXACTLY W at leftend 0 takes the
+    # published shrink (the sole probed exception to the offset rule)
+    "LWxbZCMKVIFVNBxQGXYT" + "L" * 9 + "TFNTSSSSSQQQHGHGHGHGHGHGIIIIIII",
 ]
 
 

@@ -213,10 +213,19 @@ def _trim(seq: np.ndarray, leftend: int, rightend: int,
     if anc_off > 0:
         gap = L - rend - 1
         shrink = max(gap, anc_off)
-        # offset past the SEG window size stops biting once the scan
-        # minimum already sits >= W before the interval end (H family
-        # vs I family probes, tools/seg_probe.py)
-        if anc_off > W and gap >= W:
+        # Probed rule (tools/seg_probe.py, tools/seg_fuzz.py): inside a
+        # left-recursion the right end shrinks by at least the
+        # recursion window's offset, UNCAPPED — trims whose offset
+        # exceeds the interval length go degenerate (rightend <
+        # leftend) and mask nothing, exactly like the binary (its
+        # segment list stores begin > end and the mask loop no-ops).
+        # Sole probed exception: the recursion's first interval
+        # (leftend 0) whose scan minimum ends exactly W before the
+        # interval end takes the published shrink (case-8 H-family at
+        # gap 12 vs the EDKD F-family at gap 13 — the old "gap >= W"
+        # form over-generalized from gap==12 samples and broke both
+        # the F-family and the 109-char ILFPDMND probe).
+        if leftend == 0 and gap == W:
             shrink = gap
         return leftend + lend, rightend - shrink
     return leftend + lend, rightend - (L - rend - 1)
