@@ -166,26 +166,11 @@ def _findhi(i: int, limit: int, H: List[float]) -> int:
     return j - 1
 
 
-def _trim(seq: np.ndarray, leftend: int, rightend: int,
-          anc_off: int = 0) -> Tuple[int, int]:
+def _trim(seq: np.ndarray, leftend: int, rightend: int) -> Tuple[int, int]:
     """src/segmaskseq.cpp:118-175: shrink [leftend,rightend] to the
-    min-probability subwindow.
-
-    anc_off: accumulated window-chain offset of the enclosing recursion
-    sub-window(s) above this sequence.  At the TOP level (anc_off == 0)
-    this is the published trim.  Inside a left-recursion the 12.0-beta
-    binary runs the same min-probability scan and keeps the scan
-    minimum's LEFT end, but the RIGHT end shrinks from the interval end
-    by max(published_gap, min(anc_off, W)) where published_gap =
-    L-1-rend_scan — i.e. the shrink is at least the recursion window's
-    offset, capped at the SEG window size (its nested window machinery
-    counts the sub-window's start against a W-limited parent extent).
-    Established by black-box probing (tools/seg_probe.py), eight
-    independent minimized cases: prefix series ''/T/TC/QTC x I-run
-    (shrink grows with the offset), LQZbbRzIZNTNb (scan minimum at the
-    interval end, shrunk back), VRLLXSDZbbRzIZN (left end preserved
-    while the right end shrinks), NQGXYT+L-run (gap >= offset: exactly
-    published), BxQ...+L-run at offset 13 (offset capped at W=12)."""
+    min-probability subwindow (published semantics — all the probed
+    'recursion shrink' behavior turned out to live in mergesegs'
+    local-length clamp, see _mergesegs)."""
     sub = seq[leftend:rightend + 1]
     L = len(sub)
     minlen = 1
@@ -210,30 +195,12 @@ def _trim(seq: np.ndarray, leftend: int, rightend: int,
             comp[AAINDEX[sub[i]]] -= 1
             comp[AAINDEX[sub[i + ln]]] += 1
             i += 1
-    if anc_off > 0:
-        gap = L - rend - 1
-        shrink = max(gap, anc_off)
-        # Probed rule (tools/seg_probe.py, tools/seg_fuzz.py): inside a
-        # left-recursion the right end shrinks by at least the
-        # recursion window's offset, UNCAPPED — trims whose offset
-        # exceeds the interval length go degenerate (rightend <
-        # leftend) and mask nothing, exactly like the binary (its
-        # segment list stores begin > end and the mask loop no-ops).
-        # Sole probed exception: the recursion's first interval
-        # (leftend 0) whose scan minimum ends exactly W before the
-        # interval end takes the published shrink (case-8 H-family at
-        # gap 12 vs the EDKD F-family at gap 13 — the old "gap >= W"
-        # form over-generalized from gap==12 samples and broke both
-        # the F-family and the 109-char ILFPDMND probe).
-        if leftend == 0 and gap == W:
-            shrink = gap
-        return leftend + lend, rightend - shrink
     return leftend + lend, rightend - (L - rend - 1)
 
 
-def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]],
-            anc_off: int = 0) -> None:
-    """src/segmaskseq.cpp:546-612 (recursive).  anc_off: see _trim."""
+def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]]) -> None:
+    """src/segmaskseq.cpp:546-612 (recursive, published semantics —
+    including the mergesegs local-length clamp bug, see _mergesegs)."""
     H = _seqent(seq)
     if H is None:
         return
@@ -248,30 +215,37 @@ def _segseq(seq: np.ndarray, offset: int, segs: List[List[int]],
             hii = _findhi(i, last, H)
             leftend = loi - DOWNSET
             rightend = hii + UPSET - 1
-            leftend, rightend = _trim(seq, leftend, rightend, anc_off)
+            leftend, rightend = _trim(seq, leftend, rightend)
             if i + UPSET - 1 < leftend:
                 lend = loi - DOWNSET
                 rend = leftend - 1
                 leftsegs: List[List[int]] = []
                 # openwin(seq, lend, rend-lend+1): INCLUSIVE [lend,rend]
-                # (src/segmaskseq.cpp:586-589); the recursion's window
-                # offset accumulates into anc_off for its trims
-                _segseq(seq[lend:rend + 1], offset + lend, leftsegs,
-                        anc_off + lend)
+                # (src/segmaskseq.cpp:586-589)
+                _segseq(seq[lend:rend + 1], offset + lend, leftsegs)
                 segs.extend(leftsegs)
             segs.append([leftend + offset, rightend + offset])
-            # forward-progress guard: the anc_off-forced rightend can be
-            # far left of hii; never move the scan index backwards (the
-            # published loop can't regress because its rightend >= loi)
-            i = max(i, min(hii, rightend + DOWNSET))
+            i = min(hii, rightend + DOWNSET)
             lowlim = i + 1
         i += 1
-    _mergesegs(segs)
+    _mergesegs(segs, L)
 
 
-def _mergesegs(segs: List[List[int]]) -> None:
-    """src/segmaskseq.cpp:494-530 (overlaps=false, hilenmin=0): join
-    overlapping segments; the C keeps nextseg's end verbatim."""
+def _mergesegs(segs: List[List[int]], seq_len: int) -> None:
+    """src/segmaskseq.cpp:494-534 (overlaps=false, hilenmin=0): join
+    overlapping segments (the C keeps nextseg's end verbatim), then the
+    trailing-fixup `if (seq->length - seg->end - 1 < hilenmin)
+    seg->end = seq->length - 1` (:531-533).  In a recursive segseq call
+    this compares the sub-window's LOCAL length against the last
+    segment's GLOBAL end — a genuine bug in the published source that
+    the binary exhibits: any recursion's last segment whose global end
+    reaches past the sub-window length gets clamped to length-1, often
+    to a degenerate begin>end span that masks nothing.  This single
+    mechanism reproduces every probed 'recursion right-end shrink'
+    (tools/seg_probe.py, tools/seg_fuzz.py): a one-segment recursion
+    looks shrunk-by-offset; a multi-segment recursion looks published
+    with an invisible clamped final segment; the 109-char ILFPDMND
+    probe's lone masked 'l' is its seg [40,71] clamped to [40,40]."""
     k = 0
     while k + 1 < len(segs):
         if segs[k][1] >= segs[k + 1][0]:
@@ -279,6 +253,8 @@ def _mergesegs(segs: List[List[int]]) -> None:
             del segs[k + 1]
             continue
         k += 1
+    if segs and seq_len - segs[-1][1] - 1 < 0:
+        segs[-1][1] = seq_len - 1
 
 
 def seg_mask(seq: np.ndarray) -> np.ndarray:
