@@ -892,53 +892,12 @@ static uint32_t cc_rank(
         cc->seen[cc->uw[k] >> 3] = 0;
     if (subt) { t_delta += RNOW() - rt0; rt0 = RNOW(); }
 
-    /* SetTopBump: index-order scan with fused clear.
-     *
-     * Consumers read at most max_emit candidates of the CountSort-
-     * OrderDesc order (cluster: every candidate either accepts or
-     * rejects, bounded by maxaccepts+maxrejects; GetHot: first
-     * MAX_HOT), so when max_emit is small the full partial count-sort
-     * is replaced by an exact ONLINE stable top-max_emit selection
-     * (insertion array ordered by count desc, index asc — candidates
-     * arrive index-ascending, and equal counts insert after existing
-     * entries, which reproduces the count-sort's stable order).  The
-     * count-sort's NextValue/2 cutoff is applied to the selection
-     * tail afterwards.  This removes the two O(n_cand) sort passes —
-     * denoise-scale inputs emit ~16k single-word candidates per query
-     * of which at most 8 are ever read. */
+    /* SetTopBump: index-order scan with fused clear */
     uint32_t n_cand = 0, max_u_seen = 0;
     uint32_t *out_tix = cc->cand_tix, *out_counts = cc->cand_cnt;
     /* maxv/nextv track the count-sort's prefix-record NextValue while
      * emitting (saves a second pass over the candidate list) */
     uint32_t maxv = 0, nextv = 0;
-    uint32_t kfilt = (max_emit > 0 && max_emit <= 128) ? max_emit : 0;
-    uint32_t sel_v[128];
-    uint32_t sel_t[128];
-    uint32_t sel_n = 0;
-#define CC_EMIT(t, v)                                                    \
-    do {                                                                 \
-        if (v > maxv) {                                                  \
-            nextv = maxv;                                                \
-            maxv = v;                                                    \
-        }                                                                \
-        if (kfilt) {                                                     \
-            if (sel_n < kfilt || (v) > sel_v[sel_n - 1]) {               \
-                uint32_t pos_ = sel_n < kfilt ? sel_n : kfilt - 1;       \
-                while (pos_ > 0 && sel_v[pos_ - 1] < (v)) {              \
-                    sel_v[pos_] = sel_v[pos_ - 1];                       \
-                    sel_t[pos_] = sel_t[pos_ - 1];                       \
-                    --pos_;                                              \
-                }                                                        \
-                sel_v[pos_] = (v);                                       \
-                sel_t[pos_] = (t);                                       \
-                if (sel_n < kfilt)                                       \
-                    ++sel_n;                                             \
-            }                                                            \
-        } else {                                                         \
-            out_tix[n_cand] = (t);                                       \
-            out_counts[n_cand++] = (v);                                  \
-        }                                                                \
-    } while (0)
     if (bump_pct != 0) {
         uint32_t cur_min = 1;
         for (uint32_t t = 0; t < seq_count; ++t) {
@@ -946,38 +905,39 @@ static uint32_t cc_rank(
             u[t] = 0;
             if (v > max_u_seen) {
                 if (v >= cur_min) {
-                    CC_EMIT(t, v);
+                    out_tix[n_cand] = t;
+                    out_counts[n_cand++] = v;
+                    if (v > maxv) {
+                        nextv = maxv;
+                        maxv = v;
+                    }
                     uint32_t nm = (uint32_t)((uint64_t)v * bump_pct / 100);
                     if (cur_min < nm && nm < max_u_seen)
                         cur_min = nm;
                 }
                 max_u_seen = v;
             } else if (v >= cur_min) {
-                CC_EMIT(t, v);
+                out_tix[n_cand] = t;
+                out_counts[n_cand++] = v;
+                if (v > maxv) {
+                    nextv = maxv;
+                    maxv = v;
+                }
             }
         }
     } else {
         for (uint32_t t = 0; t < seq_count; ++t) {
             uint32_t v = u[t];
             u[t] = 0;
-            if (v >= 1)
-                CC_EMIT(t, v);
+            if (v >= 1) {
+                out_tix[n_cand] = t;
+                out_counts[n_cand++] = v;
+                if (v > maxv) {
+                    nextv = maxv;
+                    maxv = v;
+                }
+            }
         }
-    }
-#undef CC_EMIT
-    if (kfilt) {
-        /* NextValue/2 cutoff on the selection tail (CountSortOrderDesc
-         * sorts only counts >= nextv/2; below-cutoff candidates are
-         * never placed), then hand back through the out arrays */
-        uint32_t minv_sel = nextv >> 1;
-        while (sel_n && sel_v[sel_n - 1] < minv_sel)
-            --sel_n;
-        for (uint32_t i = 0; i < sel_n; ++i) {
-            out_tix[i] = sel_t[i];
-            out_counts[i] = sel_v[i];
-        }
-        if (subt) t_sort += RNOW() - rt0;
-        return sel_n;
     }
     if (subt) { t_scan += RNOW() - rt0; rt0 = RNOW();
         if (getenv("USEARCH_RANK_PRINT"))
