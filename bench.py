@@ -91,7 +91,7 @@ def bench_cluster(ref, reads, d):
     rf = [ref, "-cluster_fast", reads, "-id", "0.97", "-uc",
           os.path.join(d, "r.uc"), "-centroids", os.path.join(d, "r.fa"),
           "-quiet", "-threads", "1"]
-    t_ref, t_my = _paired(rf, my)
+    t_ref, t_my = _paired(rf, my, reps=5)
     parity = (open(os.path.join(d, "m.uc"), "rb").read() ==
               open(os.path.join(d, "r.uc"), "rb").read())
     return n_seqs / t_my, n_seqs / t_ref, t_ref / t_my, parity
@@ -105,7 +105,7 @@ def bench_global(ref, db, q, d):
     rf = [ref, "-usearch_global", q, "-db", db, "-id", "0.9", "-strand",
           "plus", "-blast6out", os.path.join(d, "r.b6"), "-quiet",
           "-threads", "1"]
-    t_ref, t_my = _paired(rf, my)
+    t_ref, t_my = _paired(rf, my, reps=5)
     parity = (open(os.path.join(d, "m.b6"), "rb").read() ==
               open(os.path.join(d, "r.b6"), "rb").read())
     return n_q / t_my, n_q / t_ref, t_ref / t_my, parity
