@@ -492,7 +492,7 @@ class WavefrontNWDevice:
         pairs are independent).  Same outputs as run_batch."""
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from usearch12_tpu.parallel.shardmap import shard_map_norep
         ndev = mesh.shape[axis]
         R = batch.nrows
         pad = (-R) % (self.pb * ndev)
@@ -506,10 +506,10 @@ class WavefrontNWDevice:
         fn = _compiled(batch.steps, self.chunk, self.pb, batch.rho0,
                        batch.sw, self.match, self.mismatch, self.interpret)
         spec = P(axis)
-        sharded = shard_map(
+        sharded = shard_map_norep(
             lambda *a: fn(*a), mesh=mesh,
             in_specs=(spec,) * 9 + (P(),),
-            out_specs=(spec,) * 4, check_rep=False)
+            out_specs=(spec,) * 4)
         ins = pack_ins(padr(batch.ins, 4))
         outs = sharded(jnp.asarray(padr(batch.la_b, 1)),
                        jnp.asarray(padr(batch.lb_b, 1)),

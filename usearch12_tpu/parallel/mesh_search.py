@@ -83,7 +83,7 @@ class MeshRanker:
     def _make_step(self):
         import jax
         import jax.numpy as jnp
-        from jax.experimental.shard_map import shard_map
+        from usearch12_tpu.parallel.shardmap import shard_map_norep
         from jax.sharding import PartitionSpec as P
 
         K = self.topk
@@ -146,12 +146,12 @@ class MeshRanker:
             del u_orig
             return -mcnt[:, :K], midx[:, :K], nextv
 
-        fn = shard_map(local_step, mesh=self.mesh,
-                       in_specs=(P(self.data_axis, None), P(None, db_axis)),
-                       out_specs=(P(self.data_axis, None),
-                                  P(self.data_axis, None),
-                                  P(self.data_axis)),
-                       check_rep=False)
+        fn = shard_map_norep(
+            local_step, mesh=self.mesh,
+            in_specs=(P(self.data_axis, None), P(None, db_axis)),
+            out_specs=(P(self.data_axis, None),
+                       P(self.data_axis, None),
+                       P(self.data_axis)))
         return jax.jit(fn)
 
     def _onehot(self, jbuf, j_off, rows):

@@ -188,7 +188,7 @@ def make_sharded_search_step(mesh, amax: int = 256):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from usearch12_tpu.parallel.shardmap import shard_map_norep
 
     n_db = mesh.shape["db"]
 
@@ -233,12 +233,11 @@ def make_sharded_search_step(mesh, amax: int = 256):
                                      amax=a_cls.shape[1])
         return cnt, top, scores
 
-    step = shard_map(
+    step = shard_map_norep(
         local_step, mesh=mesh,
         in_specs=(P("data", None), P(None, "db"), P("data", None),
                   P("db", None), P("db"), P(None)),
-        out_specs=(P("data"), P("data"), P("data")),
-        check_rep=False)
+        out_specs=(P("data"), P("data"), P("data")))
     return step
 
 
@@ -271,16 +270,16 @@ def sintax_boot_counts(incidence, words, mesh=None):
         return np.asarray(jax.jit(count)(jnp.asarray(incidence),
                                          jnp.asarray(words)))
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from usearch12_tpu.parallel.shardmap import shard_map_norep
     axis = "db" if "db" in mesh.axis_names else mesh.axis_names[-1]
     n_db = mesh.shape[axis]
     t = incidence.shape[1]
     pad = (-t) % n_db
     inc = np.pad(incidence, ((0, 0), (0, pad)))
     specs = {a: None for a in mesh.axis_names}
-    fn = shard_map(count, mesh=mesh,
-                   in_specs=(P(None, axis), P()),
-                   out_specs=P(None, None, axis), check_rep=False)
+    fn = shard_map_norep(count, mesh=mesh,
+                         in_specs=(P(None, axis), P()),
+                         out_specs=P(None, None, axis))
     with mesh:
         out = np.asarray(jax.jit(fn)(jnp.asarray(inc), jnp.asarray(words)))
     return out[:, :, :t]
