@@ -284,7 +284,13 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
                     b_new = jnp.where(cc > 0, b_new, b_win)
                 b_win = b_new
                 i_prev = i_buf
-                umax = umo
+                # ume belongs to rho == rho0 steps (pack_wave defines
+                # umax_e relative to the batch parity, not absolute rho);
+                # keying on absolute rho dropped the in-band D* == dhi
+                # diagonal for rho0 == 1 batches with odd band width
+                # (wrong traceback when the optimal path rides the band
+                # edge — see tests/test_pallas_nw.py band-edge case)
+                umax = ume if rho0 == 1 else umo
             else:
                 packed = jnp.concatenate([i_buf, a_win], axis=0)
                 rolled = roll_r(packed)
@@ -295,7 +301,7 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
                 if t_off == 0:
                     a_new = jnp.where(cc > 0, a_new, a_win)
                 a_win = a_new
-                umax = ume
+                umax = ume if rho0 == 0 else umo
 
             i_vec = ib + r
             j_vec = jb + s

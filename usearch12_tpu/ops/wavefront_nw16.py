@@ -1,0 +1,512 @@
+"""int16 variant of the anti-diagonal wavefront banded-NW Pallas kernel.
+
+Same cell semantics and outputs as ops/wavefront_nw.py (reference
+src/viterbifastbandmem.cpp), with two throughput changes aimed at the
+VPU (VERDICT round-2 weak #7: "int16 score packing to double lanes"):
+
+1. **int16 DP states.**  All default usearch penalties are half-integer
+   (alnparams.cpp Init4(-10,-1,-.5,-.5), +1/-2 nt matrix), so scores
+   scaled by a power of two are small integers.  int16 tiles pack twice
+   the elements per VPU op as float32.  Bit-exactness vs the f32 kernel
+   holds because
+     - f32 arithmetic on half-integers of magnitude << 2^23 is exact,
+       so scaled-int arithmetic computes identical real values;
+     - the f32 kernel's NEG (-9e9) *absorbs* penalties (|pen| < 512 =
+       ulp(9e9)/2, so NEG + pen == NEG exactly); the int16 kernel
+       reproduces absorption by clamping every add at NEG16
+       (max(x + pen, NEG16)), keeping "missing" exactly NEG16;
+     - every valid cell of a contiguous-band global DP has a valid
+       predecessor (the band's row-0/col-0 segments start at the
+       origin: D*(0,0)=la is in [dlo,dhi], so row 0 covers j in
+       [0, dhi-la] and column 0 covers i in [0, la-dlo]), hence no
+       NEG16 value ever enters a surviving max chain and no drift
+       accumulates.
+   `quantize_params` gates the variant: it returns None (caller falls
+   back to the f32 kernel) unless every penalty quantizes at one scale,
+   |pen| < 512 (f32 absorption bound), and the worst-case score range
+   steps*maxpen*scale fits well inside int16.
+
+2. **Precomputed per-step mask bytes.**  The f32 kernel recomputes per
+   step, per lane: cell validity, i==0/j==0 terminal-gap selection, the
+   Drow[LB] update lane, the last-row capture lane, the dlb freeze, and
+   the substitution score (carrying rolled A/B letter windows to do so).
+   All of these depend only on (pair geometry, t, lane) — not on DP
+   values — so pack_wave16 precomputes them into one byte per (step,
+   lane), streamed exactly like the f32 kernel's insert tiles (packed 4
+   steps per int32 word, same HBM footprint).  This deletes the window
+   rolls, the index arithmetic, and ~20% of the per-step op count.
+
+Byte layout (bit): 0 sub==match, 1 sub==mismatch, 2 valid, 3 i==0,
+4 j==0, 5 Drow[LB] update, 6 i==la-1 (last-row capture), 7 dlb freeze
+(t <= la+lb-1).
+
+Outputs are converted to f32 (exact: divide by a power-of-two scale,
+NEG16 -> NEG) at emit, so run_batch returns the same (tb, mle, mlo,
+dlb) tensors as the f32 kernel and the existing traceback paths
+(trace_batch / trace_batch_device) apply unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .banded_nw import _letters, NEG, TB_DM, TB_IM, TB_MD, TB_MI
+from ..align.oracle import band_diag_range
+from .wavefront_nw import (LANES, WavefrontNWDevice, slot_width,
+                           trace_batch, trace_batch_device, _is_dyadic)
+
+NEG16 = -20000          # int16 "missing"; clamp floor for every add
+ABSORB_LIMIT = 512.0    # ulp(9e9)/2: f32 NEG absorbs |pen| below this
+RANGE_LIMIT = 19000     # |score*scale| bound; keeps reals above NEG16
+                        # (and far inside int16: |x| + maxpen < 32768)
+
+B_SUBM = 1
+B_SUBX = 2
+B_VALID = 4
+B_IZ = 8
+B_JZ = 16
+B_UPD = 32
+B_LAST = 64
+B_FRZ = 128
+
+
+def quantize_params(ap, match: float, mismatch: float):
+    """(scale, 12-int tuple) if the scoring model is int16-safe, else
+    None.  Order: match, mismatch, open_a, open_b, ext_a, ext_b,
+    l_open_a, l_open_b, l_ext_a, l_ext_b, r_open_b, r_ext_b."""
+    vals = [match, mismatch, ap.open_a, ap.open_b, ap.ext_a, ap.ext_b,
+            ap.l_open_a, ap.l_open_b, ap.l_ext_a, ap.l_ext_b,
+            ap.r_open_b, ap.r_ext_b]
+    for scale in (1, 2, 4, 8, 16):
+        q = []
+        for v in vals:
+            iv = round(float(np.float32(v)) * scale)
+            if float(np.float32(iv / scale)) != float(np.float32(v)):
+                break
+            q.append(iv)
+        else:
+            if max(abs(float(v)) for v in vals) >= ABSORB_LIMIT:
+                return None
+            return scale, tuple(q)
+    return None
+
+
+def steps_fit(steps: int, scale: int, quant: tuple) -> bool:
+    """True when the worst-case |score| over `steps` DP anti-diagonals
+    stays inside RANGE_LIMIT.  A path has <= steps edges; match edges
+    cost <= max|sub|, gap-extension edges <= max|ext|, and each maximal
+    gap run adds one opening — runs are separated by at least one match
+    edge, so there are at most steps/2 + 1 openings."""
+    (q_match, q_mism, q_open_a, q_open_b, q_ext_a, q_ext_b,
+     q_l_open_a, q_l_open_b, q_l_ext_a, q_l_ext_b,
+     q_r_open_b, q_r_ext_b) = quant
+    m1 = max(abs(v) for v in (q_match, q_mism, q_ext_a, q_ext_b,
+                              q_l_ext_a, q_l_ext_b, q_r_ext_b))
+    mopen = max(abs(v) for v in (q_open_a, q_open_b, q_l_open_a,
+                                 q_l_open_b, q_r_open_b))
+    bound = steps * m1 + (steps // 2 + 1) * max(mopen - m1, 0)
+    return bound <= RANGE_LIMIT
+
+
+@dataclass
+class Wave16Batch:
+    rho0: int
+    sw: int
+    gpv: int
+    n_pairs: int
+    nrows: int
+    steps: int
+    la: np.ndarray
+    lb: np.ndarray
+    dlo: np.ndarray
+    bw: np.ndarray
+    mask00: np.ndarray    # (nrows, 128) int32: lanes holding cell (0,0)
+    ins: np.ndarray       # (nrows, steps, 128) uint8 mask bytes
+
+
+def pack_wave16(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
+                rho0: Optional[int] = None,
+                steps_quantum: Optional[int] = None,
+                sw_min: Optional[int] = None) -> Wave16Batch:
+    """pairs: list of (a_u8, b_u8[, dlo, dhi]) sharing (la - dlo)
+    parity; same geometry as wavefront_nw.pack_wave."""
+    P = len(pairs)
+    la = np.zeros(P, np.int32)
+    lb = np.zeros(P, np.int32)
+    dlo = np.zeros(P, np.int32)
+    bw = np.zeros(P, np.int32)
+    lets = []
+    for p, pair in enumerate(pairs):
+        a, b = pair[0], pair[1]
+        if len(pair) >= 4:
+            d0, d1 = pair[2], pair[3]
+        else:
+            d0, d1 = band_diag_range(len(a), len(b), band_radius)
+        la[p], lb[p], dlo[p], bw[p] = len(a), len(b), d0, d1 - d0 + 1
+        lets.append((_letters(a, nucleo), _letters(b, nucleo)))
+    SW = slot_width(int(bw.max()))
+    if sw_min is not None:
+        SW = max(SW, sw_min)
+    GPV = LANES // SW
+    if GPV < 1:
+        raise ValueError(f"band width {int(bw.max())} too wide")
+    rhos = (la - dlo) % 2
+    if rho0 is None:
+        rho0 = int(rhos[0])
+    assert (rhos == rho0).all(), "pairs must share (la - dlo) parity"
+
+    nrows = (P + GPV - 1) // GPV
+    steps = int((la + lb).max())
+    q = max(chunk, steps_quantum or 0)
+    steps = ((steps + q - 1) // q) * q
+
+    i0 = (la - dlo - rho0) // 2
+    t_arr = np.arange(steps)
+    rho_t = ((rho0 + t_arr) % 2).astype(np.int32)
+    r_t = ((t_arr + rho0 - rho_t) // 2).astype(np.int32)
+    s_t = (t_arr - r_t).astype(np.int32)
+
+    mask00 = np.zeros((nrows, LANES), np.int32)
+    ins = np.zeros((nrows, steps, LANES), np.uint8)
+
+    m = np.arange(SW, dtype=np.int32)
+    for p in range(P):
+        qr, g = divmod(p, GPV)
+        al, bl = lets[p]
+        lap, lbp = int(la[p]), int(lb[p])
+        # (steps, SW) index grids
+        i_vec = (i0[p] - m)[None, :] + r_t[:, None]
+        j_vec = (m - i0[p])[None, :] + s_t[:, None]
+        in_a = (i_vec >= 0) & (i_vec < lap)
+        in_b = (j_vec >= 0) & (j_vec < lbp)
+        umax = ((bw[p] - 1 - rho_t) // 2)[:, None]
+        valid = in_a & in_b & (m[None, :] <= umax)
+        byte = np.where(valid, B_VALID, 0).astype(np.uint8)
+        # substitution class at (i, j) where both indices are in range
+        ok = in_a & in_b
+        ac = al[np.clip(i_vec, 0, lap - 1)]
+        bc = bl[np.clip(j_vec, 0, lbp - 1)]
+        known = ok & (ac < 4) & (bc < 4)
+        byte |= np.where(known & (ac == bc), B_SUBM, 0).astype(np.uint8)
+        byte |= np.where(known & (ac != bc), B_SUBX, 0).astype(np.uint8)
+        byte |= np.where(i_vec == 0, B_IZ, 0).astype(np.uint8)
+        byte |= np.where(j_vec == 0, B_JZ, 0).astype(np.uint8)
+        byte |= np.where((j_vec == lbp) & in_a, B_UPD, 0).astype(np.uint8)
+        byte |= np.where(i_vec == lap - 1, B_LAST, 0).astype(np.uint8)
+        byte |= np.where(t_arr[:, None] <= lap + lbp - 1, B_FRZ,
+                         0).astype(np.uint8)
+        ins[qr, :, g * SW:g * SW + SW] = byte
+        if 0 <= i0[p] < SW:
+            mask00[qr, g * SW + i0[p]] = 1
+
+    return Wave16Batch(rho0=rho0, sw=SW, gpv=GPV, n_pairs=P, nrows=nrows,
+                       steps=steps, la=la, lb=lb, dlo=dlo, bw=bw,
+                       mask00=mask00, ins=ins)
+
+
+def pack_ins16(ins_u8: np.ndarray) -> np.ndarray:
+    """(nrows, steps, 128) uint8 -> (nrows, steps/4*128) int32, byte k
+    of each word = step t with t%4 == k (same scheme as pack_ins)."""
+    n, steps, lanes = ins_u8.shape
+    assert steps % 4 == 0
+    x = ins_u8.astype(np.uint32).reshape(n, steps // 4, 4, lanes)
+    w = (x[:, :, 0] | (x[:, :, 1] << 8) | (x[:, :, 2] << 16)
+         | (x[:, :, 3] << 24))
+    return w.reshape(n, -1).astype(np.int32)
+
+
+def _make_kernel16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+                   scale: int, quant: tuple):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i16 = jnp.int16
+    f32 = jnp.float32
+    nwrites = chunk // 8
+    (q_match, q_mism, q_open_a, q_open_b, q_ext_a, q_ext_b,
+     q_l_open_a, q_l_open_b, q_l_ext_a, q_l_ext_b,
+     q_r_open_b, q_r_ext_b) = (np.int16(v) for v in quant)
+    neg_v = np.int16(NEG16)
+    inv_scale = np.float32(1.0 / scale)
+
+    def kernel(m00_ref, ins_ref,
+               tb_ref, mle_ref, mlo_ref, dlb_out_ref,
+               m1_s, m2_s, d_s, i_s, dlb_s, mle_s, mlo_s):
+        cc = pl.program_id(1)
+        n_cc = pl.num_programs(1)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (pb, LANES), 1)
+        slot_u = lane - (lane // SW) * SW
+        edge_lo = slot_u == 0
+        edge_hi = slot_u == SW - 1
+
+        neg = jnp.full((pb, LANES), neg_v, i16)
+
+        @pl.when(cc == 0)
+        def _init():
+            m1_s[:, :] = neg
+            m2_s[:, :] = neg
+            d_s[:, :] = neg
+            i_s[:, :] = neg
+            dlb_s[:, :] = neg
+            mle_s[:, :] = neg
+            mlo_s[:, :] = neg
+
+        t0 = cc * chunk
+
+        def roll_r(x):
+            return pltpu.roll(x, 1, 1)
+        def roll_l(x):
+            return pltpu.roll(x, LANES - 1, 1)
+
+        def clamp(x):
+            return jnp.maximum(x, neg)
+
+        def substep(t_off, rho, carry, bits_acc):
+            (m1, m2, d_buf, i_buf, dlb, mle, mlo) = carry
+            word = ins_ref[:, pl.ds((t_off // 4) * LANES, LANES)]
+            sh = 8 * (t_off % 4)
+
+            def bit(b):
+                # (word >> sh) is CSE'd across the 8 tests; arithmetic
+                # shift is fine because the mask keeps only low bits
+                return ((word >> sh) & b) != 0
+
+            if rho == 1:
+                packed = jnp.concatenate([d_buf, dlb], axis=0)
+                rolled = roll_l(packed)
+                d_in = jnp.where(edge_hi, neg, rolled[0:pb])
+                dlb_sh = jnp.where(edge_hi, neg, rolled[pb:2 * pb])
+                dlb_prev = jnp.where(bit(B_FRZ), dlb_sh, dlb)
+                i_prev = i_buf
+            else:
+                i_prev = jnp.where(edge_lo, neg, roll_r(i_buf))
+                d_in = d_buf
+                dlb_prev = dlb
+
+            m_in = m2
+            if t_off == 0:
+                # DPM[0][0] = 0: only cell (0,0), i.e. step t == 0
+                m_in = jnp.where((cc == 0) & (m00_ref[:, :] != 0),
+                                 jnp.int16(0), m_in)
+
+            valid = bit(B_VALID)
+            sub = (jnp.where(bit(B_SUBM), q_match, jnp.int16(0))
+                   + jnp.where(bit(B_SUBX), q_mism, jnp.int16(0)))
+            iz = bit(B_IZ)
+            jz = bit(B_JZ)
+            open_a = jnp.where(iz, q_l_open_a, q_open_a)
+            ext_a = jnp.where(iz, q_l_ext_a, q_ext_a)
+            open_b = jnp.where(jz, q_l_open_b, q_open_b)
+            ext_b = jnp.where(jz, q_l_ext_b, q_ext_b)
+
+            # MATCH (priority M >= D >= I)
+            xm = m_in
+            take_d = d_in > xm
+            xm = jnp.where(take_d, d_in, xm)
+            take_i = i_prev > xm
+            xm = jnp.where(take_i, i_prev, xm)
+            m_out = jnp.where(valid, xm + sub, neg)
+
+            # DELETE (>= favours open); clamp = f32 NEG absorption
+            md = clamp(m_in + open_b)
+            de = clamp(d_in + ext_b)
+            take_open = md >= de
+            d_out = jnp.where(valid, jnp.where(take_open, md, de), neg)
+
+            # INSERT
+            mi = clamp(m_in + open_a)
+            ie = clamp(i_prev + ext_a)
+            take_iopen = mi >= ie
+            i_out = jnp.where(valid, jnp.where(take_iopen, mi, ie), neg)
+
+            # Drow[LB] lane
+            upd = bit(B_UPD)
+            md_lb = clamp(m_in + q_r_open_b)
+            de_lb = clamp(dlb_prev + q_r_ext_b)
+            take_lb = md_lb >= de_lb
+            dlb_new = jnp.where(upd, jnp.where(take_lb, md_lb, de_lb),
+                                dlb_prev)
+
+            bits = jnp.where(take_d, TB_DM, 0)
+            bits = jnp.where(take_i, TB_IM, bits)
+            bits = bits + jnp.where(take_open, TB_MD, 0)
+            bits = bits + jnp.where(take_iopen, TB_MI, 0)
+            bits = jnp.where(valid, bits, 0)
+            bits = jnp.where(upd, jnp.where(take_lb, TB_MD, 0), bits)
+            bits_acc = bits_acc | (bits << (4 * (t_off % 8)))
+
+            is_last = bit(B_LAST)
+            if rho == rho0:
+                mle = jnp.where(is_last, m_out, mle)
+            else:
+                mlo = jnp.where(is_last, m_out, mlo)
+
+            return (m_out, m1, d_out, i_out, dlb_new, mle, mlo), bits_acc
+
+        carry = (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :],
+                 dlb_s[:, :], mle_s[:, :], mlo_s[:, :])
+        for w in range(nwrites):
+            bits_acc = jnp.zeros((pb, LANES), jnp.int32)
+            for k in range(8):
+                t_off = w * 8 + k
+                rho = (rho0 + t_off) % 2
+                carry, bits_acc = substep(t_off, rho, carry, bits_acc)
+            tb_ref[:, pl.ds(w * LANES, LANES)] = bits_acc
+
+        (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :], dlb_s[:, :],
+         mle_s[:, :], mlo_s[:, :]) = carry
+
+        @pl.when(cc == n_cc - 1)
+        def _emit():
+            def to_f32(x):
+                return jnp.where(x == neg_v, f32(NEG),
+                                 x.astype(f32) * inv_scale)
+            mle_ref[:, :] = to_f32(mle_s[:, :])
+            mlo_ref[:, :] = to_f32(mlo_s[:, :])
+            dlb_out_ref[:, :] = to_f32(dlb_s[:, :])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _make_run16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+                scale: int, quant: tuple, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _make_kernel16(steps, chunk, pb, rho0, SW, scale, quant)
+    n_cc = steps // chunk
+    nwrites = chunk // 8
+
+    def run(mask00, ins):
+        R = mask00.shape[0]
+        grid = (R // pb, n_cc)
+        row_spec = pl.BlockSpec((pb, LANES), lambda g, c: (g, 0))
+        in_specs = [
+            row_spec,
+            pl.BlockSpec((pb, (chunk // 4) * LANES), lambda g, c: (g, c)),
+        ]
+        out_shape = (
+            jax.ShapeDtypeStruct((R, n_cc * nwrites * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+        )
+        out_specs = (
+            pl.BlockSpec((pb, nwrites * LANES), lambda g, c: (g, c)),
+            row_spec, row_spec, row_spec,
+        )
+        scratch = [pltpu.VMEM((pb, LANES), jnp.int16) for _ in range(7)]
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, scratch_shapes=scratch,
+            interpret=interpret,
+        )(mask00, ins)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
+                scale: int, quant: tuple, interpret: bool):
+    import jax
+    return jax.jit(_make_run16(steps, chunk, pb, rho0, SW, scale, quant,
+                               interpret))
+
+
+class WavefrontNW16Device(WavefrontNWDevice):
+    """int16 wavefront kernel; run_batch takes a Wave16Batch and returns
+    the same f32 (tb, mle, mlo, dlb) tensors as the parent, so the host
+    and device tracebacks apply unchanged.  `usable` is False when the
+    scoring model does not quantize — callers fall back to the parent
+    f32 kernel."""
+
+    def __init__(self, ap, pb: int = 32, chunk: int = 32,
+                 interpret: Optional[bool] = None,
+                 steps_quantum: Optional[int] = None,
+                 sw_min: Optional[int] = None):
+        super().__init__(ap, pb=pb, chunk=chunk, interpret=interpret,
+                         steps_quantum=steps_quantum, sw_min=sw_min)
+        self.quant = quantize_params(ap, self.match, self.mismatch)
+
+    @property
+    def usable(self) -> bool:
+        return self.quant is not None
+
+    def run_batch(self, batch):
+        import jax.numpy as jnp
+        if not isinstance(batch, Wave16Batch):
+            # parent align() fallback path hands us an f32 WaveBatch
+            return super().run_batch(batch)
+        assert self.quant is not None
+        scale, quant = self.quant
+        R = batch.nrows
+        pad = (-R) % self.pb
+
+        def padr(x):
+            if pad == 0:
+                return x
+            return np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+        fn = _compiled16(batch.steps, self.chunk, self.pb, batch.rho0,
+                         batch.sw, scale, quant, self.interpret)
+        outs = fn(jnp.asarray(padr(batch.mask00)),
+                  jnp.asarray(pack_ins16(padr(batch.ins))))
+        tb, mle, mlo, dlb = (np.asarray(o) for o in outs)
+        tb = tb.reshape(tb.shape[0], -1, LANES)
+        return tb[:R], mle[:R], mlo[:R], dlb[:R]
+
+    def align(self, pairs, band_radius: int, nucleo: bool = True,
+              device_traceback: bool = True):
+        """Same contract as the parent; falls back to the f32 kernel
+        when the scoring model or batch geometry is not int16-safe."""
+        if self.quant is None:
+            return super().align(pairs, band_radius, nucleo,
+                                 device_traceback)
+        idx0, idx1 = [], []
+        out_scores = np.zeros(len(pairs), np.float32)
+        out_paths: List[Optional[str]] = [None] * len(pairs)
+        for i, pair in enumerate(pairs):
+            a, b = pair[0], pair[1]
+            if len(pair) >= 4:
+                d0 = pair[2]
+            else:
+                d0 = band_diag_range(len(a), len(b), band_radius)[0]
+            (idx0 if (len(a) - d0) % 2 == 0 else idx1).append(i)
+        for rho0, idxs in ((0, idx0), (1, idx1)):
+            if not idxs:
+                continue
+            batch = pack_wave16([pairs[i] for i in idxs], nucleo,
+                                band_radius, self.chunk, rho0,
+                                steps_quantum=self.steps_quantum,
+                                sw_min=self.sw_min)
+            if not steps_fit(batch.steps, self.quant[0], self.quant[1]):
+                sc, ps = super().align([pairs[i] for i in idxs],
+                                       band_radius, nucleo,
+                                       device_traceback)
+                for k, i in enumerate(idxs):
+                    out_scores[i], out_paths[i] = sc[k], ps[k]
+                continue
+            tb, mle, mlo, dlb = self.run_batch(batch)
+            if device_traceback and not self.interpret and \
+                    _is_dyadic(self.ap.r_open_a) and \
+                    _is_dyadic(self.ap.r_ext_a):
+                scores, paths = trace_batch_device(self, batch, tb, mle,
+                                                   mlo, dlb)
+            else:
+                scores, paths = trace_batch(self, batch, tb, mle, mlo,
+                                            dlb)
+            for k, i in enumerate(idxs):
+                out_scores[i] = scores[k]
+                out_paths[i] = paths[k]
+        return out_scores, out_paths
