@@ -143,3 +143,89 @@ def test_i16_fallback_nonquantizable():
         s_o, p_o = banded_nw(a, b, d0, d1, ap)
         assert np.float32(s_o) == np.float32(scores[k])
         assert p_o == paths[k]
+
+
+def test_device_packer_matches_host_pack():
+    """_pack_jax_builder16 (pure XLA, the fused path's on-device pack)
+    emits byte-identical mask tiles to pack_wave16 + pack_ins16."""
+    import jax.numpy as jnp
+    from usearch12_tpu.ops.banded_nw import _letters
+    from usearch12_tpu.ops.wavefront_nw16 import (pack_wave16, pack_ins16,
+                                                  _pack_jax_builder16)
+    ap = make_ap()
+    rng = np.random.default_rng(21)
+    conv = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    for rho0 in (0, 1):
+        pairs = []
+        while len(pairs) < 8:
+            la = int(rng.integers(15, 60))
+            lb = int(rng.integers(15, 60))
+            d0, d1 = band_diag_range(la, lb, 16)
+            if (la - d0) % 2 != rho0:
+                continue
+            pairs.append((conv[rng.integers(0, 5, la)],
+                          conv[rng.integers(0, 5, lb)], d0, d1))
+        b16 = pack_wave16(pairs, True, 16, 32, rho0)
+        gpv = b16.gpv
+        n_use = (len(pairs) // gpv) * gpv   # compare complete rows only
+        pairs = pairs[:n_use]
+        b16 = pack_wave16(pairs, True, 16, 32, rho0)
+        P = n_use
+        amax = ((max(len(p[0]) for p in pairs) + 127) // 128) * 128
+        bmax = ((max(len(p[1]) for p in pairs) + 127) // 128) * 128
+        a_let = np.full((P, amax), 4, np.int8)
+        b_let = np.full((P, bmax), 4, np.int8)
+        la_p = np.zeros(P, np.int32)
+        lb_p = np.zeros(P, np.int32)
+        dlo_p = np.zeros(P, np.int32)
+        bw_p = np.zeros(P, np.int32)
+        for i, (a, b, d0, d1) in enumerate(pairs):
+            a_let[i, :len(a)] = _letters(a, True)
+            b_let[i, :len(b)] = _letters(b, True)
+            la_p[i], lb_p[i] = len(a), len(b)
+            dlo_p[i], bw_p[i] = d0, d1 - d0 + 1
+        pack = _pack_jax_builder16(P, amax, bmax, b16.steps, b16.sw,
+                                   gpv, rho0)
+        m00_d, ins_d = pack(jnp.asarray(a_let), jnp.asarray(b_let),
+                            jnp.asarray(la_p), jnp.asarray(lb_p),
+                            jnp.asarray(dlo_p), jnp.asarray(bw_p))
+        nr = P // gpv
+        assert np.array_equal(np.asarray(m00_d)[:nr], b16.mask00[:nr])
+        assert np.array_equal(np.asarray(ins_d)[:nr],
+                              pack_ins16(b16.ins)[:nr])
+
+
+@slow
+def test_fused16_matches_oracle():
+    """Full fused i16 pipeline (device pack -> i16 kernel -> device
+    traceback) in interpret mode, driven via _group (align() falls back
+    to the batch path under interpret)."""
+    from usearch12_tpu.ops.wavefront_nw16 import (WavefrontNW16Device,
+                                                  FusedWave16Aligner)
+    ap = make_ap()
+    dev = WavefrontNW16Device(ap, pb=8, chunk=32, interpret=True)
+    fa = FusedWave16Aligner(dev)
+    rng = np.random.default_rng(33)
+    conv = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    pairs = []
+    for _ in range(9):
+        la = int(rng.integers(15, 60))
+        lb = int(rng.integers(15, 60))
+        pairs.append((conv[rng.integers(0, 5, la)],
+                      conv[rng.integers(0, 5, lb)]))
+    geo = np.zeros((len(pairs), 4), np.int32)
+    idx = ([], [])
+    for i, (a, b) in enumerate(pairs):
+        d0, d1 = band_diag_range(len(a), len(b), 16)
+        geo[i] = (len(a), len(b), d0, d1 - d0 + 1)
+        idx[(len(a) - d0) % 2].append(i)
+    scores = np.zeros(len(pairs), np.float32)
+    paths = [None] * len(pairs)
+    for rho0 in (0, 1):
+        if idx[rho0]:
+            fa._group(pairs, idx[rho0], geo, rho0, True, scores, paths)
+    for k, (a, b) in enumerate(pairs):
+        d0, d1 = band_diag_range(len(a), len(b), 16)
+        s_o, p_o = banded_nw(a, b, d0, d1, ap)
+        assert np.float32(s_o) == scores[k]
+        assert p_o == paths[k]

@@ -554,8 +554,8 @@ class BatchEngine:
         (uploads raw letters, packs + DPs + tracebacks on device)."""
         fa = self._class_fused.get(cls_bits)
         if fa is None:
-            from ..ops.wavefront_nw import FusedWaveAligner
-            fa = FusedWaveAligner(self._class_device(cls_bits))
+            from ..ops.wavefront_nw16 import FusedWave16Aligner
+            fa = FusedWave16Aligner(self._class_device(cls_bits))
             self._class_fused[cls_bits] = fa
         return fa
 
@@ -564,13 +564,13 @@ class BatchEngine:
         (ops/batch_align.py _class_device semantics)."""
         dev = self._class_devices.get(cls_bits)
         if dev is None:
-            from ..ops.wavefront_nw import WavefrontNWDevice
+            from ..ops.wavefront_nw16 import WavefrontNW16Device
             local_ap = self.ap.hole_params(
                 bool(cls_bits & 1), bool(cls_bits & 2), bool(cls_bits & 4),
                 bool(cls_bits & 8))
             # quantized geometry: varying hole batches reuse a handful
             # of compiled kernels (compile ~30s over the device tunnel)
-            dev = WavefrontNWDevice(local_ap, pb=self.device.pb,
+            dev = WavefrontNW16Device(local_ap, pb=self.device.pb,
                                     chunk=self.device.chunk,
                                     interpret=self.device.interpret,
                                     steps_quantum=512,

@@ -1036,6 +1036,14 @@ class FusedWaveAligner:
     def __init__(self, dev: WavefrontNWDevice):
         self.dev = dev
 
+    def _fused_fn(self, P, amax, bmax, steps, rho0, SW, gpv):
+        """Compiled (a_let, b_let, la, lb, dlo, bw, gp) -> (scores,
+        packed ops); subclasses may pick a different kernel variant."""
+        dev = self.dev
+        return _fused_compiled(P, amax, bmax, steps, dev.chunk, dev.pb,
+                               rho0, SW, gpv, dev.match, dev.mismatch,
+                               dev.interpret)
+
     def align(self, pairs, band_radius: int, nucleo: bool = True):
         dev = self.dev
         ap = dev.ap
@@ -1111,9 +1119,7 @@ class FusedWaveAligner:
         a_let[n:, 0] = 0
         b_let[n:, 0] = 0
 
-        fn = _fused_compiled(P, amax, bmax, steps, dev.chunk, dev.pb,
-                             rho0, SW, gpv, dev.match, dev.mismatch,
-                             dev.interpret)
+        fn = self._fused_fn(P, amax, bmax, steps, rho0, SW, gpv)
         scores_d, packed_d = fn(
             jnp.asarray(a_let), jnp.asarray(b_let), jnp.asarray(la_p),
             jnp.asarray(lb_p), jnp.asarray(dlo_p), jnp.asarray(bw_p),

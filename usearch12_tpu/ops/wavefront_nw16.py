@@ -423,6 +423,129 @@ def _compiled16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
                                interpret))
 
 
+def _pack_jax_builder16(P: int, amax: int, bmax: int, steps: int, SW: int,
+                        gpv: int, rho0: int):
+    """Traced fn (a_let, b_let, la, lb, dlo, bw) -> (mask00 rows,
+    packed ins words), bit-identical to pack_wave16 + pack_ins16 (pad
+    rows hold la=lb=1 mini-pairs — inert, sliced away by the caller).
+    Mirrors wavefront_nw._pack_jax_builder's row layout."""
+    import jax.numpy as jnp
+
+    nrows = P // gpv
+    lanes_pad = LANES - gpv * SW
+
+    t_arr = np.arange(steps)
+    rho_t = ((rho0 + t_arr) % 2).astype(np.int32)
+    r_t = ((t_arr + rho0 - rho_t) // 2).astype(np.int32)
+    s_t = (t_arr - r_t).astype(np.int32)
+
+    def rows(x, fill):
+        x = x.reshape(nrows, gpv * SW)
+        if lanes_pad:
+            pad = jnp.full((nrows, lanes_pad), fill, x.dtype)
+            x = jnp.concatenate([x, pad], axis=1)
+        return x
+
+    def pack(a_let, b_let, la, lb, dlo, bw):
+        a_let = a_let.astype(jnp.int32)
+        b_let = b_let.astype(jnp.int32)
+        i0 = (la - dlo - rho0) // 2
+        m = jnp.arange(SW, dtype=jnp.int32)
+
+        # (P, steps, SW) index grids
+        i_vec = (i0[:, None, None] - m[None, None, :]
+                 + r_t[None, :, None])
+        j_vec = (m[None, None, :] - i0[:, None, None]
+                 + s_t[None, :, None])
+        la3 = la[:, None, None]
+        lb3 = lb[:, None, None]
+        in_a = (i_vec >= 0) & (i_vec < la3)
+        in_b = (j_vec >= 0) & (j_vec < lb3)
+        umax = ((bw[:, None] - 1 - rho_t[None, :]) // 2)[:, :, None]
+        valid = in_a & in_b & (m[None, None, :] <= umax)
+
+        ai = jnp.clip(i_vec, 0, amax - 1).reshape(P, -1)
+        bj = jnp.clip(j_vec, 0, bmax - 1).reshape(P, -1)
+        ac = jnp.take_along_axis(a_let, ai, axis=1).reshape(i_vec.shape)
+        bc = jnp.take_along_axis(b_let, bj, axis=1).reshape(j_vec.shape)
+        known = in_a & in_b & (ac < 4) & (bc < 4)
+
+        byte = jnp.where(valid, B_VALID, 0)
+        byte = byte | jnp.where(known & (ac == bc), B_SUBM, 0)
+        byte = byte | jnp.where(known & (ac != bc), B_SUBX, 0)
+        byte = byte | jnp.where(i_vec == 0, B_IZ, 0)
+        byte = byte | jnp.where(j_vec == 0, B_JZ, 0)
+        byte = byte | jnp.where((j_vec == lb3) & in_a, B_UPD, 0)
+        byte = byte | jnp.where(i_vec == la3 - 1, B_LAST, 0)
+        frz = t_arr[None, :, None] <= (la3 + lb3 - 1)
+        byte = byte | jnp.where(frz, B_FRZ, 0)
+
+        # pack 4 steps per int32 word, then to the row layout
+        v = byte.astype(jnp.uint32).reshape(P, steps // 4, 4, SW)
+        w = (v[:, :, 0] | (v[:, :, 1] << 8) | (v[:, :, 2] << 16)
+             | (v[:, :, 3] << 24)).astype(jnp.int32)      # (P, C, SW)
+        C = steps // 4
+        w = w.reshape(nrows, gpv, C, SW).transpose(0, 2, 1, 3) \
+             .reshape(nrows, C, gpv * SW)
+        if lanes_pad:
+            pad = jnp.zeros((nrows, C, lanes_pad), jnp.int32)
+            w = jnp.concatenate([w, pad], axis=2)
+        ins = w.reshape(nrows, C * LANES)
+
+        mask00 = (m[None, :] == i0[:, None]).astype(jnp.int32)
+        return rows(mask00, 0), ins
+
+    return pack
+
+
+import functools as _ft16
+
+
+@_ft16.lru_cache(maxsize=64)
+def _fused_compiled16(P: int, amax: int, bmax: int, steps: int,
+                      chunk: int, pb: int, rho0: int, SW: int, gpv: int,
+                      scale: int, quant: tuple, interpret: bool):
+    """letters in -> (scores, packed ops) out, all stages on device
+    (mirrors wavefront_nw._fused_compiled with the i16 kernel)."""
+    import jax
+    from .wavefront_nw import _traceback_compiled_wave
+
+    n_words = steps // 8
+    jmax = ((bmax + 1 + 127) // 128) * 128
+    tsteps = ((steps + 8 + 3) // 4) * 4
+    pack_j = jax.jit(_pack_jax_builder16(P, amax, bmax, steps, SW, gpv,
+                                         rho0))
+    kern_j = _compiled16(steps, chunk, pb, rho0, SW, scale, quant,
+                         interpret)
+    tb_j = _traceback_compiled_wave(n_words, gpv, SW, rho0, tsteps, jmax)
+
+    def fused(a_let, b_let, la, lb, dlo, bw, gp):
+        mask00, ins = pack_j(a_let, b_let, la, lb, dlo, bw)
+        tb, mle, mlo, dlb = kern_j(mask00, ins)
+        tb3 = tb.reshape(tb.shape[0], n_words, LANES)
+        return tb_j(tb3, mle, mlo, dlb, la, lb, dlo, bw, gp)
+
+    return fused
+
+
+from .wavefront_nw import FusedWaveAligner
+
+
+class FusedWave16Aligner(FusedWaveAligner):
+    """FusedWaveAligner that runs the int16 kernel when the scoring
+    model quantizes and the batch's score range fits; otherwise the
+    per-group f32 fused path (identical call signature) is used."""
+
+    def _fused_fn(self, P, amax, bmax, steps, rho0, SW, gpv):
+        dev = self.dev
+        quant = getattr(dev, "quant", None)
+        if quant is not None and steps_fit(steps, quant[0], quant[1]):
+            return _fused_compiled16(P, amax, bmax, steps, dev.chunk,
+                                     dev.pb, rho0, SW, gpv, quant[0],
+                                     quant[1], dev.interpret)
+        return super()._fused_fn(P, amax, bmax, steps, rho0, SW, gpv)
+
+
 class WavefrontNW16Device(WavefrontNWDevice):
     """int16 wavefront kernel; run_batch takes a Wave16Batch and returns
     the same f32 (tb, mle, mlo, dlb) tensors as the parent, so the host
