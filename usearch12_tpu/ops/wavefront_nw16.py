@@ -589,6 +589,38 @@ class WavefrontNW16Device(WavefrontNWDevice):
         tb = tb.reshape(tb.shape[0], -1, LANES)
         return tb[:R], mle[:R], mlo[:R], dlb[:R]
 
+    def run_batch_sharded(self, batch, mesh, axis: str = "data"):
+        """Multi-chip run_batch: Wave16Batch rows shard over `axis`
+        (pure data parallelism, like the parent's f32 version)."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.shardmap import shard_map_norep
+        if not isinstance(batch, Wave16Batch):
+            return super().run_batch_sharded(batch, mesh, axis)
+        assert self.quant is not None
+        scale, quant = self.quant
+        ndev = mesh.shape[axis]
+        R = batch.nrows
+        pad = (-R) % (self.pb * ndev)
+
+        def padr(x):
+            if pad == 0:
+                return x
+            return np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+        fn = _compiled16(batch.steps, self.chunk, self.pb, batch.rho0,
+                         batch.sw, scale, quant, self.interpret)
+        spec = P(axis)
+        sharded = shard_map_norep(
+            lambda *a: fn(*a), mesh=mesh,
+            in_specs=(spec, spec), out_specs=(spec,) * 4)
+        outs = sharded(jnp.asarray(padr(batch.mask00)),
+                       jnp.asarray(pack_ins16(padr(batch.ins))))
+        tb, mle, mlo, dlb = (np.asarray(o) for o in outs)
+        tb = tb.reshape(tb.shape[0], -1, LANES)
+        return tb[:R], mle[:R], mlo[:R], dlb[:R]
+
     def align(self, pairs, band_radius: int, nucleo: bool = True,
               device_traceback: bool = True):
         """Same contract as the parent; falls back to the f32 kernel
