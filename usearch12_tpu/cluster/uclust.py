@@ -46,12 +46,16 @@ class ClusterState:
     def get_size(self, unique_index: int, label: str) -> int:
         """ClusterSink::GetSize (src/clustersink.cpp:118-143)."""
         o = options()
-        sizein = o.flag("sizein")
-        size = size_from_label(label, 1 << 31) if sizein else 1
+        if not o.flag("sizein"):
+            # every member counts 1, including the unique itself
+            if self.dr is not None:
+                return int(len(self.dr.members[unique_index]))
+            return 1
+        size = size_from_label(label, 1 << 31)
         if self.dr is not None:
             for si in self.dr.members[unique_index][1:]:
-                lbl = self.dr.input_db.labels[si]
-                size += size_from_label(lbl, 1 << 31) if sizein else 1
+                size += size_from_label(self.dr.input_db.labels[si],
+                                        1 << 31)
         return size
 
     def on_query_done(self, unique_index: int, label: str,
@@ -306,21 +310,37 @@ def _write_centroids(path: str, state: ClusterState) -> None:
     o = options()
     order = quick_sort_order(state.cluster_sizes, desc=True)
     relabel_counter = 0
+    minsize = o.uns("minsize", 0)
+    strip = o.flag("sizein") or o.flag("sizeout")
+    relabel = o.str("relabel") if o.filled("relabel") else None
+    sizeout = o.flag("sizeout")
+    cols = o.uns("fasta_cols")
     with open(path, "w") as f:
+        chunks = []
         for ci in order:
             size = state.cluster_sizes[ci]
-            if size < o.uns("minsize", 0):
+            if size < minsize:
                 break
             label = state.centroid_labels[ci]
-            if o.flag("sizein") or o.flag("sizeout"):
+            if strip:
                 label = strip_size(label)
-            if o.filled("relabel"):
+            if relabel is not None:
                 relabel_counter += 1
-                label = f"{o.str('relabel')}{relabel_counter}"
-            if o.flag("sizeout"):
+                label = f"{relabel}{relabel_counter}"
+            if sizeout:
                 label = relabel_with_size(label, size)
-            write_fasta(f, label, state.centroid_seqs[ci],
-                        o.uns("fasta_cols"))
+            s = state.centroid_seqs[ci].tobytes().decode("latin1")
+            if cols <= 0:
+                chunks.append(f">{label}\n{s}\n")
+            else:
+                body = "\n".join(s[i:i + cols]
+                                 for i in range(0, len(s), cols))
+                chunks.append(f">{label}\n{body}\n" if s
+                              else f">{label}\n\n")
+            if len(chunks) >= 4096:
+                f.write("".join(chunks))
+                chunks = []
+        f.write("".join(chunks))
 
 
 def _write_clusters(prefix: str, state: ClusterState,

@@ -604,8 +604,9 @@ typedef struct {
     int64_t db_bytes, db_bytes_cap;
     int64_t *db_off;
     int64_t db_n, db_n_cap;
-    /* rank scratch */
-    uint32_t *u;
+    /* rank scratch: u16 counts (a target's count is bounded by its
+     * length; engine eligibility requires maxseqlength <= 65535) */
+    uint16_t *u;
     uint32_t u_cap;
     uint8_t *seen;
     int64_t seen_cap;
@@ -760,7 +761,7 @@ static void cc_alloc_rank(ClusterCtx *cc, uint32_t seq_count,
     if (seq_count + 64 > cc->u_cap) {
         uint32_t cap = seq_count * 2 + 1024;
         free(cc->u);
-        cc->u = (uint32_t *)calloc(cap, sizeof(uint32_t));
+        cc->u = (uint16_t *)calloc(cap, sizeof(uint16_t));
         free(cc->cand_tix);
         free(cc->cand_cnt);
         free(cc->stage_tix);
@@ -781,6 +782,11 @@ static void cc_alloc_rank(ClusterCtx *cc, uint32_t seq_count,
         free(cc->uw);
         cc->uw_cap = max_words * 2 + 64;
         cc->uw = (int64_t *)malloc(cc->uw_cap * sizeof(int64_t));
+    }
+    if (cc->hist_cap < 65536) {
+        free(cc->hist);
+        cc->hist_cap = 65536;
+        cc->hist = (uint32_t *)calloc(cc->hist_cap, sizeof(uint32_t));
     }
 }
 
@@ -859,7 +865,7 @@ static uint32_t cc_rank(
 #define RNOW() ({ struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts); \
                   ts.tv_sec + 1e-9 * ts.tv_nsec; })
     double rt0 = subt ? RNOW() : 0;
-    uint32_t *u = cc->u;
+    uint16_t *u = cc->u;
     const int64_t *bs = cc->base_starts;
     const int32_t *bp = cc->base_post;
     const int64_t *ms = cc->mid_starts;
@@ -892,51 +898,93 @@ static uint32_t cc_rank(
         cc->seen[cc->uw[k] >> 3] = 0;
     if (subt) { t_delta += RNOW() - rt0; rt0 = RNOW(); }
 
-    /* SetTopBump: index-order scan with fused clear */
+    /* SetTopBump: index-order scan with fused clear, blocked so the
+     * common no-op block (block max below cur_min AND not exceeding the
+     * running max) is skipped after one vectorizable max-reduction.
+     * The scalar body is byte-identical to the unblocked scan, and a
+     * skipped block can neither emit nor move max_u_seen, so emission
+     * order and the bump schedule are exactly preserved.  Emissions
+     * also fill the count-sort histogram inline (hist is kept zeroed
+     * between calls; the sort phase re-zeroes what it touched). */
     uint32_t n_cand = 0, max_u_seen = 0;
     uint32_t *out_tix = cc->cand_tix, *out_counts = cc->cand_cnt;
+    uint32_t *hist = cc->hist;
     /* maxv/nextv track the count-sort's prefix-record NextValue while
      * emitting (saves a second pass over the candidate list) */
     uint32_t maxv = 0, nextv = 0;
+    enum { RBLK = 64 };
     if (bump_pct != 0) {
         uint32_t cur_min = 1;
-        for (uint32_t t = 0; t < seq_count; ++t) {
-            uint32_t v = u[t];
-            u[t] = 0;
-            if (v > max_u_seen) {
-                if (v >= cur_min) {
+        for (uint32_t t0b = 0; t0b < seq_count; ) {
+            uint32_t endb = t0b + RBLK <= seq_count ? t0b + RBLK
+                                                    : seq_count;
+            uint16_t bm = 0;
+            for (uint32_t i = t0b; i < endb; ++i)
+                bm = u[i] > bm ? u[i] : bm;
+            if (bm == 0) {
+                t0b = endb;
+                continue;
+            }
+            if (bm <= max_u_seen && bm < cur_min) {
+                memset(u + t0b, 0, (endb - t0b) * sizeof(uint16_t));
+                t0b = endb;
+                continue;
+            }
+            for (uint32_t t = t0b; t < endb; ++t) {
+                uint32_t v = u[t];
+                u[t] = 0;
+                if (v > max_u_seen) {
+                    if (v >= cur_min) {
+                        out_tix[n_cand] = t;
+                        out_counts[n_cand++] = v;
+                        ++hist[v];
+                        if (v > maxv) {
+                            nextv = maxv;
+                            maxv = v;
+                        }
+                        uint32_t nm =
+                            (uint32_t)((uint64_t)v * bump_pct / 100);
+                        if (cur_min < nm && nm < max_u_seen)
+                            cur_min = nm;
+                    }
+                    max_u_seen = v;
+                } else if (v >= cur_min) {
                     out_tix[n_cand] = t;
                     out_counts[n_cand++] = v;
+                    ++hist[v];
                     if (v > maxv) {
                         nextv = maxv;
                         maxv = v;
                     }
-                    uint32_t nm = (uint32_t)((uint64_t)v * bump_pct / 100);
-                    if (cur_min < nm && nm < max_u_seen)
-                        cur_min = nm;
-                }
-                max_u_seen = v;
-            } else if (v >= cur_min) {
-                out_tix[n_cand] = t;
-                out_counts[n_cand++] = v;
-                if (v > maxv) {
-                    nextv = maxv;
-                    maxv = v;
                 }
             }
+            t0b = endb;
         }
     } else {
-        for (uint32_t t = 0; t < seq_count; ++t) {
-            uint32_t v = u[t];
-            u[t] = 0;
-            if (v >= 1) {
-                out_tix[n_cand] = t;
-                out_counts[n_cand++] = v;
-                if (v > maxv) {
-                    nextv = maxv;
-                    maxv = v;
+        for (uint32_t t0b = 0; t0b < seq_count; ) {
+            uint32_t endb = t0b + RBLK <= seq_count ? t0b + RBLK
+                                                    : seq_count;
+            uint16_t bm = 0;
+            for (uint32_t i = t0b; i < endb; ++i)
+                bm = u[i] > bm ? u[i] : bm;
+            if (bm == 0) {
+                t0b = endb;
+                continue;
+            }
+            for (uint32_t t = t0b; t < endb; ++t) {
+                uint32_t v = u[t];
+                u[t] = 0;
+                if (v >= 1) {
+                    out_tix[n_cand] = t;
+                    out_counts[n_cand++] = v;
+                    ++hist[v];
+                    if (v > maxv) {
+                        nextv = maxv;
+                        maxv = v;
+                    }
                 }
             }
+            t0b = endb;
         }
     }
     if (subt) { t_scan += RNOW() - rt0; rt0 = RNOW();
@@ -946,20 +994,10 @@ static uint32_t cc_rank(
     if (n_cand == 0)
         return 0;
     /* CountSortOrderDesc: stable desc with NextValue/2 cutoff
-     * (maxv/nextv computed during the emission scan above) */
+     * (maxv/nextv and the histogram were computed during the emission
+     * scan; buckets below minv are filled too, which the placement
+     * loops never read) */
     uint32_t minv = nextv / 2;
-    if (maxv + 1 > cc->hist_cap) {
-        free(cc->hist);
-        cc->hist_cap = maxv * 2 + 64;
-        cc->hist = (uint32_t *)malloc(cc->hist_cap * sizeof(uint32_t));
-    }
-    uint32_t *hist = cc->hist;
-    memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
-    for (uint32_t i = 0; i < n_cand; ++i) {
-        uint32_t v = out_counts[i];
-        if (v >= minv)
-            ++hist[v];
-    }
     /* partial count-sort: the caller consumes at most max_emit
      * candidates (maxaccepts+maxrejects bound), so only buckets down to
      * the bucket containing the max_emit-th candidate are placed; ties
@@ -991,6 +1029,9 @@ static uint32_t cc_rank(
     }
     memcpy(out_tix, stix, n_emit * sizeof(uint32_t));
     memcpy(out_counts, scnt, n_emit * sizeof(uint32_t));
+    /* restore hist to all-zero for the next call (every filled bucket
+     * is <= maxv; buckets in [c_star, maxv] hold placement offsets) */
+    memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
     if (subt) t_sort += RNOW() - rt0;
     return n_emit;
 }

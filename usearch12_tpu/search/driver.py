@@ -54,6 +54,10 @@ def fast_loop_eligible(accepter) -> bool:
             return False
     if o.flag("self") or o.flag("notself") or o.flag("selfid"):
         return False
+    # the C rank scratch counts word hits in uint16 (a target's count is
+    # bounded by its length); an enlarged -maxseqlength could overflow it
+    if o.uns("maxseqlength") > 65535:
+        return False
     return True
 
 
