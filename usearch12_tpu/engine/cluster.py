@@ -171,6 +171,70 @@ def _run(cmd, lib, hf, asc, es, cc, gp, sub_mx, match, to_upper, ctl_rank,
     return True
 
 
+def _uc_emit_native(path, n, order_arr, unique_db, out_assign,
+                    out_hit_off, hit_tix, hit_rc, hit_pct,
+                    hit_cpath_off, cpath_buf, centroid_q, bounds,
+                    idxarr, dr, nucleo, state) -> bool:
+    """H/S/C uc records via cluster_uc_emit_c; returns False (caller
+    falls back to the Python writer) when a record has more than one
+    hit (needs the quicksort tie order) or the lib is unavailable."""
+    lib = get_lib()
+    if lib is None or n == 0:
+        return False
+    if int(np.max(np.diff(out_hit_off[:n + 1]))) > 1:
+        return False
+    ulabs = [lab.encode("latin1") for lab in unique_db.labels]
+    ulab_off = np.zeros(len(ulabs) + 1, np.int64)
+    np.cumsum([len(x) for x in ulabs], out=ulab_off[1:])
+    ulab_buf = np.frombuffer(b"".join(ulabs) or b"\0", np.uint8)
+    ulen = np.fromiter((len(s) for s in unique_db.seqs), np.int64,
+                       len(unique_db.seqs))
+    centroid_ui = np.ascontiguousarray(order_arr[centroid_q], np.int64)
+    expand = (bounds is not None
+              and len(bounds) > 1
+              and int(np.max(bounds[1:] - bounds[:-1])) > 1)
+    if expand:
+        ilabs = [lab.encode("latin1") for lab in dr.input_db.labels]
+        ilab_off = np.zeros(len(ilabs) + 1, np.int64)
+        np.cumsum([len(x) for x in ilabs], out=ilab_off[1:])
+        ilab_buf = np.frombuffer(b"".join(ilabs) or b"\0", np.uint8)
+        mb_ptr, mi_ptr = bounds.ctypes.data, idxarr.ctypes.data
+        il_ptr, io_ptr = ilab_buf.ctypes.data, ilab_off.ctypes.data
+        extra = int(ilab_buf.size) * 2
+    else:
+        mb_ptr = mi_ptr = il_ptr = io_ptr = None
+        extra = 0
+    asg = np.ascontiguousarray(out_assign[:n], np.int32)
+    hoff = np.ascontiguousarray(out_hit_off[:n + 1], np.int64)
+    cap = (int(ulab_buf.size) * 2 + int(cpath_buf.size) + 160 * n
+           + extra + 1024)
+    while True:
+        out = np.empty(cap, np.uint8)
+        ret = lib.cluster_uc_emit_c(
+            n, order_arr.ctypes.data,
+            ulab_buf.ctypes.data, ulab_off.ctypes.data,
+            ulen.ctypes.data, asg.ctypes.data, hoff.ctypes.data,
+            hit_tix.ctypes.data, hit_rc.ctypes.data,
+            hit_pct.ctypes.data, hit_cpath_off.ctypes.data,
+            cpath_buf.ctypes.data, centroid_ui.ctypes.data,
+            mb_ptr, mi_ptr, il_ptr, io_ptr,
+            int(nucleo), out.ctypes.data, cap)
+        if ret >= 0:
+            break
+        cap *= 2
+    with open(path, "wb") as f:
+        f.write(out[:ret].tobytes())
+        tail = []
+        for ci, size in enumerate(state.cluster_sizes):
+            tail.append(f"C\t{ci}\t{size}\t*\t*\t*\t*\t*\t"
+                        f"{state.centroid_labels[ci]}\t*\n")
+            if len(tail) >= 8192:
+                f.write("".join(tail).encode("latin1"))
+                tail = []
+        f.write("".join(tail).encode("latin1"))
+    return True
+
+
 def _write_outputs(cmd, input_db, dr, unique_db, order, nucleo, rev_comp,
                    out_assign, out_admit, out_hit_off, hit_tix, hit_rc,
                    hit_pct, hit_fract, hit_cpath_off, cpath_buf) -> None:
@@ -185,21 +249,59 @@ def _write_outputs(cmd, input_db, dr, unique_db, order, nucleo, rev_comp,
     # rebuild cluster state in query order
     centroid_q = np.nonzero(out_admit)[0]
     n_clusters = len(centroid_q)
-    sizes = [0] * n_clusters
     for q in centroid_q:
-        ci = int(out_assign[q])
         ui = order[q]
         state.centroid_labels.append(unique_db.labels[ui])
         state.centroid_seqs.append(unique_db.seqs[ui])
         state.cluster_to_centroid_seq.append(ui)
-    for q in range(n):
-        ui = order[q]
-        ci = int(out_assign[q])
-        sizes[ci] += state.get_size(ui, unique_db.labels[ui])
-        state.seq_to_cluster[ui] = ci
-    state.cluster_sizes = sizes
 
-    f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
+    order_arr = np.ascontiguousarray(order, dtype=np.int64)
+    # member bounds/index arrays in unique-index space (None without dr)
+    bounds = idxarr = None
+    if dr is not None:
+        mb = getattr(dr.members, "_bounds", None)
+        if mb is not None:
+            bounds = np.ascontiguousarray(mb, dtype=np.int64)
+            idxarr = np.ascontiguousarray(dr.members._order,
+                                          dtype=np.int64)
+        else:
+            nm = len(dr.members)
+            lens = np.fromiter((len(m) for m in dr.members), np.int64,
+                               nm)
+            bounds = np.zeros(nm + 1, np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            idxarr = (np.concatenate(
+                [np.asarray(m, np.int64) for m in dr.members])
+                if nm else np.zeros(0, np.int64))
+
+    if not o.flag("sizein"):
+        # every member counts 1 (vectorized ClusterSink::GetSize)
+        if bounds is not None:
+            mcounts = (bounds[1:] - bounds[:-1])[order_arr].astype(
+                np.float64)
+        else:
+            mcounts = np.ones(n, np.float64)
+        sizes = np.bincount(out_assign[:n], weights=mcounts,
+                            minlength=n_clusters).astype(np.int64) \
+            .tolist()
+    else:
+        sizes = [0] * n_clusters
+        for q in range(n):
+            ui = order[q]
+            sizes[int(out_assign[q])] += state.get_size(
+                ui, unique_db.labels[ui])
+    state.cluster_sizes = sizes
+    if o.filled("clusters") or o.filled("constax_report"):
+        for q in range(n):
+            state.seq_to_cluster[order[q]] = int(out_assign[q])
+
+    if o.filled("uc") and _uc_emit_native(
+            o.str("uc"), n, order_arr, unique_db, out_assign,
+            out_hit_off, hit_tix, hit_rc, hit_pct, hit_cpath_off,
+            cpath_buf, centroid_q, bounds, idxarr, dr, nucleo, state):
+        f_uc = None
+    else:
+        f_uc = open(o.str("uc"), "w") if o.filled("uc") else None
     if f_uc:
         cbytes = cpath_buf.tobytes()
         lines = []

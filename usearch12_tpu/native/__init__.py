@@ -197,6 +197,17 @@ def get_lib():
             vp, vp, vp, vp,                        # hit_job, tix, stats, job_start
             vp, vp, vp, ctypes.c_int32,            # tlbl buf/off, tlen, no_hits
             vp, i64]                               # out, cap
+        lib.cluster_uc_emit_c.restype = i64
+        lib.cluster_uc_emit_c.argtypes = [
+            i64, vp,                               # n, order
+            vp, vp, vp,                            # ulab buf/off, ulen
+            vp, vp,                                # assign, hit_off
+            vp, vp, vp,                            # hit tix/rc/pct
+            vp, vp,                                # cpath off/buf
+            vp,                                    # centroid_ui
+            vp, vp,                                # memb off/idx
+            vp, vp,                                # ilab buf/off
+            ctypes.c_int32, vp, i64]               # nucleo, out, cap
         lib.uchime_left_right_c.restype = ctypes.c_int
         lib.uchime_left_right_c.argtypes = [
             vp, vp, ctypes.c_char_p, i64, vp, i64, vp]

@@ -3957,3 +3957,107 @@ overflow:
     if (heap) { free(ord); free(rcf); free(idx); free(la); free(sc); }
     return -1;
 }
+
+/* uc H/S record emission for the greedy cluster engine (fast path:
+ * every record has at most one hit, the cluster_fast/cluster_smallmem
+ * default with maxaccepts 1).  Mirrors engine/cluster.py
+ * _write_outputs' uc loop byte-for-byte, including the derep member
+ * expansion lines.  Returns bytes written, or -1 on out overflow. */
+int64_t cluster_uc_emit_c(
+    int64_t n, const int64_t *order,
+    const uint8_t *ulab_buf, const int64_t *ulab_off,
+    const int64_t *ulen,
+    const int32_t *out_assign, const int64_t *out_hit_off,
+    const int32_t *hit_tix, const uint8_t *hit_rc,
+    const double *hit_pct,
+    const int64_t *hit_cpath_off, const uint8_t *cpath_buf,
+    const int64_t *centroid_ui,
+    const int64_t *memb_off, const int64_t *memb_idx,
+    const uint8_t *ilab_buf, const int64_t *ilab_off,
+    int32_t nucleo, char *out, int64_t out_cap)
+{
+    int64_t pos = 0;
+    for (int64_t q = 0; q < n; ++q) {
+        int64_t ui = order[q];
+        const uint8_t *ql = ulab_buf + ulab_off[ui];
+        int64_t qn = ulab_off[ui + 1] - ulab_off[ui];
+        int64_t la = ulen[ui];
+        int64_t lo = out_hit_off[q], hi = out_hit_off[q + 1];
+        if (hi > lo) {
+            int64_t h = lo;   /* fast path: exactly one hit */
+            char strand = nucleo ? (hit_rc[h] ? '-' : '+') : '.';
+            const uint8_t *cp = cpath_buf + hit_cpath_off[h];
+            int64_t cpn = hit_cpath_off[h + 1] - hit_cpath_off[h];
+            int64_t ci = hit_tix[h];
+            int64_t cui = centroid_ui[ci];
+            const uint8_t *tl = ulab_buf + ulab_off[cui];
+            int64_t tn = ulab_off[cui + 1] - ulab_off[cui];
+            int64_t m0 = memb_off ? memb_off[ui] : 0;
+            int64_t m1 = memb_off ? memb_off[ui + 1] : 0;
+            int64_t need = (qn + tn + cpn + 96);
+            if (memb_off)
+                for (int64_t m = m0 + 1; m < m1; ++m)
+                    need += (ilab_off[memb_idx[m] + 1]
+                             - ilab_off[memb_idx[m]]) + tn + cpn + 96;
+            if (pos + need > out_cap)
+                return -1;
+            pos += sprintf(out + pos, "H\t%lld\t%lld\t%.1f\t%c\t0\t0\t",
+                           (long long)ci, (long long)la, hit_pct[h],
+                           strand);
+            memcpy(out + pos, cp, (size_t)cpn); pos += cpn;
+            out[pos++] = '\t';
+            memcpy(out + pos, ql, (size_t)qn); pos += qn;
+            out[pos++] = '\t';
+            memcpy(out + pos, tl, (size_t)tn); pos += tn;
+            out[pos++] = '\n';
+            if (memb_off) {
+                for (int64_t m = m0 + 1; m < m1; ++m) {
+                    int64_t si = memb_idx[m];
+                    const uint8_t *il = ilab_buf + ilab_off[si];
+                    int64_t in_ = ilab_off[si + 1] - ilab_off[si];
+                    pos += sprintf(out + pos,
+                                   "H\t%lld\t%lld\t%.1f\t%c\t0\t0\t",
+                                   (long long)ci, (long long)la,
+                                   hit_pct[h], strand);
+                    memcpy(out + pos, cp, (size_t)cpn); pos += cpn;
+                    out[pos++] = '\t';
+                    memcpy(out + pos, il, (size_t)in_); pos += in_;
+                    out[pos++] = '\t';
+                    memcpy(out + pos, tl, (size_t)tn); pos += tn;
+                    out[pos++] = '\n';
+                }
+            }
+        } else {
+            int64_t ci = out_assign[q];
+            int64_t m0 = memb_off ? memb_off[ui] : 0;
+            int64_t m1 = memb_off ? memb_off[ui + 1] : 0;
+            int64_t need = qn + 64;
+            if (memb_off)
+                for (int64_t m = m0 + 1; m < m1; ++m)
+                    need += (ilab_off[memb_idx[m] + 1]
+                             - ilab_off[memb_idx[m]]) + qn + 96;
+            if (pos + need > out_cap)
+                return -1;
+            pos += sprintf(out + pos, "S\t%lld\t%lld\t*\t.\t*\t*\t*\t",
+                           (long long)ci, (long long)la);
+            memcpy(out + pos, ql, (size_t)qn); pos += qn;
+            out[pos++] = '\t'; out[pos++] = '*'; out[pos++] = '\n';
+            if (memb_off) {
+                for (int64_t m = m0 + 1; m < m1; ++m) {
+                    int64_t si = memb_idx[m];
+                    const uint8_t *il = ilab_buf + ilab_off[si];
+                    int64_t in_ = ilab_off[si + 1] - ilab_off[si];
+                    pos += sprintf(out + pos,
+                                   "H\t%lld\t%lld\t100.0\t.\t0\t%lld\t=\t",
+                                   (long long)ci, (long long)la,
+                                   (long long)la);
+                    memcpy(out + pos, il, (size_t)in_); pos += in_;
+                    out[pos++] = '\t';
+                    memcpy(out + pos, ql, (size_t)qn); pos += qn;
+                    out[pos++] = '\n';
+                }
+            }
+        }
+    }
+    return pos;
+}
