@@ -1531,6 +1531,8 @@ typedef struct {
     uint32_t uw_cap;
     uint32_t *hist;       /* counting-sort histogram */
     uint32_t hist_cap;
+    uint32_t *stage_tix;  /* placement staging (n_emit copied back) */
+    uint32_t *stage_cnt;
 } RankScratch;
 
 RankScratch *rank_scratch_create(void)
@@ -1542,6 +1544,7 @@ void rank_scratch_destroy(RankScratch *s)
 {
     if (!s) return;
     free(s->u); free(s->touched); free(s->seen); free(s->uw); free(s->hist);
+    free(s->stage_tix); free(s->stage_cnt);
     free(s);
 }
 
@@ -1554,8 +1557,17 @@ static void rank_alloc(RankScratch *s, uint32_t seq_count, int64_t slot_count,
         s->u = (uint32_t *)calloc(cap, sizeof(uint32_t));
         free(s->touched);
         s->touched = (int32_t *)malloc(cap * sizeof(int32_t));
+        free(s->stage_tix);
+        free(s->stage_cnt);
+        s->stage_tix = (uint32_t *)malloc(cap * sizeof(uint32_t));
+        s->stage_cnt = (uint32_t *)malloc(cap * sizeof(uint32_t));
         s->u_cap = cap;
         s->touched_cap = cap;
+    }
+    if (s->hist_cap < 65536) {
+        free(s->hist);
+        s->hist_cap = 65536;
+        s->hist = (uint32_t *)calloc(s->hist_cap, sizeof(uint32_t));
     }
     int64_t bits = slot_count;
     if (bits > s->seen_cap) {
@@ -1720,38 +1732,74 @@ int64_t usort_rank_c(
         s->seen[s->uw[k] >> 3] = 0;
 
     /* -- SetTopBump / SetTop: dense index-order scan (fused U clear in
-     * dense_clear mode: every slot is read once here anyway) -- */
+     * dense_clear mode: every slot is read once here anyway).  The scan
+     * is blocked: a block whose max can neither emit nor move
+     * max_u_seen is skipped after one vectorizable max-reduction, which
+     * preserves emission order and the bump schedule exactly.
+     * Emissions fill the count-sort histogram and the maxv/nextv
+     * running record inline (hist is kept all-zero between calls). */
     uint32_t n_cand = 0;
     uint32_t max_u_seen = 0;
+    uint32_t *hist = s->hist;
+    uint32_t maxv = 0, nextv = 0;
+    enum { RBLK = 64 };
     if (mode == 0 && bump_pct != 0) {
         uint32_t cur_min = 1;
-        for (uint32_t t = 0; t < seq_count; ++t) {
-            uint32_t v = u[t];
-            if (dense_clear)
-                u[t] = 0;
-            if (v > max_u_seen) {
-                if (v >= cur_min) {
+        for (uint32_t t0 = 0; t0 < seq_count; ) {
+            uint32_t end = t0 + RBLK <= seq_count ? t0 + RBLK : seq_count;
+            uint32_t bm = 0;
+            for (uint32_t i = t0; i < end; ++i)
+                bm = u[i] > bm ? u[i] : bm;
+            if (bm == 0) { t0 = end; continue; }
+            if (bm <= max_u_seen && bm < cur_min) {
+                if (dense_clear)
+                    memset(u + t0, 0, (end - t0) * sizeof(uint32_t));
+                t0 = end;
+                continue;
+            }
+            for (uint32_t t = t0; t < end; ++t) {
+                uint32_t v = u[t];
+                if (dense_clear)
+                    u[t] = 0;
+                if (v > max_u_seen) {
+                    if (v >= cur_min) {
+                        out_tix[n_cand] = t;
+                        out_counts[n_cand++] = v;
+                        ++hist[v];
+                        if (v > maxv) { nextv = maxv; maxv = v; }
+                        uint32_t nm =
+                            (uint32_t)((uint64_t)v * bump_pct / 100);
+                        if (cur_min < nm && nm < max_u_seen) cur_min = nm;
+                    }
+                    max_u_seen = v;
+                } else if (v >= cur_min) {
                     out_tix[n_cand] = t;
                     out_counts[n_cand++] = v;
-                    uint32_t nm = (uint32_t)((uint64_t)v * bump_pct / 100);
-                    if (cur_min < nm && nm < max_u_seen) cur_min = nm;
+                    ++hist[v];
+                    if (v > maxv) { nextv = maxv; maxv = v; }
                 }
-                max_u_seen = v;
-            } else if (v >= cur_min) {
-                out_tix[n_cand] = t;
-                out_counts[n_cand++] = v;
             }
+            t0 = end;
         }
     } else {
-        for (uint32_t t = 0; t < seq_count; ++t) {
-            uint32_t v = u[t];
-            if (dense_clear)
-                u[t] = 0;
-            if (v >= 1) {
-                out_tix[n_cand] = t;
-                out_counts[n_cand++] = v;
-                if (v > max_u_seen) max_u_seen = v;
+        for (uint32_t t0 = 0; t0 < seq_count; ) {
+            uint32_t end = t0 + RBLK <= seq_count ? t0 + RBLK : seq_count;
+            uint32_t bm = 0;
+            for (uint32_t i = t0; i < end; ++i)
+                bm = u[i] > bm ? u[i] : bm;
+            if (bm == 0) { t0 = end; continue; }
+            for (uint32_t t = t0; t < end; ++t) {
+                uint32_t v = u[t];
+                if (dense_clear)
+                    u[t] = 0;
+                if (v >= 1) {
+                    out_tix[n_cand] = t;
+                    out_counts[n_cand++] = v;
+                    ++hist[v];
+                    if (v > maxv) { nextv = maxv; maxv = v; }
+                }
             }
+            t0 = end;
         }
     }
 
@@ -1762,28 +1810,13 @@ int64_t usort_rank_c(
         return 0;
 
     /* -- CountSortOrderDesc: stable desc, cutoff NextValue/2.
-     * With max_emit > 0 the caller consumes at most that many
+     * maxv/nextv and the histogram were filled during the scan (buckets
+     * below minv are populated too; the placement loops never read
+     * them).  With max_emit > 0 the caller consumes at most that many
      * candidates (the terminator bound), so only buckets down to the
      * one containing the max_emit-th candidate are placed — the exact
      * order prefix, ties included. -- */
-    uint32_t maxv = 0, nextv = 0;
-    for (uint32_t i = 0; i < n_cand; ++i) {
-        uint32_t v = out_counts[i];
-        if (v > maxv) { nextv = maxv; maxv = v; }
-    }
     uint32_t minv = nextv / 2;
-    if (maxv + 1 > s->hist_cap) {
-        free(s->hist);
-        s->hist_cap = maxv * 2 + 64;
-        s->hist = (uint32_t *)malloc(s->hist_cap * sizeof(uint32_t));
-    }
-    uint32_t *hist = s->hist;
-    memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
-    uint32_t n_keep = 0;
-    for (uint32_t i = 0; i < n_cand; ++i) {
-        uint32_t v = out_counts[i];
-        if (v >= minv) { ++hist[v]; ++n_keep; }
-    }
     uint32_t c_star = minv;
     uint32_t n_emit = 0;
     for (int64_t v = maxv; v >= (int64_t)minv; --v) {
@@ -1799,22 +1832,22 @@ int64_t usort_rank_c(
         hist[v] = off;
         off += c;
     }
-    /* stage kept (tix,count) into touched/u-scratch order buffers */
-    uint32_t *otix = (uint32_t *)s->touched;   /* reuse as staging */
-    for (uint32_t i = 0; i < n_cand; ++i)
-        otix[i] = out_tix[i];
-    uint32_t *ocnt = s->u;                     /* u is all zeros now */
-    for (uint32_t i = 0; i < n_cand; ++i)
-        ocnt[i] = out_counts[i];
+    /* stable placement into staging, then copy only the emitted
+     * prefix back (n_emit is bounded by the terminator, typically a
+     * few dozen, vs n_cand in the thousands) */
+    uint32_t *stix = s->stage_tix, *scnt = s->stage_cnt;
     for (uint32_t i = 0; i < n_cand; ++i) {
-        uint32_t v = ocnt[i];
+        uint32_t v = out_counts[i];
         if (v < c_star) continue;
         uint32_t pos = hist[v]++;
-        out_tix[pos] = otix[i];
-        out_counts[pos] = v;
+        stix[pos] = out_tix[i];
+        scnt[pos] = v;
     }
-    /* re-zero the borrowed u prefix */
-    memset(ocnt, 0, n_cand * sizeof(uint32_t));
+    memcpy(out_tix, stix, n_emit * sizeof(uint32_t));
+    memcpy(out_counts, scnt, n_emit * sizeof(uint32_t));
+    /* restore hist to all-zero for the next call (every filled bucket
+     * is <= maxv; [c_star, maxv] hold placement offsets) */
+    memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
     return (int64_t)n_emit;
 }
 
