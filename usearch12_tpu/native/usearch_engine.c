@@ -586,6 +586,11 @@ typedef struct {
     int64_t v;             /* slot count; 0 = not initialized */
     int64_t *base_starts;  /* v+1 */
     int32_t *base_post;
+    uint16_t *base_p16;    /* u16 mirror of base_post (halves the rank
+                            * walk's sequential read traffic); valid
+                            * while every stored tix fits in 16 bits */
+    int64_t base_p16_cap;
+    int base_p16_ok;
     int64_t base_n, base_cap;
     int64_t *mid_starts;   /* v+1 */
     int32_t *mid_post;
@@ -638,7 +643,7 @@ void cluster_ctx_destroy(ClusterCtx *cc)
 {
     if (!cc)
         return;
-    free(cc->base_starts); free(cc->base_post);
+    free(cc->base_starts); free(cc->base_post); free(cc->base_p16);
     free(cc->mid_starts); free(cc->mid_post);
     free(cc->wcnt); free(cc->fpos); free(cc->ns); free(cc->merge_post);
     free(cc->dw); free(cc->dt); free(cc->db); free(cc->db_off);
@@ -752,6 +757,26 @@ static void cc_flush_raw(ClusterCtx *cc)
         cc->base_n = total;
         memset(cc->mid_starts, 0, (size_t)(v + 1) * sizeof(int64_t));
         cc->mid_n = 0;
+        /* refresh the u16 mirror (folds are rare: one pass amortizes
+         * over the thousands of rank walks that read it) */
+        if (cc->base_n > cc->base_p16_cap) {
+            free(cc->base_p16);
+            cc->base_p16_cap = cc->base_n * 2 + 4096;
+            cc->base_p16 = (uint16_t *)malloc(
+                (size_t)cc->base_p16_cap * sizeof(uint16_t));
+        }
+        cc->base_p16_ok = cc->base_p16 != NULL;
+        if (cc->base_p16_ok) {
+            const int32_t *bp = cc->base_post;
+            uint16_t *m16 = cc->base_p16;
+            int32_t any_big = 0;
+            for (int64_t p = 0; p < cc->base_n; ++p) {
+                any_big |= bp[p] >> 16;
+                m16[p] = (uint16_t)bp[p];
+            }
+            if (any_big)
+                cc->base_p16_ok = 0;
+        }
     }
 }
 
@@ -868,6 +893,7 @@ static uint32_t cc_rank(
     uint16_t *u = cc->u;
     const int64_t *bs = cc->base_starts;
     const int32_t *bp = cc->base_post;
+    const uint16_t *bp16 = cc->base_p16_ok ? cc->base_p16 : NULL;
     const int64_t *ms = cc->mid_starts;
     const int32_t *mp = cc->mid_post;
     for (uint32_t k = 0; k < nuw; ++k) {
@@ -879,11 +905,19 @@ static uint32_t cc_rank(
         }
         if (k + 2 < nuw) {
             int64_t wn = cc->uw[k + 2];
-            __builtin_prefetch(&bp[bs[wn]], 0, 1);
+            if (bp16)
+                __builtin_prefetch(&bp16[bs[wn]], 0, 1);
+            else
+                __builtin_prefetch(&bp[bs[wn]], 0, 1);
             __builtin_prefetch(&mp[ms[wn]], 0, 1);
         }
-        for (int64_t p = bs[w]; p < bs[w + 1]; ++p)
-            ++u[bp[p]];
+        if (bp16) {
+            for (int64_t p = bs[w]; p < bs[w + 1]; ++p)
+                ++u[bp16[p]];
+        } else {
+            for (int64_t p = bs[w]; p < bs[w + 1]; ++p)
+                ++u[bp[p]];
+        }
         for (int64_t p = ms[w]; p < ms[w + 1]; ++p)
             ++u[mp[p]];
     }
