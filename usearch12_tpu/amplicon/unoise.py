@@ -64,9 +64,8 @@ def _unoise_greedy_native(input_db, uniq_count, alpha, max_accepts,
         offs = np.zeros(uniq_count + 1, np.int64)
         np.cumsum(lens, out=offs[1:])
         qbuf = np.concatenate([np.ascontiguousarray(s) for s in seqs])
-    qsizes = np.fromiter(
-        (size_from_label(l, 0xFFFFFFFF)
-         for l in input_db.labels[:uniq_count]), np.int64, uniq_count)
+    from ..io.seqdb import sizes_bulk
+    qsizes = sizes_bulk(input_db, uniq_count, 0xFFFFFFFF)
     mx = np.ascontiguousarray(ap.subst_mx, dtype=np.float32)
     ctl = np.ascontiguousarray(CHAR_TO_LETTER_NUCLEO)
     ctl_rank = CHAR_TO_LETTER_NUCLEO.copy()
@@ -144,10 +143,11 @@ def unoise3(input_path: Optional[str]) -> None:
     min_amp_size = o.uns("minsize") if o.filled("minsize") else 8
     n_input = len(input_db)
     uniq_count = n_input
-    for i in range(n_input):
-        if size_from_label(input_db.labels[i], 0xFFFFFFFF) < min_amp_size:
-            uniq_count = i
-            break
+    from ..io.seqdb import sizes_bulk
+    all_sizes = sizes_bulk(input_db, n_input, 0xFFFFFFFF)
+    below = np.nonzero(all_sizes < min_amp_size)[0]
+    if len(below):
+        uniq_count = int(below[0])
 
     centroid_labels = []
     centroid_seqs = []

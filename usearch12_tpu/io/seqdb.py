@@ -26,6 +26,28 @@ def size_from_label(label: str, default: int = 1) -> int:
     return int(m.group(1)) if m else default
 
 
+def sizes_bulk(db, n: int, default: int):
+    """size_from_label over labels [0, n) as an int64 array.  Uses the
+    C bulk parser on the lazy-label byte ranges when available (keeps
+    the labels undecoded); exact size_from_label semantics."""
+    labels = db.labels
+    if isinstance(labels, _LazyLabels) and n > 0:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            raw = labels.raw
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            lo = np.ascontiguousarray(labels.lo[:n], dtype=np.int64)
+            hi = np.ascontiguousarray(labels.hi[:n], dtype=np.int64)
+            out = np.empty(n, np.int64)
+            lib.sizes_from_labels_c(buf.ctypes.data, lo.ctypes.data,
+                                    hi.ctypes.data, n, default,
+                                    out.ctypes.data)
+            return out
+    return np.fromiter((size_from_label(labels[i], default)
+                        for i in range(n)), np.int64, n)
+
+
 def strip_size(label: str) -> str:
     if "size=" not in label:
         return label.strip(";")

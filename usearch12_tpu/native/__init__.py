@@ -197,6 +197,8 @@ def get_lib():
             vp, vp, vp, vp,                        # hit_job, tix, stats, job_start
             vp, vp, vp, ctypes.c_int32,            # tlbl buf/off, tlen, no_hits
             vp, i64]                               # out, cap
+        lib.sizes_from_labels_c.restype = None
+        lib.sizes_from_labels_c.argtypes = [vp, vp, vp, i64, i64, vp]
         lib.cluster_uc_emit_c.restype = i64
         lib.cluster_uc_emit_c.argtypes = [
             i64, vp,                               # n, order

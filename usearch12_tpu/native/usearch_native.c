@@ -1599,6 +1599,38 @@ static int64_t lower_bound64(const int64_t *w, int64_t n, int64_t key)
  * mode 1: no bump (keep all u>=1)       + CountSortOrderDesc   (GetU)
  * Returns candidate count; out_tix/out_counts caller-allocated with
  * capacity seq_count. */
+/* bulk ;size=N label annotation parse (io/seqdb.py size_from_label
+ * semantics: first ";size=" followed by at least one digit; `default`
+ * otherwise).  Labels are (lo, hi) byte ranges into raw. */
+void sizes_from_labels_c(const uint8_t *raw, const int64_t *lo,
+                         const int64_t *hi, int64_t n, int64_t dflt,
+                         int64_t *out)
+{
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t *p = raw + lo[i];
+        int64_t len = hi[i] - lo[i];
+        int64_t v = dflt;
+        for (int64_t k = 0; k + 6 <= len; ++k) {
+            if (p[k] == ';' && p[k + 1] == 's' && p[k + 2] == 'i'
+                && p[k + 3] == 'z' && p[k + 4] == 'e' && p[k + 5] == '=') {
+                int64_t j = k + 6;
+                if (j < len && p[j] >= '0' && p[j] <= '9') {
+                    uint64_t acc = 0;
+                    while (j < len && p[j] >= '0' && p[j] <= '9') {
+                        if (acc < (1ull << 62))
+                            acc = acc * 10u + (uint64_t)(p[j] - '0');
+                        ++j;
+                    }
+                    v = (int64_t)acc;   /* saturating: ordering-safe */
+                    break;
+                }
+                /* ";size=" without digits: the regex keeps searching */
+            }
+        }
+        out[i] = v;
+    }
+}
+
 int64_t usort_rank_c(
     RankScratch *s,
     const uint8_t *seq, uint32_t L,
