@@ -873,7 +873,9 @@ static uint32_t cc_rank(
             continue;
         }
         if (run >= wlen)
-            word -= (word / pow_w) * pow_w;
+            word = (pow_w & (pow_w - 1)) == 0
+                ? (word & (pow_w - 1))        /* 4^k alphabet */
+                : word - (word / pow_w) * pow_w;
         word = word * alpha_size + let;
         if (++run >= wlen) {
             if (!(cc->seen[word >> 3] & (1u << (word & 7)))) {
@@ -1645,7 +1647,9 @@ int64_t cluster_greedy_c(
                     continue;
                 }
                 if (run >= wlen)
-                    word -= (word / pow_w) * pow_w;
+                    word = (pow_w & (pow_w - 1)) == 0
+                ? (word & (pow_w - 1))        /* 4^k alphabet */
+                : word - (word / pow_w) * pow_w;
                 word = word * alpha_size + let;
                 if (++run >= wlen) {
                     if (!(cc->seen[word >> 3] & (1u << (word & 7)))) {
@@ -3125,7 +3129,9 @@ int64_t unoise_greedy_c(
                     continue;
                 }
                 if (run >= wlen)
-                    word -= (word / pow_w) * pow_w;
+                    word = (pow_w & (pow_w - 1)) == 0
+                ? (word & (pow_w - 1))        /* 4^k alphabet */
+                : word - (word / pow_w) * pow_w;
                 word = word * alpha_size + let;
                 if (++run >= wlen) {
                     if (!(cc->seen[word >> 3] & (1u << (word & 7)))) {
@@ -3462,7 +3468,9 @@ int64_t sintax_window_c(
                     continue;
                 }
                 if (run >= wlen)
-                    word -= (word / pow_w) * pow_w;
+                    word = (pow_w & (pow_w - 1)) == 0
+                ? (word & (pow_w - 1))        /* 4^k alphabet */
+                : word - (word / pow_w) * pow_w;
                 word = word * alpha_size + let;
                 if (++run >= wlen) {
                     if (!(seen[word >> 3] & (1u << (word & 7)))) {

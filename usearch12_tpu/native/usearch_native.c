@@ -1656,7 +1656,9 @@ int64_t usort_rank_c(
     for (uint32_t i = 0; i < L; ++i) {
         uint8_t let = char_to_letter[seq[i]];
         if (let == 0xFF) { run = 0; word = 0; continue; }
-        if (run >= wlen) word -= (word / pow_w) * pow_w; /* drop high digit */
+        if (run >= wlen) word = (pow_w & (pow_w - 1)) == 0
+                ? (word & (pow_w - 1))        /* 4^k alphabet */
+                : word - (word / pow_w) * pow_w; /* drop high digit */
         word = word * alpha_size + let;
         if (++run >= wlen) {
             if (!(s->seen[word >> 3] & (1u << (word & 7)))) {
@@ -2245,7 +2247,9 @@ int64_t unique_words_c(RankScratch *s,
             continue;
         }
         if (run >= wlen)
-            word -= (word / pow_w) * pow_w;
+            word = (pow_w & (pow_w - 1)) == 0
+                ? (word & (pow_w - 1))        /* 4^k alphabet */
+                : word - (word / pow_w) * pow_w;
         word = word * alpha_size + let;
         if (++run >= wlen) {
             if (!(s->seen[word >> 3] & (1u << (word & 7)))) {
