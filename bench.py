@@ -177,25 +177,38 @@ for n_pairs in (2048, 8192, 65536):
     out32[str(n_pairs)] = round(cells / time_fn(fn, args, n_pairs) / 1e9, 2)
     o32 = fn(*args)
 
-    b16 = pack_wave16(pairs, True, 16, dev16.chunk, batch.rho0)
-    fn16 = _compiled16(b16.steps, dev16.chunk, dev16.pb, b16.rho0, b16.sw,
-                       dev16.quant[0], dev16.quant[1], dev16.interpret)
-    def padz(x):
-        if pad == 0:
-            return x
-        return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-    args16 = (jnp.asarray(padz(b16.mask00)),
-              jnp.asarray(pack_ins16(padz(b16.ins))))
-    out16[str(n_pairs)] = round(cells / time_fn(fn16, args16, n_pairs) / 1e9, 2)
-    if n_pairs == 2048:
-        # variant parity: the i16 kernel must emit exactly the f32
-        # kernel's tensors (same DP at 2x lane density)
-        o16 = fn16(*args16)
-        for x, y in zip(o32, o16):
-            assert np.array_equal(np.asarray(x)[:R], np.asarray(y)[:R]), \\
-                "i16/f32 kernel tensor mismatch"
+    # the i16 leg must not take down the f32 record if Mosaic rejects
+    # an int16 op on this chip generation
+    try:
+        b16 = pack_wave16(pairs, True, 16, dev16.chunk, batch.rho0)
+        fn16 = _compiled16(b16.steps, dev16.chunk, dev16.pb, b16.rho0,
+                           b16.sw, dev16.quant[0], dev16.quant[1],
+                           dev16.interpret)
+        def padz(x):
+            if pad == 0:
+                return x
+            return np.concatenate([x, np.zeros((pad,) + x.shape[1:],
+                                               x.dtype)])
+        args16 = (jnp.asarray(padz(b16.mask00)),
+                  jnp.asarray(pack_ins16(padz(b16.ins))))
+        out16[str(n_pairs)] = round(
+            cells / time_fn(fn16, args16, n_pairs) / 1e9, 2)
+        if n_pairs == 2048:
+            # variant parity: the i16 kernel must emit exactly the f32
+            # kernel's tensors (same DP at 2x lane density)
+            o16 = fn16(*args16)
+            for x, y in zip(o32, o16):
+                assert np.array_equal(np.asarray(x)[:R],
+                                      np.asarray(y)[:R]), \\
+                    "i16/f32 kernel tensor mismatch"
+    except AssertionError:
+        raise
+    except Exception as e:
+        out16[str(n_pairs)] = "failed: " + repr(e)[:200]
 
-out = {k: max(out32[k], out16[k]) for k in out32}
+out = {k: (max(out32[k], out16[k])
+           if isinstance(out16[k], float) else out32[k])
+       for k in out32}
 # utilization vs per-chip VPU peak: the banded-DP recurrence costs
 # ~12 VPU ops/cell (match select + 3x2 add/max for M/D/I + band
 # shift); v5e VPU f32 peak ~= 4 ALUs x (8x128) lanes x 0.94 GHz
