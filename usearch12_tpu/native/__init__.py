@@ -197,6 +197,14 @@ def get_lib():
             vp, vp, vp, vp,                        # hit_job, tix, stats, job_start
             vp, vp, vp, ctypes.c_int32,            # tlbl buf/off, tlen, no_hits
             vp, i64]                               # out, cap
+        lib.orient_batch_c.restype = None
+        lib.orient_batch_c.argtypes = [
+            vp, vp, i64, vp, vp, i64, i64, vp,
+            ctypes.c_double, vp, vp]
+        lib.orient_fasta_emit_c.restype = i64
+        lib.orient_fasta_emit_c.argtypes = [
+            vp, vp, vp, vp, vp, i64, vp, vp,
+            ctypes.c_int32, i64, vp, i64]
         lib.sizes_from_labels_c.restype = None
         lib.sizes_from_labels_c.argtypes = [vp, vp, vp, i64, i64, vp]
         lib.cluster_uc_emit_c.restype = i64

@@ -2631,7 +2631,8 @@ int orient_read_c(const uint8_t *seq, int64_t L,
             continue;
         }
         if (run >= w)
-            word -= (word / pw) * pw;
+            word = (pw & (pw - 1)) == 0 ? (word & (pw - 1))
+                                        : word - (word / pw) * pw;
         word = word * alpha_size + let;
         if (++run >= w)
             wf[nf++] = word;
@@ -2647,7 +2648,8 @@ int orient_read_c(const uint8_t *seq, int64_t L,
             continue;
         }
         if (run >= w)
-            word -= (word / pw) * pw;
+            word = (pw & (pw - 1)) == 0 ? (word & (pw - 1))
+                                        : word - (word / pw) * pw;
         word = word * alpha_size + let;
         if (++run >= w)
             wr[nr++] = word;
@@ -2670,6 +2672,75 @@ int orient_read_c(const uint8_t *seq, int64_t L,
     out[1] = minus;
     free(wf);
     return 0;
+}
+
+/* whole-file orient: per-read strand vote + fasta emission ---------- */
+
+void orient_batch_c(const uint8_t *seqbuf, const int64_t *soff,
+                    int64_t n, const uint8_t *comp, const uint8_t *ctl,
+                    int64_t w, int64_t alpha_size, const int64_t *sizes,
+                    double word_x, int64_t *out_plus, int64_t *out_minus)
+{
+    int64_t out2[2];
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t L = soff[r + 1] - soff[r];
+        out2[0] = out2[1] = 0;
+        if (L >= w)
+            orient_read_c(seqbuf + soff[r], L, comp, ctl, w, alpha_size,
+                          sizes, word_x, out2);
+        out_plus[r] = out2[0];
+        out_minus[r] = out2[1];
+    }
+}
+
+/* decision[r]: +1 plus, -1 minus (revcomp on emit), 0 undecided.
+ * mode 0 emits decided reads (fastaout), mode 1 emits undecided
+ * (notmatched).  Returns bytes written or -1 on overflow. */
+int64_t orient_fasta_emit_c(const uint8_t *seqbuf, const int64_t *soff,
+                            const uint8_t *lblbuf, const int64_t *lo,
+                            const int64_t *le, int64_t n,
+                            const uint8_t *comp, const int8_t *decision,
+                            int32_t mode, int64_t cols,
+                            char *out, int64_t cap)
+{
+    int64_t pos = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        int8_t d = decision[r];
+        if (mode == 0 ? (d == 0) : (d != 0))
+            continue;
+        int64_t L = soff[r + 1] - soff[r];
+        int64_t ln = le[r] - lo[r];
+        int64_t rows = cols > 0 ? (L + cols - 1) / cols : 1;
+        if (pos + ln + L + rows + 8 > cap)
+            return -1;
+        out[pos++] = '>';
+        memcpy(out + pos, lblbuf + lo[r], (size_t)ln);
+        pos += ln;
+        out[pos++] = '\n';
+        const uint8_t *sq = seqbuf + soff[r];
+        if (cols <= 0) {
+            if (d == -1)
+                for (int64_t i = 0; i < L; ++i)
+                    out[pos++] = (char)comp[sq[L - 1 - i]];
+            else
+                { memcpy(out + pos, sq, (size_t)L); pos += L; }
+            out[pos++] = '\n';
+        } else {
+            for (int64_t c0 = 0; c0 < L; c0 += cols) {
+                int64_t c1 = c0 + cols < L ? c0 + cols : L;
+                if (d == -1)
+                    for (int64_t i = c0; i < c1; ++i)
+                        out[pos++] = (char)comp[sq[L - 1 - i]];
+                else
+                    { memcpy(out + pos, sq + c0, (size_t)(c1 - c0));
+                      pos += c1 - c0; }
+                out[pos++] = '\n';
+            }
+            if (L == 0)
+                out[pos++] = '\n';
+        }
+    }
+    return pos;
 }
 
 /* ---- UPARSE segmenting DP (src/uparsedp.cpp:14-178) -------------------
