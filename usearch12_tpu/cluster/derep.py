@@ -167,6 +167,77 @@ def _derep_native(input_db: SeqDB, dr: DerepResult):
     return dr
 
 
+def _uniques_emit_native(o, db, dr, order, member_counts,
+                         relabel) -> bool:
+    """fastaout via uniques_fasta_emit_c over the bulk seq buffer.
+    Handles generated-relabel labels (with/without -sizeout) and plain
+    label passthrough; Python handles sizeout-on-original-labels
+    (strip_size rewriting) and non-bulk inputs."""
+    from ..native import get_lib
+    from ..io.seqdb import _LazyLabels
+    lib = get_lib()
+    bulk = getattr(db, "_bulk_buf", None)
+    if (lib is None or bulk is None
+            or len(getattr(db, "_bulk_off", ())) != len(db) + 1):
+        return False
+    sizeout = o.flag("sizeout")
+    if sizeout and not relabel:
+        return False        # strip_size on original labels: python path
+    if relabel and (relabel.startswith(";") or relabel.endswith(";")):
+        return False        # strip_size would rewrite the generated label
+    if not relabel and not isinstance(db.labels, _LazyLabels):
+        return False
+    minuq = o.uns("minuniquesize", 0)
+    topn = o.uns("topn") if o.filled("topn") else None
+    mc = np.asarray(member_counts, np.int64)
+    order_a = np.asarray(order, np.int64)
+    sz_sorted = mc[order_a]
+    n_sel = len(order_a)
+    below = np.nonzero(sz_sorted < minuq)[0]
+    if len(below):
+        n_sel = int(below[0])   # descending order; reference breaks here
+    if topn is not None:
+        n_sel = min(n_sel, int(topn))
+    sel_u = order_a[:n_sel]
+    usi = np.asarray(dr.unique_seq_indexes, np.int64)
+    sel = np.ascontiguousarray(usi[sel_u])
+    sizes_sel = np.ascontiguousarray(sz_sorted[:n_sel])
+    soff = np.ascontiguousarray(db._bulk_off, np.int64)
+    cols = int(o.uns("fasta_cols"))
+    if relabel:
+        pfx = np.frombuffer(relabel.encode("latin1"), np.uint8)
+        plen = len(pfx)
+        lblbuf = lo = hi = None
+        lbl_bytes = 0
+    else:
+        labels = db.labels
+        lblbuf = np.frombuffer(labels.raw, np.uint8)
+        lo = np.ascontiguousarray(labels.lo, np.int64)
+        hi = np.ascontiguousarray(labels.hi, np.int64)
+        pfx = np.zeros(1, np.uint8)
+        plen = -1
+        lbl_bytes = int((hi - lo).max() if len(lo) else 0) * n_sel
+    seq_bytes = int((soff[1:] - soff[:-1])[sel].sum()) if n_sel else 0
+    cap = (seq_bytes + seq_bytes // max(cols, 1) + 64 * n_sel
+           + lbl_bytes + 1024)
+    while True:
+        out = np.empty(cap, np.uint8)
+        ret = lib.uniques_fasta_emit_c(
+            bulk.ctypes.data, soff.ctypes.data, sel.ctypes.data, n_sel,
+            pfx.ctypes.data, plen,
+            lblbuf.ctypes.data if lblbuf is not None else None,
+            lo.ctypes.data if lo is not None else None,
+            hi.ctypes.data if hi is not None else None,
+            sizes_sel.ctypes.data, int(bool(sizeout and relabel)),
+            cols, out.ctypes.data, cap)
+        if ret >= 0:
+            break
+        cap *= 2
+    with open(o.str("fastaout"), "wb") as f:
+        f.write(out[:ret].tobytes())
+    return True
+
+
 def fastx_uniques(input_path: Optional[str]) -> None:
     """cmd_fastx_uniques: derep + sorted-by-size output
     (src/derepfull.cpp:233, src/derepresult.cpp Write/ToFastx)."""
@@ -176,7 +247,7 @@ def fastx_uniques(input_path: Optional[str]) -> None:
     from ..search.hitmgr import quick_sort_order
 
     o = options()
-    db = SeqDB.from_fastx(input_path)
+    db = SeqDB.from_fastx(input_path, lazy=True)
     strand_both = o.str("strand", "plus") == "both"
     dr = derep_full(db, revcomp_ok=strand_both)
 
@@ -184,16 +255,31 @@ def fastx_uniques(input_path: Optional[str]) -> None:
     # sum of member size= annotations with -sizein, else member count;
     # SetOrder sorts by THESE sizes, and the minuniquesize gate and the
     # size= output use them too
+    bounds = getattr(dr.members, "_bounds", None)
+    morder = getattr(dr.members, "_order", None)
     if o.flag("sizein"):
-        member_counts = [dr.sum_size_in(u)
-                         for u in range(dr.cluster_count)]
+        if bounds is not None:
+            from ..io.seqdb import sizes_bulk
+            all_sz = sizes_bulk(db, len(db), 1)
+            member_counts = np.add.reduceat(
+                all_sz[morder], bounds[:-1]).tolist()                 if dr.cluster_count else []
+        else:
+            member_counts = [dr.sum_size_in(u)
+                             for u in range(dr.cluster_count)]
     else:
-        member_counts = [dr.member_count(u)
-                         for u in range(dr.cluster_count)]
+        if bounds is not None:
+            member_counts = (np.asarray(bounds[1:])
+                             - np.asarray(bounds[:-1])).tolist()
+        else:
+            member_counts = [dr.member_count(u)
+                             for u in range(dr.cluster_count)]
     order = quick_sort_order(member_counts, desc=True)
 
     relabel = o.str("relabel", "")
-    if o.filled("fastaout"):
+    if o.filled("fastaout") and _uniques_emit_native(
+            o, db, dr, order, member_counts, relabel):
+        pass
+    elif o.filled("fastaout"):
         minuq = o.uns("minuniquesize", 0)
         topn = o.uns("topn") if o.filled("topn") else None
         sizeout = o.flag("sizeout")

@@ -197,6 +197,12 @@ def get_lib():
             vp, vp, vp, vp,                        # hit_job, tix, stats, job_start
             vp, vp, vp, ctypes.c_int32,            # tlbl buf/off, tlen, no_hits
             vp, i64]                               # out, cap
+        lib.quick_sort_order_c.restype = None
+        lib.quick_sort_order_c.argtypes = [vp, i64, ctypes.c_int, vp]
+        lib.uniques_fasta_emit_c.restype = i64
+        lib.uniques_fasta_emit_c.argtypes = [
+            vp, vp, vp, i64, vp, i64, vp, vp, vp, vp,
+            ctypes.c_int32, i64, vp, i64]
         lib.orient_batch_c.restype = None
         lib.orient_batch_c.argtypes = [
             vp, vp, i64, vp, vp, i64, i64, vp,

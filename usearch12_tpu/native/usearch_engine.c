@@ -2674,6 +2674,61 @@ int orient_read_c(const uint8_t *seq, int64_t L,
     return 0;
 }
 
+/* fastx_uniques fasta emission: selected uniques in sorted order.
+ * plen >= 0: generated labels "<prefix><1-based counter>" (+
+ * ";size=N;" when with_size); plen < 0: original label bytes from
+ * (lblbuf, lo, le) passed through unmodified (with_size must be 0 —
+ * strip_size rewriting stays in Python).  Returns bytes written or -1
+ * on overflow. */
+int64_t uniques_fasta_emit_c(
+    const uint8_t *seqbuf, const int64_t *soff,
+    const int64_t *sel, int64_t n_sel,
+    const uint8_t *prefix, int64_t plen,
+    const uint8_t *lblbuf, const int64_t *lo, const int64_t *le,
+    const int64_t *sizes, int32_t with_size,
+    int64_t cols, char *out, int64_t cap)
+{
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n_sel; ++k) {
+        int64_t si = sel[k];
+        int64_t L = soff[si + 1] - soff[si];
+        int64_t rows = cols > 0 ? (L + cols - 1) / cols : 1;
+        int64_t lmax = plen >= 0 ? plen + 64 : (le[si] - lo[si]) + 64;
+        if (pos + lmax + L + rows + 8 > cap)
+            return -1;
+        out[pos++] = '>';
+        if (plen >= 0) {
+            memcpy(out + pos, prefix, (size_t)plen);
+            pos += plen;
+            pos += sprintf(out + pos, "%lld", (long long)(k + 1));
+            if (with_size)
+                pos += sprintf(out + pos, ";size=%lld;",
+                               (long long)sizes[k]);
+        } else {
+            int64_t ln = le[si] - lo[si];
+            memcpy(out + pos, lblbuf + lo[si], (size_t)ln);
+            pos += ln;
+        }
+        out[pos++] = '\n';
+        const uint8_t *sq = seqbuf + soff[si];
+        if (cols <= 0) {
+            memcpy(out + pos, sq, (size_t)L);
+            pos += L;
+            out[pos++] = '\n';
+        } else {
+            for (int64_t c0 = 0; c0 < L; c0 += cols) {
+                int64_t c1 = c0 + cols < L ? c0 + cols : L;
+                memcpy(out + pos, sq + c0, (size_t)(c1 - c0));
+                pos += c1 - c0;
+                out[pos++] = '\n';
+            }
+            if (L == 0)
+                out[pos++] = '\n';
+        }
+    }
+    return pos;
+}
+
 /* whole-file orient: per-read strand vote + fasta emission ---------- */
 
 void orient_batch_c(const uint8_t *seqbuf, const int64_t *soff,

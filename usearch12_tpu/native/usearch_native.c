@@ -1631,6 +1631,40 @@ void sizes_from_labels_c(const uint8_t *raw, const int64_t *lo,
     }
 }
 
+/* QuickSortOrderRecurse (src/sort.h:62-101): Hoare partition around
+ * the middle element — identical swap sequence to the Python
+ * implementation in search/hitmgr.py, hence identical tie ordering. */
+static void qsort_order_rec(const double *v, int64_t *ord, int64_t left,
+                            int64_t right, int desc)
+{
+    int64_t i = left, j = right;
+    double pivot = v[ord[(left + right) / 2]];
+    while (i <= j) {
+        if (desc) {
+            while (v[ord[i]] > pivot) ++i;
+            while (v[ord[j]] < pivot) --j;
+        } else {
+            while (v[ord[i]] < pivot) ++i;
+            while (v[ord[j]] > pivot) --j;
+        }
+        if (i <= j) {
+            int64_t t = ord[i]; ord[i] = ord[j]; ord[j] = t;
+            ++i; --j;
+        }
+    }
+    if (left < j) qsort_order_rec(v, ord, left, j, desc);
+    if (i < right) qsort_order_rec(v, ord, i, right, desc);
+}
+
+void quick_sort_order_c(const double *v, int64_t n, int desc,
+                        int64_t *ord)
+{
+    for (int64_t k = 0; k < n; ++k)
+        ord[k] = k;
+    if (n > 1)
+        qsort_order_rec(v, ord, 0, n - 1, desc);
+}
+
 int64_t usort_rank_c(
     RankScratch *s,
     const uint8_t *seq, uint32_t L,

@@ -14,8 +14,24 @@ import numpy as np
 
 def quick_sort_order(values, desc: bool = True):
     """QuickSortOrderRecurse (src/sort.h:62-101): Hoare partition around the
-    middle element; identical swap sequence => identical tie ordering."""
+    middle element; identical swap sequence => identical tie ordering.
+    Large inputs run the identical algorithm in C (quick_sort_order_c);
+    double holds every score/size exactly, so the swap sequence — and
+    therefore the tie order — is unchanged."""
     n = len(values)
+    if n >= 64:
+        try:
+            vals = np.ascontiguousarray(values, dtype=np.float64)
+        except (TypeError, ValueError):
+            vals = None
+        if vals is not None and vals.ndim == 1:
+            from ..native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                out = np.empty(n, np.int64)
+                lib.quick_sort_order_c(vals.ctypes.data, n, int(desc),
+                                       out.ctypes.data)
+                return out.tolist()
     order = list(range(n))
     if n == 0:
         return order
