@@ -355,6 +355,20 @@ typedef struct {
     /* touched words for sparse clearing */
     uint32_t *touched;
     uint32_t n_touched;
+    /* compact 32x32 score table indexed by (byte & 31): exact for
+     * letter bytes because the matrices are case-blind (engine
+     * sequences contain only letters — the parser strips everything
+     * else); fits L1 where the 256x256 table thrashes L2 in the
+     * x-drop extension loops */
+    float mx32[32 * 32];
+    /* integer-scaled mirror of mx32 (iscale = 0 when the matrix does
+     * not quantize): the x-drop extension's serial float-add chain
+     * (4-5 cycle latency each) becomes 1-cycle int adds.  Exact: the
+     * scaled scores are integers, score comparisons are integer, the
+     * running x-drop test n > x*s is n > floor(x*s), and the final
+     * score converts back by a power-of-two divide. */
+    int32_t imx32[32 * 32];
+    int32_t iscale;
 } HSPFinderC;
 
 static uint32_t seq_to_hsp_words(const byte *seq, uint32_t L, uint32_t w,
@@ -400,6 +414,27 @@ HSPFinderC *hsp_create(uint32_t word_length, uint32_t alpha_size,
         wc *= alpha_size;
     hf->word_count = wc;
     hf->mx = mx;
+    for (uint32_t x = 0; x < 32; ++x)
+        for (uint32_t y = 0; y < 32; ++y) {
+            uint32_t bx = (x >= 1 && x <= 26) ? 64 + x : x;
+            uint32_t by = (y >= 1 && y <= 26) ? 64 + y : y;
+            hf->mx32[x * 32 + y] = mx[256 * bx + by];
+        }
+    hf->iscale = 0;
+    for (int sc = 1; sc <= 16; sc *= 2) {
+        int ok = 1;
+        for (uint32_t k = 0; k < 32 * 32 && ok; ++k) {
+            float v = hf->mx32[k] * (float)sc;
+            if (v != (float)(int32_t)v || v > 1e6f || v < -1e6f)
+                ok = 0;
+        }
+        if (ok) {
+            for (uint32_t k = 0; k < 32 * 32; ++k)
+                hf->imx32[k] = (int32_t)(hf->mx32[k] * (float)sc);
+            hf->iscale = sc;
+            break;
+        }
+    }
     hf->char_to_letter = char_to_letter;
     hf->word_counts_a = (uint32_t *)calloc(wc, sizeof(uint32_t));
     hf->word_to_pos_a = (uint32_t *)malloc((size_t)wc * MAX_REPS * sizeof(uint32_t));
@@ -498,7 +533,94 @@ uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
     uint32_t la = hf->la, lb = hf->lb;
     if (lb < 2 * w)
         return 0;
-    const float *mx = hf->mx;
+    const float *mx32 = hf->mx32;
+
+    if (hf->iscale) {
+        /* integer-scaled extension: exact (see imx32 comment) with
+         * 1-cycle adds on the serial dependency chain */
+        const int32_t *imx = hf->imx32;
+        const int32_t sc = hf->iscale;
+        const int32_t xi = (int32_t)floorf(x * (float)sc);
+        uint32_t bpos = 0;
+        while (bpos < hf->n_words_b) {
+            uint32_t word = hf->words_b[bpos];
+            uint32_t na = hf->word_counts_a[word];
+            if (na == 0) {
+                ++bpos;
+                continue;
+            }
+            int found = 0;
+            for (uint32_t r = 0; r < na; ++r) {
+                uint32_t apos =
+                    hf->word_to_pos_a[(size_t)word * MAX_REPS + r];
+                uint32_t diag = la + bpos - apos;
+                uint32_t bpos2 = bpos + w - 1;
+                uint32_t apos2 = apos + w - 1;
+                if (apos2 >= la || bpos2 >= lb)
+                    continue;
+                int32_t score = 0;
+                for (uint32_t jj = 0; jj < w; ++jj)
+                    score += imx[((a[apos + jj] & 31u) << 5)
+                                 | (b[bpos + jj] & 31u)];
+                int32_t best_score = score;
+                uint32_t best_bpos2 = bpos2;
+                for (;;) {
+                    ++bpos2;
+                    if (bpos2 >= lb)
+                        break;
+                    ++apos2;
+                    if (apos2 >= la)
+                        break;
+                    score += imx[((a[apos2] & 31u) << 5)
+                                 | (b[bpos2] & 31u)];
+                    if (score > best_score) {
+                        best_score = score;
+                        best_bpos2 = bpos2;
+                    } else if (best_score - score > xi)
+                        break;
+                }
+                uint32_t apos1 = apos, bpos1 = bpos;
+                uint32_t best_bpos1 = bpos1;
+                score = best_score;
+                for (;;) {
+                    if (bpos1 == 0 || apos1 == 0)
+                        break;
+                    --bpos1;
+                    --apos1;
+                    score += imx[((a[apos1] & 31u) << 5)
+                                 | (b[bpos1] & 31u)];
+                    if (score > best_score) {
+                        best_score = score;
+                        best_bpos1 = bpos1;
+                    } else if (best_score - score > xi)
+                        break;
+                }
+                uint32_t blo = best_bpos1, bhi = best_bpos2;
+                uint32_t length = bhi - blo + 1;
+                uint32_t alo = la + best_bpos1 - diag;
+                float fbest = (float)best_score / (float)sc;
+                int ok = (length >= min_length && fbest >= min_score);
+                if (!stagger_ok)
+                    ok = ok && is_global_hsp(alo, blo, length, la, lb);
+                if (ok) {
+                    if (n_out < max_out) {
+                        out[n_out].loi = alo;
+                        out[n_out].loj = blo;
+                        out[n_out].leni = length;
+                        out[n_out].lenj = length;
+                        out[n_out].score = fbest;
+                        ++n_out;
+                    }
+                    bpos = bhi + 1;
+                    found = 1;
+                    break;
+                }
+            }
+            if (!found)
+                ++bpos;
+        }
+        return n_out;
+    }
 
     uint32_t bpos = 0;
     while (bpos < hf->n_words_b) {
@@ -518,7 +640,8 @@ uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
                 continue;
             float score = 0.0f;
             for (uint32_t jj = 0; jj < w; ++jj)
-                score += mx[256 * (size_t)a[apos + jj] + b[bpos + jj]];
+                score += mx32[((a[apos + jj] & 31u) << 5)
+                              | (b[bpos + jj] & 31u)];
             float best_score = score;
             uint32_t best_bpos2 = bpos2;
             for (;;) {
@@ -528,7 +651,8 @@ uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
                 ++apos2;
                 if (apos2 >= la)
                     break;
-                score += mx[256 * (size_t)a[apos2] + b[bpos2]];
+                score += mx32[((a[apos2] & 31u) << 5)
+                              | (b[bpos2] & 31u)];
                 if (score > best_score) {
                     best_score = score;
                     best_bpos2 = bpos2;
@@ -543,7 +667,8 @@ uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
                     break;
                 --bpos1;
                 --apos1;
-                score += mx[256 * (size_t)a[apos1] + b[bpos1]];
+                score += mx32[((a[apos1] & 31u) << 5)
+                              | (b[bpos1] & 31u)];
                 if (score > best_score) {
                     best_score = score;
                     best_bpos1 = bpos1;
