@@ -45,6 +45,10 @@ typedef struct RankScratch RankScratch;
 
 extern void hsp_set_a(HSPFinderC *hf, const byte *a, uint32_t la);
 extern void hsp_set_b(HSPFinderC *hf, const byte *b, uint32_t lb);
+extern void hsp_set_b_view(HSPFinderC *hf, const byte *b, uint32_t lb,
+                           const uint32_t *words, uint32_t n_words);
+extern uint32_t hsp_b_word_count(const HSPFinderC *hf);
+extern const uint32_t *hsp_b_words(const HSPFinderC *hf);
 extern int global_chain_c(HSPFinderC *hf, AlignScratch *s,
                           const byte *match_mx, uint32_t min_len,
                           float min_fract_id, float min_score, float xdrop_g,
@@ -101,6 +105,14 @@ typedef struct {
     int64_t *sx_uw;
     size_t sx_uw_cap;
     uint32_t hsps[512 * 4]; /* per-pair chained HSPs */
+    /* target HSP-words cache (chain_batch_c): words for target t live
+     * at byte-offset db_off[t]; twc_n[t] = word count + 1 (0 = not
+     * cached).  Keyed on the db pointer. */
+    const void *twc_db;
+    int32_t *twc_n;
+    int64_t twc_n_cap;
+    uint32_t *twc_words;
+    int64_t twc_words_cap;
 } EngineScratch;
 
 EngineScratch *engine_scratch_create(void)
@@ -122,6 +134,8 @@ void engine_scratch_destroy(EngineScratch *s)
     free(s->sx_off);
     free(s->sx_seen);
     free(s->sx_uw);
+    free(s->twc_n);
+    free(s->twc_words);
     free(s);
 }
 
@@ -385,7 +399,44 @@ int64_t chain_batch_c(
         uint32_t t = pair_t[p];
         const uint8_t *b = db + db_off[t];
         uint32_t lb = (uint32_t)db_len[t];
-        hsp_set_b(hf, b, lb);
+        /* target-words cache: with maxaccepts+maxrejects candidates
+         * per query, every target's words are re-extracted many times
+         * per window without it */
+        if (es->twc_db != (const void *)db) {
+            es->twc_db = (const void *)db;
+            if (es->twc_n)
+                memset(es->twc_n, 0,
+                       (size_t)es->twc_n_cap * sizeof(int32_t));
+        }
+        if ((int64_t)t >= es->twc_n_cap) {
+            int64_t nc = (int64_t)t * 2 + 1024;
+            int32_t *nn = (int32_t *)calloc((size_t)nc, sizeof(int32_t));
+            if (es->twc_n) {
+                memcpy(nn, es->twc_n,
+                       (size_t)es->twc_n_cap * sizeof(int32_t));
+                free(es->twc_n);
+            }
+            es->twc_n = nn;
+            es->twc_n_cap = nc;
+        }
+        int64_t wend = db_off[t] + db_len[t];
+        if (wend > es->twc_words_cap) {
+            int64_t nc = wend * 2 + 4096;
+            uint32_t *nw = (uint32_t *)realloc(
+                es->twc_words, (size_t)nc * sizeof(uint32_t));
+            es->twc_words = nw;
+            es->twc_words_cap = nc;
+        }
+        if (es->twc_n[t] == 0) {
+            hsp_set_b(hf, b, lb);
+            uint32_t nwb = hsp_b_word_count(hf);
+            memcpy(es->twc_words + db_off[t], hsp_b_words(hf),
+                   (size_t)nwb * sizeof(uint32_t));
+            es->twc_n[t] = (int32_t)nwb + 1;
+        } else {
+            hsp_set_b_view(hf, b, lb, es->twc_words + db_off[t],
+                           (uint32_t)(es->twc_n[t] - 1));
+        }
         float fract = 0.0f;
         int nch = global_chain_c(hf, as, match_mx, min_hsp_len,
                                  min_hsp_fract, min_hsp_score, xdrop_g,

@@ -347,6 +347,8 @@ typedef struct {
     uint32_t *word_to_pos_a;   /* word_count * MAX_REPS */
     uint32_t *words_a;         /* capacity */
     uint32_t *words_b;
+    const uint32_t *wb;        /* current B words (owned buffer or an
+                                * external cache via hsp_set_b_view) */
     uint32_t cap_a, cap_b;
     const byte *a;
     const byte *b;
@@ -498,6 +500,29 @@ void hsp_set_b(HSPFinderC *hf, const byte *b, uint32_t lb)
     hf->lb = lb;
     hf->n_words_b = seq_to_hsp_words(b, lb, hf->word_length, hf->alpha_size,
                                      hf->char_to_letter, hf->words_b);
+    hf->wb = hf->words_b;
+}
+
+/* set B from a precomputed word list (target-words cache): no
+ * re-extraction, the caller guarantees `words` matches
+ * seq_to_hsp_words(b, lb, ...) */
+uint32_t hsp_b_word_count(const HSPFinderC *hf)
+{
+    return hf->n_words_b;
+}
+
+const uint32_t *hsp_b_words(const HSPFinderC *hf)
+{
+    return hf->wb;
+}
+
+void hsp_set_b_view(HSPFinderC *hf, const byte *b, uint32_t lb,
+                    const uint32_t *words, uint32_t n_words)
+{
+    hf->b = b;
+    hf->lb = lb;
+    hf->wb = words;
+    hf->n_words_b = n_words;
 }
 
 static int is_global_hsp(uint32_t alo, uint32_t blo, uint32_t length,
@@ -543,7 +568,7 @@ uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
         const int32_t xi = (int32_t)floorf(x * (float)sc);
         uint32_t bpos = 0;
         while (bpos < hf->n_words_b) {
-            uint32_t word = hf->words_b[bpos];
+            uint32_t word = hf->wb[bpos];
             uint32_t na = hf->word_counts_a[word];
             if (na == 0) {
                 ++bpos;
@@ -624,7 +649,7 @@ uint32_t hsp_ungapped_blast(HSPFinderC *hf, float x, int stagger_ok,
 
     uint32_t bpos = 0;
     while (bpos < hf->n_words_b) {
-        uint32_t word = hf->words_b[bpos];
+        uint32_t word = hf->wb[bpos];
         uint32_t na = hf->word_counts_a[word];
         if (na == 0) {
             ++bpos;
