@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import sys
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -335,6 +336,9 @@ class BatchEngine:
         self._factory_tried = device is not None
         self._class_devices = {}
         self._class_fused = {}
+        # kernel variant: resolved lazily at the first device dispatch
+        # (needs self.device.interpret); see _resolve_i16 / _drop_i16
+        self._use_i16 = None
         self.dev_min_cells = 1 << 62
         # batch dispatch gate: explicit -dev_batch_cells forces a static
         # threshold; default is the adaptive DevicePerfModel prediction
@@ -488,6 +492,15 @@ class BatchEngine:
                 use_device = self.perf.device_wins(
                     total_cells, up_bytes, dn_bytes,
                     max(1, 2 * self._windows_left))
+        # the wavefront kernel packs one band per <=128-lane slot:
+        # slot width (bw-1)//2+2 must fit LANES, so holes whose band
+        # (|alen-blen| + 2r + 1) is wider than BW_DEV_MAX always run on
+        # the host C kernel (which takes any band), device or not
+        r = self.ah.band_radius
+        bw_hole = np.abs(alen.astype(np.int64) - blen) + 2 * r + 1
+        dev_ok = bw_hole <= self.BW_DEV_MAX
+        if use_device and not dev_ok.all():
+            use_device = bool(dev_ok.any())
         if use_device:
             with self._lock:
                 if self.device is None and not self._factory_tried:
@@ -503,25 +516,51 @@ class BatchEngine:
                     self.perf.observe_host(total_cells, dt)
                 self.dev_stats["host_cells"] += total_cells
             return out
+        paths: List[Optional[bytes]] = [None] * n_hole
+        wide = np.nonzero(~dev_ok)[0]
+        dev_cells = total_cells
+        if len(wide):
+            wout, woff = self._align_holes_host(
+                sc, jbuf, len(wide), aoff[wide], boff[wide], alen[wide],
+                blen[wide], cls[wide])
+            wbytes = wout.tobytes()
+            for k, h in enumerate(wide):
+                paths[h] = wbytes[woff[k]:woff[k + 1]]
+            wide_cells = int((np.minimum(alen[wide], blen[wide])
+                              .astype(np.int64) * (2 * r + 1)).sum())
+            dev_cells -= wide_cells
+            with self._lock:
+                self.dev_stats["host_cells"] += wide_cells
         # device dispatch serializes on the lock: host chains in other
         # threads keep running while one thread feeds the chip
         with self._lock:
             t0 = time.perf_counter()
-            paths: List[Optional[bytes]] = [None] * n_hole
-            for c in np.unique(cls):
-                idx = np.nonzero(cls == c)[0]
+            for c in np.unique(cls[dev_ok]):
+                idx = np.nonzero((cls == c) & dev_ok)[0]
                 sub_pairs = [(jbuf[aoff[h]:aoff[h] + alen[h]],
                               db[boff[h]:boff[h] + blen[h]]) for h in idx]
-                fa = self._class_fused_aligner(int(c))
-                _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
-                                       nucleo=self.ap.nucleo)
+                try:
+                    fa = self._class_fused_aligner(int(c))
+                    _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
+                                           nucleo=self.ap.nucleo)
+                except Exception as e:  # kernel-variant compile failure
+                    if not self._use_i16:
+                        raise
+                    sys.stderr.write(
+                        "usearch12_tpu: int16 wavefront kernel failed to "
+                        "compile on this target (%s); falling back to the "
+                        "f32 kernel\n" % repr(e)[:200])
+                    self._drop_i16()
+                    fa = self._class_fused_aligner(int(c))
+                    _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
+                                           nucleo=self.ap.nucleo)
                 for k, h in enumerate(idx):
                     paths[h] = ps[k].encode("ascii")
             if self.perf is not None:
-                self.perf.observe_dev(total_cells, up_bytes, dn_bytes,
+                self.perf.observe_dev(dev_cells, up_bytes, dn_bytes,
                                       time.perf_counter() - t0)
             self.dev_stats["dispatches"] += 1
-            self.dev_stats["device_cells"] += total_cells
+            self.dev_stats["device_cells"] += dev_cells
         hole_off = np.zeros(n_hole + 1, np.int64)
         np.cumsum([len(p) for p in paths], out=hole_off[1:])
         return np.frombuffer(b"".join(paths), dtype=np.uint8), hole_off
@@ -549,13 +588,35 @@ class BatchEngine:
             raise RuntimeError("align_holes_c failed")
         return out, off
 
+    # widest hole band the wavefront kernels accept: slot width
+    # (bw-1)//2 + 2 must fit in the 128 vector lanes
+    BW_DEV_MAX = 2 * (128 - 2) + 1
+
+    def _resolve_i16(self) -> bool:
+        """Pick the wavefront kernel variant once per engine.  Mosaic on
+        TPU v5e cannot lower the int16 kernel (no sub-32-bit vector
+        compare or shift), and a doomed compile attempt costs a tunnel
+        round-trip — so on real hardware default to the f32 kernel and
+        let USEARCH_WAVE16=1 opt newer targets in; interpret mode (CPU
+        test tier) keeps exercising the int16 path."""
+        if self._use_i16 is None:
+            if os.environ.get("USEARCH_WAVE16"):
+                self._use_i16 = os.environ["USEARCH_WAVE16"] != "0"
+            else:
+                self._use_i16 = bool(self.device is not None
+                                     and self.device.interpret)
+        return self._use_i16
+
     def _class_fused_aligner(self, cls_bits: int):
         """Fused letters-in/ops-out aligner for a terminal-penalty class
         (uploads raw letters, packs + DPs + tracebacks on device)."""
         fa = self._class_fused.get(cls_bits)
         if fa is None:
-            from ..ops.wavefront_nw16 import FusedWave16Aligner
-            fa = FusedWave16Aligner(self._class_device(cls_bits))
+            if self._resolve_i16():
+                from ..ops.wavefront_nw16 import FusedWave16Aligner as F
+            else:
+                from ..ops.wavefront_nw import FusedWaveAligner as F
+            fa = F(self._class_device(cls_bits))
             self._class_fused[cls_bits] = fa
         return fa
 
@@ -564,19 +625,32 @@ class BatchEngine:
         (ops/batch_align.py _class_device semantics)."""
         dev = self._class_devices.get(cls_bits)
         if dev is None:
-            from ..ops.wavefront_nw16 import WavefrontNW16Device
+            if self._resolve_i16():
+                from ..ops.wavefront_nw16 import WavefrontNW16Device as D
+            else:
+                from ..ops.wavefront_nw import WavefrontNWDevice as D
             local_ap = self.ap.hole_params(
                 bool(cls_bits & 1), bool(cls_bits & 2), bool(cls_bits & 4),
                 bool(cls_bits & 8))
             # quantized geometry: varying hole batches reuse a handful
             # of compiled kernels (compile ~30s over the device tunnel)
-            dev = WavefrontNW16Device(local_ap, pb=self.device.pb,
-                                    chunk=self.device.chunk,
-                                    interpret=self.device.interpret,
-                                    steps_quantum=512,
-                                    sw_min=64)
+            dev = D(local_ap, pb=self.device.pb,
+                    chunk=self.device.chunk,
+                    interpret=self.device.interpret,
+                    steps_quantum=512,
+                    sw_min=64)
             self._class_devices[cls_bits] = dev
         return dev
+
+    def _drop_i16(self):
+        """Fall back to the f32 wavefront kernel: Mosaic on TPU v5e has
+        no sub-32-bit vector compare ("Target does not support this
+        comparison"), so the int16 variant only runs in interpret mode
+        there; newer targets compile it.  Clears the per-class caches so
+        the next dispatch rebuilds f32 aligners."""
+        self._use_i16 = False
+        self._class_fused = {}
+        self._class_devices = {}
 
     def _finish_round(self, sc, jbuf, j_off, pair_j, pair_t, status,
                       pair_seg_off, hole_paths, hole_off, job_state):

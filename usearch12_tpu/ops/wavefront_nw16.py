@@ -59,10 +59,15 @@ from ..align.oracle import band_diag_range
 from .wavefront_nw import (LANES, WavefrontNWDevice, slot_width,
                            trace_batch, trace_batch_device, _is_dyadic)
 
-NEG16 = -20000          # int16 "missing"; clamp floor for every add
+NEG16 = -16000          # int16 "missing"; clamp floor for every add
 ABSORB_LIMIT = 512.0    # ulp(9e9)/2: f32 NEG absorbs |pen| below this
-RANGE_LIMIT = 19000     # |score*scale| bound; keeps reals above NEG16
-                        # (and far inside int16: |x| + maxpen < 32768)
+RANGE_LIMIT = 15000     # |score*scale| bound; keeps reals above NEG16.
+                        # The branchless kernel compares via the sign
+                        # bit of (y - x), so every compared pair must
+                        # satisfy |x - y| < 32768: values are in
+                        # [NEG16, RANGE_LIMIT] (diff <= 31000) and
+                        # pre-clamp adds reach NEG16 - scale*|pen|
+                        # (>= -24192), still in range vs NEG16.
 
 B_SUBM = 1
 B_SUBX = 2
@@ -241,10 +246,39 @@ def _make_kernel16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
         cc = pl.program_id(1)
         n_cc = pl.num_programs(1)
 
+        # This kernel is 100%% branchless integer arithmetic: no vector
+        # comparison and no i1 vector exists anywhere in it.  Mosaic on
+        # TPU v5e cannot lower sub-32-bit vector compares ("Target does
+        # not support this comparison") nor relayout i1 vectors between
+        # 32-bit and 16-bit tilings ("Invalid relayout"), so every
+        # predicate is an int16 0/-1 mask built from the sign bit
+        # (m = (y-x) >> 15  ⇔  x > y) and every select is
+        # b ^ ((a^b) & m).  Requires |x-y| < 32768 for all compared
+        # pairs — guaranteed by NEG16/RANGE_LIMIT (see module header).
+        one16 = jnp.int16(1)
+        neg1 = jnp.int16(-1)
+        z16 = jnp.int16(0)
+
+        def m_gt(x, y):
+            """0/-1 mask: -1 where x > y (sign of y - x)."""
+            return (y - x) >> 15
+
+        def m_ge(x, y):
+            """0/-1 mask: -1 where x >= y."""
+            return ((x - y) >> 15) ^ neg1
+
+        def sel(m, a, b):
+            """a where mask m is -1, else b (bitwise select)."""
+            return b ^ ((a ^ b) & m)
+
+        def m_eq0(x):
+            """0/-1 mask: -1 where x == 0 (for x in [0, 32767])."""
+            return ((x | (z16 - x)) >> 15) ^ neg1
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (pb, LANES), 1)
-        slot_u = lane - (lane // SW) * SW
-        edge_lo = slot_u == 0
-        edge_hi = slot_u == SW - 1
+        slot16 = (lane - (lane // SW) * SW).astype(i16)
+        edge_lo_m = m_eq0(slot16)
+        edge_hi_m = m_eq0(slot16 ^ jnp.int16(SW - 1))
 
         neg = jnp.full((pb, LANES), neg_v, i16)
 
@@ -260,105 +294,129 @@ def _make_kernel16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
 
         t0 = cc * chunk
 
+        def _roll16(x, shift):
+            # Mosaic lowers pltpu.roll to tpu.dynamic_rotate, which is
+            # only implemented for 32-bit lanes ("Rotate with non-32-bit
+            # data" compile error on real v5e) — widen for the rotate
+            # only; the round-trip is exact for int16.
+            return pltpu.roll(x.astype(jnp.int32), shift, 1).astype(i16)
+
         def roll_r(x):
-            return pltpu.roll(x, 1, 1)
+            return _roll16(x, 1)
         def roll_l(x):
-            return pltpu.roll(x, LANES - 1, 1)
+            return _roll16(x, LANES - 1)
 
         def clamp(x):
-            return jnp.maximum(x, neg)
+            # max(x, neg): f32 NEG absorption (jnp.maximum on i16 would
+            # lower to the unsupported 16-bit compare)
+            return sel(m_gt(x, neg), x, neg)
 
-        def substep(t_off, rho, carry, bits_acc):
+        def substep(t_off, rho, carry):
             (m1, m2, d_buf, i_buf, dlb, mle, mlo) = carry
             word = ins_ref[:, pl.ds((t_off // 4) * LANES, LANES)]
             sh = 8 * (t_off % 4)
+            # pack the step's mask byte down to i16 once; arithmetic
+            # shift is fine, the mask keeps only low bits
+            wb = ((word >> sh) & 0xFF).astype(i16)
 
-            def bit(b):
-                # (word >> sh) is CSE'd across the 8 tests; arithmetic
-                # shift is fine because the mask keeps only low bits
-                return ((word >> sh) & b) != 0
+            def bitm(b):
+                """0/-1 mask for mask-byte bit b (b is a power of two)."""
+                k = int(b).bit_length() - 1
+                return z16 - ((wb >> k) & one16)
 
             if rho == 1:
                 packed = jnp.concatenate([d_buf, dlb], axis=0)
                 rolled = roll_l(packed)
-                d_in = jnp.where(edge_hi, neg, rolled[0:pb])
-                dlb_sh = jnp.where(edge_hi, neg, rolled[pb:2 * pb])
-                dlb_prev = jnp.where(bit(B_FRZ), dlb_sh, dlb)
+                d_in = sel(edge_hi_m, neg, rolled[0:pb])
+                dlb_sh = sel(edge_hi_m, neg, rolled[pb:2 * pb])
+                dlb_prev = sel(bitm(B_FRZ), dlb_sh, dlb)
                 i_prev = i_buf
             else:
-                i_prev = jnp.where(edge_lo, neg, roll_r(i_buf))
+                i_prev = sel(edge_lo_m, neg, roll_r(i_buf))
                 d_in = d_buf
                 dlb_prev = dlb
 
             m_in = m2
             if t_off == 0:
-                # DPM[0][0] = 0: only cell (0,0), i.e. step t == 0
-                m_in = jnp.where((cc == 0) & (m00_ref[:, :] != 0),
-                                 jnp.int16(0), m_in)
+                # DPM[0][0] = 0: only cell (0,0), i.e. step t == 0.
+                # Fold the scalar (cc == 0) in as an i16 all-ones mask -
+                # a broadcast scalar i1 ANDed with a vector i1 would ask
+                # Mosaic for an unimplemented replicated relayout.
+                gate = jnp.where(cc == 0, neg1, z16)
+                m00m = (z16 - m00_ref[:, :].astype(i16)) & gate
+                m_in = sel(m00m, z16, m_in)
 
-            valid = bit(B_VALID)
-            sub = (jnp.where(bit(B_SUBM), q_match, jnp.int16(0))
-                   + jnp.where(bit(B_SUBX), q_mism, jnp.int16(0)))
-            iz = bit(B_IZ)
-            jz = bit(B_JZ)
-            open_a = jnp.where(iz, q_l_open_a, q_open_a)
-            ext_a = jnp.where(iz, q_l_ext_a, q_ext_a)
-            open_b = jnp.where(jz, q_l_open_b, q_open_b)
-            ext_b = jnp.where(jz, q_l_ext_b, q_ext_b)
+            valid_m = bitm(B_VALID)
+            sub = ((q_match & bitm(B_SUBM)) + (q_mism & bitm(B_SUBX)))
+            iz_m = bitm(B_IZ)
+            jz_m = bitm(B_JZ)
+            open_a = sel(iz_m, q_l_open_a, q_open_a)
+            ext_a = sel(iz_m, q_l_ext_a, q_ext_a)
+            open_b = sel(jz_m, q_l_open_b, q_open_b)
+            ext_b = sel(jz_m, q_l_ext_b, q_ext_b)
 
             # MATCH (priority M >= D >= I)
             xm = m_in
-            take_d = d_in > xm
-            xm = jnp.where(take_d, d_in, xm)
-            take_i = i_prev > xm
-            xm = jnp.where(take_i, i_prev, xm)
-            m_out = jnp.where(valid, xm + sub, neg)
+            take_d = m_gt(d_in, xm)
+            xm = sel(take_d, d_in, xm)
+            take_i = m_gt(i_prev, xm)
+            xm = sel(take_i, i_prev, xm)
+            m_out = sel(valid_m, xm + sub, neg)
 
             # DELETE (>= favours open); clamp = f32 NEG absorption
             md = clamp(m_in + open_b)
             de = clamp(d_in + ext_b)
-            take_open = md >= de
-            d_out = jnp.where(valid, jnp.where(take_open, md, de), neg)
+            take_open = m_ge(md, de)
+            d_out = sel(valid_m, sel(take_open, md, de), neg)
 
             # INSERT
             mi = clamp(m_in + open_a)
             ie = clamp(i_prev + ext_a)
-            take_iopen = mi >= ie
-            i_out = jnp.where(valid, jnp.where(take_iopen, mi, ie), neg)
+            take_iopen = m_ge(mi, ie)
+            i_out = sel(valid_m, sel(take_iopen, mi, ie), neg)
 
             # Drow[LB] lane
-            upd = bit(B_UPD)
+            upd_m = bitm(B_UPD)
             md_lb = clamp(m_in + q_r_open_b)
             de_lb = clamp(dlb_prev + q_r_ext_b)
-            take_lb = md_lb >= de_lb
-            dlb_new = jnp.where(upd, jnp.where(take_lb, md_lb, de_lb),
-                                dlb_prev)
+            take_lb = m_ge(md_lb, de_lb)
+            dlb_new = sel(upd_m, sel(take_lb, md_lb, de_lb), dlb_prev)
 
-            bits = jnp.where(take_d, TB_DM, 0)
-            bits = jnp.where(take_i, TB_IM, bits)
-            bits = bits + jnp.where(take_open, TB_MD, 0)
-            bits = bits + jnp.where(take_iopen, TB_MI, 0)
-            bits = jnp.where(valid, bits, 0)
-            bits = jnp.where(upd, jnp.where(take_lb, TB_MD, 0), bits)
-            bits_acc = bits_acc | (bits << (4 * (t_off % 8)))
+            # traceback nibble: 0/-1 masks turn the f32 kernel's
+            # jnp.where chain into pure AND/XOR (same values exactly)
+            bits = jnp.int16(TB_DM) & take_d
+            bits = sel(take_i, jnp.int16(TB_IM), bits)
+            bits = bits + (jnp.int16(TB_MD) & take_open)
+            bits = bits + (jnp.int16(TB_MI) & take_iopen)
+            bits = bits & valid_m
+            bits = sel(upd_m, jnp.int16(TB_MD) & take_lb, bits)
 
-            is_last = bit(B_LAST)
+            last_m = bitm(B_LAST)
             if rho == rho0:
-                mle = jnp.where(is_last, m_out, mle)
+                mle = sel(last_m, m_out, mle)
             else:
-                mlo = jnp.where(is_last, m_out, mlo)
+                mlo = sel(last_m, m_out, mlo)
 
-            return (m_out, m1, d_out, i_out, dlb_new, mle, mlo), bits_acc
+            return (m_out, m1, d_out, i_out, dlb_new, mle, mlo), bits
 
         carry = (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :],
                  dlb_s[:, :], mle_s[:, :], mlo_s[:, :])
         for w in range(nwrites):
-            bits_acc = jnp.zeros((pb, LANES), jnp.int32)
+            # accumulate 8 substeps' 4-bit codes as two i16 halves (all
+            # shifts stay in the 16-bit domain), widen once at the write
+            lo = jnp.zeros((pb, LANES), i16)
+            hi = jnp.zeros((pb, LANES), i16)
             for k in range(8):
                 t_off = w * 8 + k
                 rho = (rho0 + t_off) % 2
-                carry, bits_acc = substep(t_off, rho, carry, bits_acc)
-            tb_ref[:, pl.ds(w * LANES, LANES)] = bits_acc
+                carry, bits = substep(t_off, rho, carry)
+                if k < 4:
+                    lo = lo | (bits << (4 * k))
+                else:
+                    hi = hi | (bits << (4 * (k - 4)))
+            tb_ref[:, pl.ds(w * LANES, LANES)] = (
+                (lo.astype(jnp.int32) & 0xFFFF)
+                | (hi.astype(jnp.int32) << 16))
 
         (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :], dlb_s[:, :],
          mle_s[:, :], mlo_s[:, :]) = carry
@@ -366,8 +424,11 @@ def _make_kernel16(steps: int, chunk: int, pb: int, rho0: int, SW: int,
         @pl.when(cc == n_cc - 1)
         def _emit():
             def to_f32(x):
-                return jnp.where(x == neg_v, f32(NEG),
-                                 x.astype(f32) * inv_scale)
+                # compare after the widen: an i16-derived i1 selecting
+                # f32 operands would need the same unimplemented relayout
+                xf = x.astype(f32)
+                return jnp.where(xf == f32(float(neg_v)), f32(NEG),
+                                 xf * inv_scale)
             mle_ref[:, :] = to_f32(mle_s[:, :])
             mlo_ref[:, :] = to_f32(mlo_s[:, :])
             dlb_out_ref[:, :] = to_f32(dlb_s[:, :])
