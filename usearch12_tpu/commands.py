@@ -159,6 +159,55 @@ def _engine_device():
     return WavefrontNWDevice(ap, pb=32, chunk=64, interpret=interpret)
 
 
+def _mesh():
+    """jax.sharding.Mesh from -mesh, or None when the flag is unset.
+
+    -mesh accepts "DATAxDB" (e.g. "2x4"), a device count (db-major
+    factoring), or "auto" (all visible devices).  This is the product
+    surface for multi-chip: usearch_global routes its USORT ranking
+    through parallel/mesh_search.py and cluster_mt its U counting
+    through parallel/cluster_batch.py over this mesh (the TPU
+    equivalent of the reference's thread fan-out, src/search.cpp:119-128
+    and src/clustermt.cpp:46-123)."""
+    o = options()
+    if not o.filled("mesh"):
+        return None
+    spec = o.str("mesh")
+    # an explicit host-only JAX_PLATFORMS (the virtual-CPU-mesh tier)
+    # must not dial the tunneled accelerator plugin
+    import os
+    want = {p.strip() for p in
+            os.environ.get("JAX_PLATFORMS", "").split(",") if p.strip()}
+    if not want or want & {"axon", "tpu", "cuda", "rocm", "auto"}:
+        from .device import ensure_device_runtime
+        ensure_device_runtime()
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if "x" in spec:
+        try:
+            n_data, n_db = (int(x) for x in spec.split("x"))
+        except ValueError:
+            raise SystemExit(f"-mesh {spec}: expected DATAxDB, a device "
+                             "count, or auto")
+    else:
+        n = len(devs) if spec == "auto" else int(spec)
+        n_db = 1
+        for cand in (2, 4, 8):
+            if n % cand == 0:
+                n_db = cand
+        if n // n_db == 1 and n_db >= 4:
+            n_db //= 2
+        n_data = max(1, n // n_db)
+    need = n_data * n_db
+    if len(devs) < need:
+        raise SystemExit(f"-mesh {spec}: needs {need} devices, have "
+                         f"{len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_data, n_db),
+                ("data", "db"))
+
+
 def cmd_usearch_global(query_path: Optional[str]) -> None:
     """usearch_global: UDB global search with USORT ranking
     (src/searchcmd.cpp:6-50, src/search.cpp:89-141)."""
@@ -247,7 +296,24 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
     from .io.fastx import file_is_nucleo
     from .engine import BatchEngine, engine_eligible
     xlat = (not db.get_is_nucleo()) and file_is_nucleo(query_path)
-    if o.flag("use_device"):
+    mesh = _mesh()
+    if mesh is not None:
+        if not engine_eligible("usearch_global", db.get_is_nucleo(), xlat) \
+                or (db_index is not None and db_index.params.hashed):
+            raise SystemExit("-mesh requires an engine-eligible "
+                             "usearch_global run (global id search, "
+                             "non-hashed index)")
+        from .parallel.mesh_search import mesh_search_file
+        only_b6 = (f_b6 is not None and dbhit is None
+                   and not any((f_aln, f_uc, f_m, f_nm, f_fp, f_user,
+                                f_qseg, f_tseg, f_trim)))
+        fast_emit = None
+        if only_b6:
+            from .engine.emit import Blast6Emitter
+            fast_emit = Blast6Emitter(f_b6, db, o.flag("output_no_hits"))
+        mesh_search_file(query_path, db, mesh, on_query_done,
+                         fast_emit=fast_emit, index=db_index)
+    elif o.flag("use_device"):
         from .parallel.batch_search import batch_search_file
         batch_search_file("usearch_global", query_path, db, on_query_done)
     elif engine_eligible("usearch_global", db.get_is_nucleo(), xlat) \
@@ -458,6 +524,14 @@ def cmd_fastq_filter2(input_path: Optional[str]) -> None:
 
 
 def cmd_cluster_mt(input_path: Optional[str]) -> None:
+    mesh = _mesh()
+    if mesh is not None:
+        # batch-synchronous greedy rounds with the U-counting matmul
+        # sharded over the mesh ("data" x "db"); byte-identical to the
+        # host path (src/clustermt.cpp:46-123 pending semantics)
+        from .parallel.cluster_batch import cluster_mt_batched
+        cluster_mt_batched(input_path, mesh=mesh)
+        return
     from .cluster.uclust import cluster_mt
     cluster_mt(input_path)
 

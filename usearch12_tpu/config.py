@@ -96,7 +96,7 @@ _STR_OPTS = [
     "report", "label_suffix",
     "sample_delim", "constax_report",
     "bitvec", "hitsout", "fragout", "start_motif", "end_motif",
-    "truncstr", "checkpoint", "xprof", "dev_batch_cells",
+    "truncstr", "checkpoint", "xprof", "dev_batch_cells", "mesh",
     "dbmatched", "dbnotmatched", "dbcutout", "trimout", "fqdir",
     "input", "alpha", "dataotus", "dbotus", "uparse_ref", "xdrop_save",
 ]
