@@ -426,7 +426,9 @@ def run_tpu_test_tier():
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q",
              os.path.join(HERE, "tests", "test_pallas_nw.py"),
-             os.path.join(HERE, "tests", "test_batch_search.py")],
+             os.path.join(HERE, "tests", "test_batch_search.py"),
+             os.path.join(HERE, "tests", "test_wavefront_trace.py"),
+             os.path.join(HERE, "tests", "test_wide_hole_split.py")],
             capture_output=True, timeout=1800, text=True, env=env)
         tail = (r.stdout.strip().splitlines() or ["no output"])[-1]
         return ("pass: " if r.returncode == 0 else "FAIL: ") + tail[:200]

@@ -126,8 +126,17 @@ class DevicePerfModel:
         (scale that term so the predicted total matches the measured)."""
         if secs <= 1e-5:
             return
-        self.warm = True
         pred = self.t_dev(cells, up_bytes, dn_bytes)
+        if not self.warm:
+            # first dispatch of the process: the excess over the steady
+            # prediction IS the warm tax (jit/cache-load/backend init),
+            # so learn it instead of folding it into the steady terms —
+            # a stale 12s default otherwise vetoes the device forever
+            # on single-window runs
+            self.warm = True
+            self.warm_tax = max(0.0, 0.7 * self.warm_tax
+                                + 0.3 * max(0.0, secs - pred))
+            return
         scale = secs / pred
         # move every term toward the observation proportionally
         f = 0.7 + 0.3 * scale
@@ -334,6 +343,7 @@ class BatchEngine:
         self.device = device
         self._device_factory = device_factory
         self._factory_tried = device is not None
+        self._factory_thread = None
         self._class_devices = {}
         self._class_fused = {}
         # kernel variant: resolved lazily at the first device dispatch
@@ -502,10 +512,15 @@ class BatchEngine:
         if use_device and not dev_ok.all():
             use_device = bool(dev_ok.any())
         if use_device:
+            th = None
             with self._lock:
-                if self.device is None and not self._factory_tried:
+                th = self._factory_thread
+                if (self.device is None and th is None
+                        and not self._factory_tried):
                     self._factory_tried = True
                     self.device = self._device_factory()
+            if th is not None:
+                th.join()
         if not use_device or self.device is None:
             t0 = time.perf_counter()
             out = self._align_holes_host(sc, jbuf, n_hole, aoff, boff,
@@ -520,16 +535,26 @@ class BatchEngine:
         wide = np.nonzero(~dev_ok)[0]
         dev_cells = total_cells
         if len(wide):
+            t0w = time.perf_counter()
             wout, woff = self._align_holes_host(
                 sc, jbuf, len(wide), aoff[wide], boff[wide], alen[wide],
                 blen[wide], cls[wide])
+            dtw = time.perf_counter() - t0w
             wbytes = wout.tobytes()
             for k, h in enumerate(wide):
                 paths[h] = wbytes[woff[k]:woff[k + 1]]
             wide_cells = int((np.minimum(alen[wide], blen[wide])
                               .astype(np.int64) * (2 * r + 1)).sum())
             dev_cells -= wide_cells
+            # keep the perf model honest: the wide holes ran on the
+            # host and their transfer bytes never hit the link
+            wide_seq = int((alen[wide].astype(np.int64)
+                            + blen[wide]).sum())
+            up_bytes -= 2 * wide_seq
+            dn_bytes -= wide_seq // 4
             with self._lock:
+                if self.perf is not None:
+                    self.perf.observe_host(wide_cells, dtw)
                 self.dev_stats["host_cells"] += wide_cells
         # device dispatch serializes on the lock: host chains in other
         # threads keep running while one thread feeds the chip
@@ -543,13 +568,21 @@ class BatchEngine:
                     fa = self._class_fused_aligner(int(c))
                     _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
                                            nucleo=self.ap.nucleo)
-                except Exception as e:  # kernel-variant compile failure
-                    if not self._use_i16:
+                except Exception as e:
+                    # only the int16 kernel-variant compile failure is
+                    # recoverable here (fall back to f32); anything else
+                    # (transient tunnel error, OOM, data bug) must
+                    # propagate instead of silently demoting the kernel
+                    msg = repr(e)
+                    compile_fail = ("Mosaic" in msg or "mosaic" in msg
+                                    or "legalize" in msg
+                                    or "tpu_compile_helper" in msg)
+                    if not self._use_i16 or not compile_fail:
                         raise
                     sys.stderr.write(
                         "usearch12_tpu: int16 wavefront kernel failed to "
                         "compile on this target (%s); falling back to the "
-                        "f32 kernel\n" % repr(e)[:200])
+                        "f32 kernel\n" % msg[:200])
                     self._drop_i16()
                     fa = self._class_fused_aligner(int(c))
                     _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
@@ -564,6 +597,33 @@ class BatchEngine:
         hole_off = np.zeros(n_hole + 1, np.int64)
         np.cumsum([len(p) for p in paths], out=hole_off[1:])
         return np.frombuffer(b"".join(paths), dtype=np.uint8), hole_off
+
+    def _ensure_device_async(self) -> None:
+        """Warm the device runtime (health probe, jax import, PJRT
+        registration, compile-cache open — ~2-4s of latency) in a daemon
+        thread so it overlaps the host parse/rank/chain stages instead
+        of landing on the first hole dispatch.  The jax import is
+        GIL-bound but the C stages release the GIL, so the overlap is
+        real even on one core."""
+        import threading
+        with self._lock:
+            if (self._factory_tried or self._factory_thread is not None
+                    or self._device_factory is None):
+                return
+
+            def work():
+                dev = None
+                try:
+                    dev = self._device_factory()
+                except Exception:
+                    dev = None
+                with self._lock:
+                    self.device = dev
+                    self._factory_tried = True
+
+            self._factory_thread = threading.Thread(target=work,
+                                                    daemon=True)
+            self._factory_thread.start()
 
     def _align_holes_host(self, sc, jbuf, n_hole, aoff, boff, alen, blen,
                           cls):
@@ -589,8 +649,10 @@ class BatchEngine:
         return out, off
 
     # widest hole band the wavefront kernels accept: slot width
-    # (bw-1)//2 + 2 must fit in the 128 vector lanes
-    BW_DEV_MAX = 2 * (128 - 2) + 1
+    # (bw-1)//2 + 2 must fit in the 128 vector lanes, so the widest
+    # admissible band is bw with (bw-1)//2 == 126, i.e. 254 (ADVICE r3:
+    # 253 needlessly sent bw=254 holes to the host kernel)
+    BW_DEV_MAX = 2 * (128 - 2) + 2
 
     def _resolve_i16(self) -> bool:
         """Pick the wavefront kernel variant once per engine.  Mosaic on
@@ -634,11 +696,13 @@ class BatchEngine:
                 bool(cls_bits & 8))
             # quantized geometry: varying hole batches reuse a handful
             # of compiled kernels (compile ~30s over the device tunnel)
+            # slot width is bucketed inside the fused aligner (18/32/
+            # 64/128), so no sw_min floor: band-33 holes pack 7 pairs
+            # per vector instead of 2
             dev = D(local_ap, pb=self.device.pb,
                     chunk=self.device.chunk,
                     interpret=self.device.interpret,
-                    steps_quantum=512,
-                    sw_min=64)
+                    steps_quantum=512)
             self._class_devices[cls_bits] = dev
         return dev
 
@@ -774,6 +838,15 @@ class BatchEngine:
                 raise SystemExit("Invalid -strand, must be plus or both")
         win = _FastaWindows(query_path)
         n = win.n
+        # long sequences are the device DP's workload class (big
+        # inter-HSP holes); start the device runtime warming now so its
+        # init overlaps parse/rank/chain instead of the first dispatch
+        if (self.perf is not None and self.device is None
+                and self._device_factory is not None
+                and not self._factory_tried and n):
+            maxlen = int((win.seq_off[1:n + 1] - win.seq_off[:n]).max())
+            if maxlen >= 2000:
+                self._ensure_device_async()
         progress.start("Searching")
         db = self.db
         # fast label decode (slow _proc_label only when options demand)

@@ -1037,12 +1037,27 @@ class FusedWaveAligner:
         self.dev = dev
 
     def _fused_fn(self, P, amax, bmax, steps, rho0, SW, gpv):
-        """Compiled (a_let, b_let, la, lb, dlo, bw, gp) -> (scores,
-        packed ops); subclasses may pick a different kernel variant."""
+        """(compiled fn, decoder): fn(a_let, b_let, la, lb, dlo, bw, gp)
+        -> (scores, packed words); decoder(words_np, n) -> paths.
+        Subclasses may pick a different kernel variant.
+
+        The traceback runs as the pallas backward cursor-chase
+        (ops/wavefront_trace.py) — the XLA pointer-chase costs minutes
+        of device time on long pairs (its fori_loop gathers serialize on
+        the scalar core); USEARCH_XLA_TRACE=1 restores it."""
+        import os
         dev = self.dev
-        return _fused_compiled(P, amax, bmax, steps, dev.chunk, dev.pb,
-                               rho0, SW, gpv, dev.match, dev.mismatch,
-                               dev.interpret)
+        if os.environ.get("USEARCH_XLA_TRACE"):
+            fn = _fused_compiled(P, amax, bmax, steps, dev.chunk, dev.pb,
+                                 rho0, SW, gpv, dev.match, dev.mismatch,
+                                 dev.interpret)
+            return fn, _decode_ops_np
+        from .wavefront_trace import (fused_chase_compiled,
+                                      decode_chase_words)
+        fn = fused_chase_compiled(P, amax, bmax, steps, dev.chunk,
+                                  dev.pb, rho0, SW, gpv, dev.match,
+                                  dev.mismatch, dev.interpret)
+        return fn, decode_chase_words
 
     def align(self, pairs, band_radius: int, nucleo: bool = True):
         dev = self.dev
@@ -1079,6 +1094,13 @@ class FusedWaveAligner:
         SW = slot_width(int(bw.max()))
         if dev.sw_min:
             SW = max(SW, dev.sw_min)
+        # bucket the slot width so varying hole bands reuse a handful of
+        # compiled kernels without parking narrow bands in wide slots
+        # (sw_min=64 for band-33 holes left 73% of the lanes dead)
+        for b in (DEFAULT_SW, 32, 64, LANES):
+            if SW <= b:
+                SW = b
+                break
         gpv = LANES // SW
         if gpv < 1 or SW < 2:
             # band too wide for one vector row: legacy per-batch path
@@ -1119,14 +1141,14 @@ class FusedWaveAligner:
         a_let[n:, 0] = 0
         b_let[n:, 0] = 0
 
-        fn = self._fused_fn(P, amax, bmax, steps, rho0, SW, gpv)
+        fn, decode = self._fused_fn(P, amax, bmax, steps, rho0, SW, gpv)
         scores_d, packed_d = fn(
             jnp.asarray(a_let), jnp.asarray(b_let), jnp.asarray(la_p),
             jnp.asarray(lb_p), jnp.asarray(dlo_p), jnp.asarray(bw_p),
             jnp.asarray(dev.gp))
         scores = np.asarray(scores_d)
         packed = np.asarray(packed_d)
-        paths = _decode_ops_np(packed, n)
+        paths = decode(packed, n)
         for k, i in enumerate(idxs):
             out_scores[i] = scores[k]
             out_paths[i] = paths[k]

@@ -86,6 +86,12 @@ def quantize_params(ap, match: float, mismatch: float):
     vals = [match, mismatch, ap.open_a, ap.open_b, ap.ext_a, ap.ext_b,
             ap.l_open_a, ap.l_open_b, ap.l_ext_a, ap.l_ext_b,
             ap.r_open_b, ap.r_ext_b]
+    # the branchless kernel's sign-bit compares assume every clamp
+    # operand stays within int16 of NEG16, which holds only for
+    # non-positive gap penalties (ADVICE r3: a positive open/ext could
+    # push neg-x past -32768 and wrap); refuse the variant otherwise
+    if any(float(v) > 0 for v in vals[2:]):
+        return None
     for scale in (1, 2, 4, 8, 16):
         q = []
         for v in vals:
@@ -601,9 +607,11 @@ class FusedWave16Aligner(FusedWaveAligner):
         dev = self.dev
         quant = getattr(dev, "quant", None)
         if quant is not None and steps_fit(steps, quant[0], quant[1]):
-            return _fused_compiled16(P, amax, bmax, steps, dev.chunk,
-                                     dev.pb, rho0, SW, gpv, quant[0],
-                                     quant[1], dev.interpret)
+            from .wavefront_nw import _decode_ops_np
+            fn = _fused_compiled16(P, amax, bmax, steps, dev.chunk,
+                                   dev.pb, rho0, SW, gpv, quant[0],
+                                   quant[1], dev.interpret)
+            return fn, _decode_ops_np
         return super()._fused_fn(P, amax, bmax, steps, rho0, SW, gpv)
 
 
