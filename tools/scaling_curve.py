@@ -58,8 +58,10 @@ n_q = sum(1 for line in open(q_fa) if line.startswith(">"))
 # warmup (jit compile) then timed
 mesh_search_file(q_fa, db, mesh, lambda *a: None, window=256, topk=64)
 t0 = time.perf_counter()
-mesh_search_file(q_fa, db, mesh, lambda *a: None, window=256, topk=64)
+st = mesh_search_file(q_fa, db, mesh, lambda *a: None, window=256,
+                      topk=64)
 t_search = time.perf_counter() - t0
+ov = st.get("overhead", {})
 
 parse_argv(["-cluster_mt", q_fa, "-id", "0.97", "-quiet",
             "-uc", d + f"/c{N}.uc"])
@@ -68,8 +70,17 @@ t0 = time.perf_counter()
 cluster_mt_batched(q_fa, mesh=mesh)
 t_cluster = time.perf_counter() - t0
 
+w = max(1, ov.get("windows", 1))
 print(json.dumps({"n": N, "search_q_per_s": round(n_q / t_search, 1),
-                  "cluster_s": round(t_cluster, 3)}))
+                  "cluster_s": round(t_cluster, 3),
+                  "overhead_per_window": {
+                      "dispatches": round(ov.get("dispatches", 0) / w, 2),
+                      "h2d_bytes": round(ov.get("h2d_bytes", 0) / w),
+                      "d2h_bytes": round(ov.get("d2h_bytes", 0) / w),
+                      "all_gather_bytes":
+                          round(ov.get("all_gather_bytes", 0) / w),
+                      "psum_bytes": round(ov.get("psum_bytes", 0) / w)},
+                  "windows": ov.get("windows", 0)}))
 '''
 
 

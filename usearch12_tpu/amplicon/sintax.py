@@ -388,9 +388,37 @@ def sintax(query_path: Optional[str]) -> None:
         parts.append("\n")
         ap("".join(parts))
 
+    # device boots (MXU matmul formulation, amplicon/sintax_device.py):
+    # forced by -sintax_device, auto for big DBs (the host C argmax scan
+    # is O(boots x T) per strand; the matmul displaces it once T is
+    # large) when the accelerator answers
+    dev_cls = None
+    from .sintax_device import SintaxDeviceClassifier
+    if SintaxDeviceClassifier.usable(cls):
+        want_dev = o.flag("sintax_device")
+        if not want_dev and index.seq_count >= 16384:
+            from ..commands import _device_healthy
+            healthy, platform = _device_healthy()
+            want_dev = healthy and platform in ("tpu", "axon")
+        if want_dev:
+            from ..device import ensure_device_runtime
+            ensure_device_runtime()
+            try:
+                import jax
+                jax.config.update("jax_compilation_cache_dir",
+                                  "/tmp/usearch_jax_cache_tpu")
+                jax.config.update(
+                    "jax_persistent_cache_min_entry_size_bytes", 0)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.5)
+            except Exception:
+                pass
+            dev_cls = SintaxDeviceClassifier(cls)
+
     # windowed native classify (one C call per window); falls back to the
     # per-query path when the native lib or plain postings are missing
-    use_window = cls.classify_window([], both) is not None
+    use_window = dev_cls is not None \
+        or cls.classify_window([], both) is not None
     if use_window:
         W = 512
         win_labels = []
@@ -398,7 +426,10 @@ def sintax(query_path: Optional[str]) -> None:
         out_buf = []
 
         def flush():
-            res = cls.classify_window(win_seqs, both)
+            if dev_cls is not None:
+                res = dev_cls.classify_window(win_seqs, both)
+            else:
+                res = cls.classify_window(win_seqs, both)
             for label, (c_strand, ids, counts, last_twc) in zip(
                     win_labels, res):
                 if f is None:

@@ -156,7 +156,12 @@ def _engine_device():
     # the per-class devices are derived from the command AlnParams by
     # BatchEngine._class_device; this base instance carries pb/chunk
     ap = AlnParams.from_cmdline(True)
-    return WavefrontNWDevice(ap, pb=32, chunk=64, interpret=interpret)
+    # chunk 32 (not 64): the kernel body unrolls `chunk` substeps, and
+    # the unroll size sets the per-process one-time cost — Python
+    # tracing of the pallas body (~1.5s per 64-substep kernel) plus
+    # compile-cache deserialization scale with it, while runtime is
+    # grid-dominated and insensitive
+    return WavefrontNWDevice(ap, pb=32, chunk=32, interpret=interpret)
 
 
 def _mesh():

@@ -1111,8 +1111,12 @@ class FusedWaveAligner:
             return
         steps = _quant_up(int((la + lb).max()),
                           max(dev.chunk, dev.steps_quantum or 0))
-        amax = _quant_up(int(la.max()), 128)
-        bmax = _quant_up(int(lb.max()), 128)
+        # coarse length buckets: hole-length jitter within a window must
+        # not mint fresh compile geometries (each costs ~2-3s of pallas
+        # tracing per process before the compile cache even applies)
+        lq = max(128, (dev.steps_quantum or 0) // 2)
+        amax = _quant_up(int(la.max()), lq)
+        bmax = _quant_up(int(lb.max()), lq)
         nrows = _quant_up((n + gpv - 1) // gpv, dev.pb)
         # pow2 row bucketing bounds compile count across window fills
         cap = dev.pb

@@ -63,6 +63,17 @@ class MeshRanker:
         self.db_axis = db_axis
         self.data_axis = data_axis
         self.topk = topk
+        # per-run overhead accounting (VERDICT r3: a per-step overhead
+        # table - collective bytes, dispatches per window - is the
+        # meaningful sharding measurement on a virtual mesh, where
+        # wall-clock is noise).  Collective bytes are analytic from the
+        # program: per rank_window with B rows over n_db shards,
+        #   all_gather carries: 2 prefix-max carries (n_db*B*4 B) when
+        #     bump else 1, + count/index top-K gathers 2*(B*n_db*K*4 B)
+        #   psum: NextValue reduce (B*4 B)
+        self.overhead = {"dispatches": 0, "h2d_bytes": 0, "d2h_bytes": 0,
+                         "all_gather_bytes": 0, "psum_bytes": 0,
+                         "windows": 0}
         index._flatten()
         v = index.params.slot_count
         t = index.seq_count
@@ -181,6 +192,18 @@ class MeshRanker:
         cnts = np.asarray(cnts_d)[:n_jobs]
         cand = np.asarray(cand_d)[:n_jobs].astype(np.int64)
         nextv = np.asarray(nextv_d)[:n_jobs]
+        ov = self.overhead
+        n_db = self.mesh.shape[self.db_axis]
+        bump = int(options().uns("bump"))
+        k = min(self.topk, self.t_pad // max(n_db, 1) or 1)
+        ov["dispatches"] += 2            # device_put + step
+        ov["h2d_bytes"] += q.nbytes
+        ov["d2h_bytes"] += (cnts.nbytes + cand.nbytes + nextv.nbytes)
+        carries = 2 if bump else 1
+        ov["all_gather_bytes"] += (carries * n_db * b_pad * 4
+                                   + 2 * b_pad * n_db * k * 4)
+        ov["psum_bytes"] += b_pad * 4
+        ov["windows"] += 1
         return self._postprocess(cand, cnts, nextv, n_jobs)
 
     def rank_window_spmd(self, jbuf: np.ndarray, j_off: np.ndarray,
@@ -266,4 +289,5 @@ def mesh_search_file(query_path: str, db: SeqDB, mesh,
 
     eng.run_file(query_path, on_query_done, window=window,
                  fast_emit=fast_emit, rank_override=rank_override)
+    stats["overhead"] = dict(ranker.overhead)
     return stats
