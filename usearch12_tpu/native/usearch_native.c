@@ -20,6 +20,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
+#include <stddef.h>
 
 #define TB_DM 0x01
 #define TB_IM 0x02
@@ -53,8 +54,14 @@ static void get_range_j(uint32_t la, uint32_t lb, uint32_t dlo, uint32_t dhi,
     *endj = e;
 }
 
-/* Scratch sized for (la+1) x (lb+1) traceback; caller passes workspace of
- * at least (la+1)*(lb+1) bytes for tb and (lb+2)*2 floats. */
+/* Traceback storage is BAND-RELATIVE when the band is narrower than the
+ * row: row i occupies stride_b = (dhi-dlo+1)+2 bytes — slot 0 holds the
+ * j = startj-1 TB_IM marker, slots 1..bw the band cells, slot bw+1 the
+ * j = lb Drow column.  A full (la+1)*(lb+1) byte matrix made every row
+ * write a fresh page for long sequences (24 kb holes: 576 MB touched,
+ * ~30x slowdown vs the band's 840 KB).  Caller workspace contract is
+ * unchanged: (la+1)*(lb+1) bytes covers both layouts (band layout is
+ * used only when stride_b <= lb+1). */
 int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
             uint32_t dlo, uint32_t dhi, const GapParams *gp,
             const float *mx /*256x256*/,
@@ -75,7 +82,10 @@ int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
     float open_a = gp->l_open_a;
     float ext_a = gp->l_ext_a;
     uint32_t startj = 0, endj = 0;
-    size_t stride = (size_t)lb + 1;
+    uint32_t bw = dhi - dlo + 1;
+    int banded_tb = ((size_t)bw + 2 <= (size_t)lb + 1);
+    size_t stride = banded_tb ? (size_t)bw + 2 : (size_t)lb + 1;
+    size_t lb_slot = banded_tb ? (size_t)bw + 1 : (size_t)lb;
 
     for (i = 0; i < la; ++i) {
         get_range_j(la, lb, dlo, dhi, i, &startj, &endj);
@@ -93,8 +103,9 @@ int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
             m0 = (startj == 0) ? NEG_INF : mrow[(int32_t)startj - 1];
 
         byte *tbrow = tb + stride * i;
+        byte *tbp = banded_tb ? (tbrow + 1 - (ptrdiff_t)startj) : tbrow;
         if (startj > 0)
-            tbrow[startj - 1] = TB_IM;
+            tbp[startj - 1] = TB_IM;
 
         for (j = startj; j < endj; ++j) {
             byte bb = b[j];
@@ -120,17 +131,17 @@ int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
             i0 = (mi >= ie) ? mi : ie;
             open_b = gp->open_b;
             ext_b = gp->ext_b;
-            tbrow[j] = bits;
+            tbp[j] = bits;
         }
 
         /* special case for end of Drow (runs every row, M0 = DPM[i][endj]) */
-        tbrow[lb] = 0;
+        tbrow[lb_slot] = 0;
         {
             float md = m0 + gp->r_open_b;
             drow[lb] += gp->r_ext_b;
             if (md >= drow[lb]) {
                 drow[lb] = md;
-                tbrow[lb] = TB_MD;
+                tbrow[lb_slot] = TB_MD;
             }
         }
         m0 = NEG_INF;
@@ -143,15 +154,16 @@ int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
     if (endj != lb)
         return -2;
     byte *tbrow = tb + stride * la;
+    byte *tbp = banded_tb ? (tbrow + 1 - (ptrdiff_t)startj) : tbrow;
     float i1 = NEG_INF;
     mrow[(int32_t)startj - 1] = NEG_INF;
     for (j = startj; j < endj; ++j) {
-        tbrow[j] = 0;
+        tbp[j] = 0;
         float mi = mrow[(int32_t)j - 1] + gp->r_open_a;
         i1 += gp->r_ext_a;
         if (mi > i1) {
             i1 = mi;
-            tbrow[j] = TB_MI;
+            tbp[j] = TB_MI;
         }
     }
 
@@ -175,29 +187,40 @@ int nw_band(const byte *a, uint32_t la, const byte *b, uint32_t lb,
         size_t pos = 0;
         uint32_t ii = la, jj = lb;
         char *p = path_out;
+#define TB_AT(I, J)                                                        \
+        (banded_tb                                                         \
+         ? tb[stride * (I) +                                               \
+              ((J) == lb ? lb_slot                                         \
+               : ({ uint32_t s_, e_;                                       \
+                    get_range_j(la, lb, dlo, dhi,                          \
+                                (I) < la ? (I) : la - 1, &s_, &e_);        \
+                    (size_t)((J) + 1 <= s_ ? 0                             \
+                             : ((J) - s_ + 1 > bw ? bw : (J) - s_ + 1)); }))] \
+         : tb[stride * (I) + (J)])
         while (!(ii == 0 && jj == 0)) {
             p[pos++] = state;
             if (state == 'M') {
                 if (ii == 0 || jj == 0)
                     return -3;
-                byte t = tb[stride * (ii - 1) + (jj - 1)];
+                byte t = TB_AT(ii - 1, jj - 1);
                 state = (t & TB_DM) ? 'D' : ((t & TB_IM) ? 'I' : 'M');
                 --ii;
                 --jj;
             } else if (state == 'D') {
                 if (ii == 0)
                     return -3;
-                byte t = tb[stride * (ii - 1) + jj];
+                byte t = TB_AT(ii - 1, jj);
                 state = (t & TB_MD) ? 'M' : 'D';
                 --ii;
             } else {
                 if (jj == 0)
                     return -3;
-                byte t = tb[stride * ii + (jj - 1)];
+                byte t = TB_AT(ii, jj - 1);
                 state = (t & TB_MI) ? 'M' : 'I';
                 --jj;
             }
         }
+#undef TB_AT
         /* reverse in place */
         for (size_t x = 0; x < pos / 2; ++x) {
             char tmp = p[x];
