@@ -32,6 +32,7 @@ Geometry (fixed lane frame):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -1085,7 +1086,7 @@ class FusedWaveAligner:
         return out_scores, out_paths
 
     def _group(self, pairs, idxs, geo, rho0, nucleo, out_scores,
-               out_paths):
+               out_paths, force_rows=None):
         import jax.numpy as jnp
         dev = self.dev
         n = len(idxs)
@@ -1123,6 +1124,21 @@ class FusedWaveAligner:
         while cap < nrows:
             cap *= 2
         nrows = cap
+        # row cap: a fresh (P, steps) geometry costs a full kernel
+        # compile (minutes over the tunneled backend), so batches
+        # larger than NROWS_CAP rows are chunked and every chunk —
+        # including the tail, padded — runs at exactly NROWS_CAP rows:
+        # one compiled executable instead of pow2 buckets up the
+        # batch-size ladder
+        ncap = int(os.environ.get("USEARCH_DEV_NROWS_CAP", "512"))
+        if force_rows is not None:
+            nrows = force_rows
+        elif nrows > ncap:
+            step = ncap * gpv
+            for lo in range(0, n, step):
+                self._group(pairs, idxs[lo:lo + step], geo, rho0, nucleo,
+                            out_scores, out_paths, force_rows=ncap)
+            return
         P = nrows * gpv
 
         a_let = np.full((P, amax), 4, np.int8)
