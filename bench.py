@@ -267,14 +267,26 @@ def bench_sintax(ref, d):
 
 
 def _gen_longseq(d):
-    """Long-sequence global search with big inter-HSP holes: conserved
-    600bp ends anchor the HSP chain, a divergent 24kb middle leaves one
-    huge banded-DP hole per pair — the workload class where the device
-    DP displaces the host kernel (viterbifastbandmem.cpp:89-163).  The
-    middle is sized so the banded DP dominates the run (~0.8 Gcells per
-    leg): the device must amortize its real per-process bring-up (jax
-    init + kernel trace + compile-cache load, ~8-10s) inside the run,
-    exactly as a production long-read job would."""
+    """Long-sequence device-ablation workload, indel-free by
+    construction so the whole DP volume is device-eligible.
+
+    Every sequence has the same layout: 13 position-specific conserved
+    150nt blocks (shared by all sequences) alternating with 12 variable
+    1850nt segments (24150nt total).  Targets draw variable segments
+    independently; each query copies a parent target and re-rolls 50%
+    of each variable segment's positions.  HSP chains anchor on the
+    conserved blocks and every inter-anchor hole sits on the main
+    diagonal (|alen-blen| = 0), so no hole exceeds the wavefront
+    kernel's 254-wide band limit — the round-3 geometry (random 24kb
+    middles) scattered anchors across diagonals and routed 77% of
+    cells to the host as wide holes, measuring nothing about the chip.
+
+    With -maxaccepts/-maxrejects >= #targets every query aligns every
+    target: 32x32 pairs x ~5.3M banded cells = ~5.5 Gcells of DP per
+    leg at -band 120, the long-read regime where banded DP dominates
+    the run (viterbifastbandmem.cpp:232-253 cost model).  Identity:
+    query-vs-parent ~0.65 (accepted at -id 0.5), query-vs-other ~0.31
+    (rejected), so the blast6 parity check is non-trivial."""
     import numpy as np
     qf = os.path.join(d, "bench_lq.fa")
     tf = os.path.join(d, "bench_lt.fa")
@@ -282,18 +294,33 @@ def _gen_longseq(d):
         return qf, tf
     rng = np.random.default_rng(21)
     conv = np.frombuffer(b"ACGT", np.uint8)
-    pre = conv[rng.integers(0, 4, 600)]
-    suf = conv[rng.integers(0, 4, 600)]
+    n_block, blk, n_var, var = 13, 150, 12, 1850
+    blocks = [conv[rng.integers(0, 4, blk)] for _ in range(n_block)]
+
+    def assemble(segs):
+        parts = []
+        for k in range(n_var):
+            parts.append(blocks[k])
+            parts.append(segs[k])
+        parts.append(blocks[n_var])
+        return np.concatenate(parts)
+
+    targets = []
     with open(tf, "w") as f:
-        for i in range(256):
-            mid = conv[rng.integers(0, 4, 24000)]
-            s = np.concatenate([pre, mid, suf]).tobytes().decode()
-            f.write(f">lt{i}\n{s}\n")
+        for i in range(32):
+            segs = [conv[rng.integers(0, 4, var)] for _ in range(n_var)]
+            targets.append(segs)
+            f.write(f">lt{i}\n{assemble(segs).tobytes().decode()}\n")
     with open(qf, "w") as f:
-        for i in range(640):
-            mid = conv[rng.integers(0, 4, 24000)]
-            s = np.concatenate([pre, mid, suf]).tobytes().decode()
-            f.write(f">lq{i}\n{s}\n")
+        for i in range(32):
+            parent = targets[i % len(targets)]
+            segs = []
+            for s in parent:
+                t = s.copy()
+                flip = rng.random(var) < 0.5
+                t[flip] = conv[rng.integers(0, 4, int(flip.sum()))]
+                segs.append(t)
+            f.write(f">lq{i}\n{assemble(segs).tobytes().decode()}\n")
     return qf, tf
 
 
@@ -304,15 +331,18 @@ def bench_device_ablation(ref, d):
     dispatched (USEARCH_DEVICE_STATS), and byte parity of every leg."""
     qf, tf = _gen_longseq(d)
 
+    common = ["-id", "0.5", "-strand", "plus", "-band", "120",
+              "-maxaccepts", "64", "-maxrejects", "64"]
+
     def my_cmd(tag, extra_opts):
         return ([os.path.join(HERE, "bin", "usearch"), "-usearch_global",
-                 qf, "-db", tf, "-id", "0.25", "-strand", "plus",
-                 "-blast6out", os.path.join(d, f"abl_{tag}.b6"), "-quiet"]
+                 qf, "-db", tf] + common +
+                ["-blast6out", os.path.join(d, f"abl_{tag}.b6"), "-quiet"]
                 + extra_opts)
 
-    rf = [ref, "-usearch_global", qf, "-db", tf, "-id", "0.25",
-          "-strand", "plus", "-blast6out", os.path.join(d, "abl_ref.b6"),
-          "-quiet", "-threads", "1"]
+    rf = ([ref, "-usearch_global", qf, "-db", tf] + common +
+          ["-blast6out", os.path.join(d, "abl_ref.b6"),
+           "-quiet", "-threads", "1"])
     legs = [("host", ["-dev_batch_cells", "1000000000000000"]),
             ("auto", []),
             ("device", ["-dev_batch_cells", "1"])]

@@ -137,6 +137,19 @@ def _engine_device():
         print("WARNING: accelerator unresponsive, using host DP path",
               file=_sys.stderr)
         return None
+    # resident kernel server first: on this backend a fresh process
+    # pays 150-280s before its first long-sequence dispatch (pallas
+    # tracing + executable load through the remote plugin — a compile-
+    # cache HIT still reloads at near-compile speed), while the server
+    # holds loaded executables across CLI runs and answers in ms
+    # (device_server.py; USEARCH_DEV_SERVER=0 disables)
+    try:
+        from .device_server import ServerDevice, get_client
+        cli = get_client(spawn=True)
+        if cli is not None:
+            return ServerDevice(cli)
+    except Exception:
+        pass
     # lazy PJRT registration (skipped at startup by the bin/usearch
     # launcher) — must precede any in-process jax backend init
     from .device import ensure_device_runtime

@@ -42,6 +42,12 @@ from .. import progress
 _STAT_FIELDS = ("first_m_col", "last_m_col", "first_m_qpos",
                 "first_m_tpos", "last_m_qpos", "last_m_tpos")
 
+# perf-cache schema version: constants learned under one device-path
+# architecture mislead the next (the XLA pointer-chase era measured
+# dn_bw in the tens of KB/s; the pallas cursor-chase moved the same
+# workload 500x), so a version bump retires the whole entry
+MODEL_VERSION = 2
+
 
 class DevicePerfModel:
     """Self-tuning host-vs-device dispatch cost model for the hole DP.
@@ -51,14 +57,17 @@ class DevicePerfModel:
     is orders of magnitude lower, so the device sat idle (VERDICT r2
     item 3).  This model predicts t_host = cells/host_rate versus
     t_dev = rtt + up_bytes/up_bw + dn_bytes/dn_bw + cells/dev_rate with
-    constants EWMA-updated from every measured dispatch and persisted
+    constants learned from every measured dispatch and persisted
     per-platform in /tmp, so the gate converges to the environment it
-    actually runs on."""
+    actually runs on.  Until the versioned cache holds >=2 steady
+    observations the model self-calibrates with a one-shot probe
+    dispatch (`should_probe`): no prediction from cold-start or stale
+    constants is trusted over a measurement."""
 
     CACHE = "/tmp/usearch_device_perf.json"
 
     def __init__(self, platform: str):
-        self.platform = platform
+        self.platform = f"{platform}/v{MODEL_VERSION}"
         # conservative cold-start constants (tunneled dev link)
         self.host_rate = 2.0e8        # cells/s, single-core C kernel
         self.rtt = 0.05               # s per dispatch
@@ -67,6 +76,8 @@ class DevicePerfModel:
         self.dev_rate = 3.0e10       # cells/s on-device
         self.warm = False             # first dispatch pays the jit tax
         self.warm_tax = 12.0          # s, measured compile+first-run
+        self.n_obs = 0                # steady-state device observations
+        self._probed = False          # one calibration probe per process
         self._load()
 
     def _load(self):
@@ -79,6 +90,7 @@ class DevicePerfModel:
                           "dev_rate", "warm_tax"):
                     if k in d and d[k] > 0:
                         setattr(self, k, float(d[k]))
+                self.n_obs = int(d.get("n_obs", 0))
         except Exception:
             pass
 
@@ -93,7 +105,7 @@ class DevicePerfModel:
             all_d[self.platform] = {
                 k: getattr(self, k) for k in
                 ("host_rate", "rtt", "up_bw", "dn_bw", "dev_rate",
-                 "warm_tax")}
+                 "warm_tax", "n_obs")}
             tmp = self.CACHE + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(all_d, f)
@@ -115,6 +127,19 @@ class DevicePerfModel:
         if not self.warm:
             td += self.warm_tax / max(1, dispatches_left)
         return td < self.t_host(cells)
+
+    def should_probe(self, cells: int) -> bool:
+        """One-shot calibration dispatch: with <2 steady observations
+        under this model version, the constants are cold-start defaults
+        or stale guesses — measure once instead of trusting them, but
+        only when the workload is big enough (>=1s of predicted host
+        work) that a mispredicted probe is amortizable."""
+        if self.n_obs >= 2 or self._probed:
+            return False
+        if self.t_host(cells) < 1.0:
+            return False
+        self._probed = True
+        return True
 
     def observe_host(self, cells: int, secs: float) -> None:
         if secs > 1e-5 and cells > 100000:
@@ -138,12 +163,16 @@ class DevicePerfModel:
                                 + 0.3 * max(0.0, secs - pred))
             return
         scale = secs / pred
-        # move every term toward the observation proportionally
-        f = 0.7 + 0.3 * scale
+        # geometric step toward the observation: a 30x misprediction
+        # (polluted cache, relocated link) corrects within ~3 dispatches
+        # instead of dozens, while near steady state (scale ~ 1) the
+        # step stays proportional
+        f = min(3.0, max(0.33, scale ** 0.5))
         self.rtt *= f
         self.up_bw /= f
         self.dn_bw /= f
         self.dev_rate /= f
+        self.n_obs += 1
 
 
 def _thread_count() -> int:
@@ -502,6 +531,11 @@ class BatchEngine:
                 use_device = self.perf.device_wins(
                     total_cells, up_bytes, dn_bytes,
                     max(1, 2 * self._windows_left))
+                if not use_device and self.perf.should_probe(total_cells):
+                    # calibration probe: measure the device once rather
+                    # than trust unvalidated constants (cold start or a
+                    # schema-version bump) that could veto it forever
+                    use_device = True
         # the wavefront kernel packs one band per <=128-lane slot:
         # slot width (bw-1)//2+2 must fit LANES, so holes whose band
         # (|alen-blen| + 2r + 1) is wider than BW_DEV_MAX always run on
@@ -560,14 +594,54 @@ class BatchEngine:
         # threads keep running while one thread feeds the chip
         with self._lock:
             t0 = time.perf_counter()
+            dbg = os.environ.get("USEARCH_DEV_DEBUG")
+            from ..device_server import DeviceServerError
+            srv_failed = False
             for c in np.unique(cls[dev_ok]):
                 idx = np.nonzero((cls == c) & dev_ok)[0]
+                if self.device is None:
+                    # server died mid-window: host-align the rest
+                    wout, woff = self._align_holes_host(
+                        sc, jbuf, len(idx), aoff[idx], boff[idx],
+                        alen[idx], blen[idx], cls[idx])
+                    wb = wout.tobytes()
+                    for k, h in enumerate(idx):
+                        paths[h] = wb[woff[k]:woff[k + 1]]
+                    continue
                 sub_pairs = [(jbuf[aoff[h]:aoff[h] + alen[h]],
                               db[boff[h]:boff[h] + blen[h]]) for h in idx]
                 try:
                     fa = self._class_fused_aligner(int(c))
+                    t0c = time.perf_counter()
                     _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
                                            nucleo=self.ap.nucleo)
+                    if dbg:
+                        mx = max(len(a) + len(b) for a, b in sub_pairs)
+                        sys.stderr.write(
+                            "usearch12_tpu DEV: class=%d pairs=%d "
+                            "max_lab=%d cells=%d align_s=%.3f\n"
+                            % (c, len(idx), mx, int(
+                                (np.minimum(alen[idx], blen[idx])
+                                 .astype(np.int64)
+                                 * (2 * r + 1)).sum()),
+                               time.perf_counter() - t0c))
+                except DeviceServerError as e:
+                    # resident server unreachable/failed: host path for
+                    # the rest of this run, results stay correct
+                    sys.stderr.write(
+                        "usearch12_tpu: device server failed (%s); "
+                        "using host DP path\n" % repr(e)[:200])
+                    srv_failed = True
+                    # the dispatch lock is already held here
+                    self.device = None
+                    self._class_fused = {}
+                    wout, woff = self._align_holes_host(
+                        sc, jbuf, len(idx), aoff[idx], boff[idx],
+                        alen[idx], blen[idx], cls[idx])
+                    wb = wout.tobytes()
+                    for k, h in enumerate(idx):
+                        paths[h] = wb[woff[k]:woff[k + 1]]
+                    continue
                 except Exception as e:
                     # only the int16 kernel-variant compile failure is
                     # recoverable here (fall back to f32); anything else
@@ -589,11 +663,15 @@ class BatchEngine:
                                            nucleo=self.ap.nucleo)
                 for k, h in enumerate(idx):
                     paths[h] = ps[k].encode("ascii")
-            if self.perf is not None:
-                self.perf.observe_dev(dev_cells, up_bytes, dn_bytes,
-                                      time.perf_counter() - t0)
-            self.dev_stats["dispatches"] += 1
-            self.dev_stats["device_cells"] += dev_cells
+            if srv_failed:
+                # cells ran on the host; don't feed the device model
+                self.dev_stats["host_cells"] += dev_cells
+            else:
+                if self.perf is not None:
+                    self.perf.observe_dev(dev_cells, up_bytes, dn_bytes,
+                                          time.perf_counter() - t0)
+                self.dev_stats["dispatches"] += 1
+                self.dev_stats["device_cells"] += dev_cells
         hole_off = np.zeros(n_hole + 1, np.int64)
         np.cumsum([len(p) for p in paths], out=hole_off[1:])
         return np.frombuffer(b"".join(paths), dtype=np.uint8), hole_off
@@ -674,11 +752,18 @@ class BatchEngine:
         (uploads raw letters, packs + DPs + tracebacks on device)."""
         fa = self._class_fused.get(cls_bits)
         if fa is None:
-            if self._resolve_i16():
+            if getattr(self.device, "is_server", False):
+                # resident kernel server: dispatch over the unix socket,
+                # no jax in this process (device_server.py)
+                from ..device_server import ServerClassAligner
+                fa = ServerClassAligner(self.device.client, self.ap,
+                                        cls_bits)
+            elif self._resolve_i16():
                 from ..ops.wavefront_nw16 import FusedWave16Aligner as F
+                fa = F(self._class_device(cls_bits))
             else:
                 from ..ops.wavefront_nw import FusedWaveAligner as F
-            fa = F(self._class_device(cls_bits))
+                fa = F(self._class_device(cls_bits))
             self._class_fused[cls_bits] = fa
         return fa
 

@@ -401,6 +401,10 @@ def fused_chase_compiled(P: int, amax: int, bmax: int, steps: int,
                        interpret)
     trace_j = _trace_stage_compiled(n_words, gpv, SW, rho0, steps, jmax,
                                     chunk, pb, interpret)
+    # NOTE: a jax.export AOT cache was tried here to skip per-process
+    # pallas tracing; on the tunneled axon backend deserialized
+    # executables RELOAD ~8x slower than the jit+compilation-cache path
+    # (64s vs 8s fresh-process first dispatch), so the plain path stays.
 
     def fused(a_let, b_let, la, lb, dlo, bw, gp):
         tiles = pack_j(a_let, b_let, la, lb, dlo, bw)
