@@ -142,14 +142,17 @@ def _engine_device():
     # tracing + executable load through the remote plugin — a compile-
     # cache HIT still reloads at near-compile speed), while the server
     # holds loaded executables across CLI runs and answers in ms
-    # (device_server.py; USEARCH_DEV_SERVER=0 disables)
-    try:
-        from .device_server import ServerDevice, get_client
-        cli = get_client(spawn=True)
-        if cli is not None:
-            return ServerDevice(cli)
-    except Exception:
-        pass
+    # (device_server.py; USEARCH_DEV_SERVER=0 disables).  Interpret-mode
+    # (-engine_device on a cpu platform, the test path) must NOT reach
+    # this: spawning would start a real accelerator server from a test.
+    if not interpret:
+        try:
+            from .device_server import ServerDevice, get_client
+            cli = get_client(spawn=True)
+            if cli is not None:
+                return ServerDevice(cli)
+        except Exception:
+            pass
     # lazy PJRT registration (skipped at startup by the bin/usearch
     # launcher) — must precede any in-process jax backend init
     from .device import ensure_device_runtime
