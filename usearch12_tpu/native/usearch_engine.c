@@ -661,7 +661,10 @@ typedef struct {
     int64_t *db_off;
     int64_t db_n, db_n_cap;
     /* rank scratch: u16 counts (a target's count is bounded by its
-     * length; engine eligibility requires maxseqlength <= 65535) */
+     * length; engine eligibility requires maxseqlength <= 65535).
+     * A uint8_t count mirror was tried (r4) for short reads: paired
+     * A/B showed byte RMW increments LOSE ~4% vs u16 on this uarch
+     * despite half the traffic, so the u16 array stays. */
     uint16_t *u;
     uint32_t u_cap;
     uint8_t *seen;
@@ -897,6 +900,163 @@ static int64_t compress_path(const char *path, int64_t n, char *out)
     return o;
 }
 
+static double t_walk, t_delta, t_scan, t_sort;
+#define RNOW() ({ struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts); \
+                  ts.tv_sec + 1e-9 * ts.tv_nsec; })
+
+/* walk + delta-tail + SetTopBump scan over a UTYPE-wide count array
+ * (single uint16_t instantiation: a uint8_t tier measured ~4% slower
+ * end-to-end — byte RMW increments don't pay for the halved traffic
+ * on this uarch).  The restrict qualifiers matter: without them a
+ * byte-typed count array may alias every other array and the walk
+ * bounds reload per iteration. */
+#define DEFINE_CC_RANK_CORE(SUFFIX, UTYPE)                                  \
+static uint32_t cc_rank_core_##SUFFIX(                                      \
+    ClusterCtx *cc, UTYPE *restrict u, uint32_t nuw, uint32_t seq_count,    \
+    uint32_t bump_pct, uint32_t *maxv_io, uint32_t *nextv_io, int subt)     \
+{                                                                           \
+    double rt0 = subt ? RNOW() : 0;                                         \
+    /* restrict everywhere: UTYPE=uint8_t otherwise aliases every other */  \
+    /* byte array, forcing bound reloads inside the walk loops */           \
+    const int64_t *restrict bs = cc->base_starts;                           \
+    const int32_t *restrict bp = cc->base_post;                             \
+    const uint16_t *restrict bp16 = cc->base_p16_ok ? cc->base_p16 : NULL;  \
+    const int64_t *restrict ms = cc->mid_starts;                            \
+    const int32_t *restrict mp = cc->mid_post;                              \
+    const int64_t *restrict uw = cc->uw;                                    \
+    for (uint32_t k = 0; k < nuw; ++k) {                                    \
+        int64_t w = uw[k];                                                  \
+        if (k + 4 < nuw) {                                                  \
+            int64_t wn = uw[k + 4];                                         \
+            __builtin_prefetch(&bs[wn], 0, 1);                              \
+            __builtin_prefetch(&ms[wn], 0, 1);                              \
+        }                                                                   \
+        if (k + 2 < nuw) {                                                  \
+            int64_t wn = uw[k + 2];                                         \
+            if (bp16)                                                       \
+                __builtin_prefetch(&bp16[bs[wn]], 0, 1);                    \
+            else                                                            \
+                __builtin_prefetch(&bp[bs[wn]], 0, 1);                      \
+            __builtin_prefetch(&mp[ms[wn]], 0, 1);                          \
+        }                                                                   \
+        if (bp16) {                                                         \
+            for (int64_t p = bs[w]; p < bs[w + 1]; ++p)                     \
+                ++u[bp16[p]];                                               \
+        } else {                                                            \
+            for (int64_t p = bs[w]; p < bs[w + 1]; ++p)                     \
+                ++u[bp[p]];                                                 \
+        }                                                                   \
+        for (int64_t p = ms[w]; p < ms[w + 1]; ++p)                         \
+            ++u[mp[p]];                                                     \
+    }                                                                       \
+    if (subt) { t_walk += RNOW() - rt0; rt0 = RNOW(); }                     \
+    /* raw tail: bitmap scan */                                             \
+    {                                                                       \
+        const int64_t *restrict dw = cc->dw;                                \
+        const int32_t *restrict dt = cc->dt;                                \
+        const uint8_t *restrict seen = cc->seen;                            \
+        int64_t dn = cc->dn;                                                \
+        for (int64_t p = 0; p < dn; ++p) {                                  \
+            int64_t w = dw[p];                                              \
+            if (seen[w >> 3] & (1u << (w & 7)))                             \
+                ++u[dt[p]];                                                 \
+        }                                                                   \
+    }                                                                       \
+    for (uint32_t k = 0; k < nuw; ++k)                                      \
+        cc->seen[uw[k] >> 3] = 0;                                           \
+    if (subt) { t_delta += RNOW() - rt0; rt0 = RNOW(); }                    \
+    /* SetTopBump: index-order scan with fused clear, blocked so the    */  \
+    /* common no-op block (max below cur_min AND not exceeding the      */  \
+    /* running max) is skipped after one vectorizable max-reduction.    */  \
+    /* Emissions also fill the count-sort histogram inline.             */  \
+    uint32_t n_cand = 0, max_u_seen = 0;                                    \
+    uint32_t *restrict out_tix = cc->cand_tix;                              \
+    uint32_t *restrict out_counts = cc->cand_cnt;                           \
+    uint32_t *restrict hist = cc->hist;                                     \
+    uint32_t maxv = 0, nextv = 0;                                           \
+    enum { RBLK = 64 };                                                     \
+    if (bump_pct != 0) {                                                    \
+        uint32_t cur_min = 1;                                               \
+        for (uint32_t t0b = 0; t0b < seq_count; ) {                         \
+            uint32_t endb = t0b + RBLK <= seq_count ? t0b + RBLK            \
+                                                    : seq_count;            \
+            UTYPE bm = 0;                                                   \
+            for (uint32_t i = t0b; i < endb; ++i)                           \
+                bm = u[i] > bm ? u[i] : bm;                                 \
+            if (bm == 0) {                                                  \
+                t0b = endb;                                                 \
+                continue;                                                   \
+            }                                                               \
+            if (bm <= max_u_seen && bm < cur_min) {                         \
+                memset(u + t0b, 0, (endb - t0b) * sizeof(UTYPE));           \
+                t0b = endb;                                                 \
+                continue;                                                   \
+            }                                                               \
+            for (uint32_t t = t0b; t < endb; ++t) {                         \
+                uint32_t v = u[t];                                          \
+                u[t] = 0;                                                   \
+                if (v > max_u_seen) {                                       \
+                    if (v >= cur_min) {                                     \
+                        out_tix[n_cand] = t;                                \
+                        out_counts[n_cand++] = v;                           \
+                        ++hist[v];                                          \
+                        if (v > maxv) {                                     \
+                            nextv = maxv;                                   \
+                            maxv = v;                                       \
+                        }                                                   \
+                        uint32_t nm =                                       \
+                            (uint32_t)((uint64_t)v * bump_pct / 100);       \
+                        if (cur_min < nm && nm < max_u_seen)                \
+                            cur_min = nm;                                   \
+                    }                                                       \
+                    max_u_seen = v;                                         \
+                } else if (v >= cur_min) {                                  \
+                    out_tix[n_cand] = t;                                    \
+                    out_counts[n_cand++] = v;                               \
+                    ++hist[v];                                              \
+                    if (v > maxv) {                                         \
+                        nextv = maxv;                                       \
+                        maxv = v;                                           \
+                    }                                                       \
+                }                                                           \
+            }                                                               \
+            t0b = endb;                                                     \
+        }                                                                   \
+    } else {                                                                \
+        for (uint32_t t0b = 0; t0b < seq_count; ) {                         \
+            uint32_t endb = t0b + RBLK <= seq_count ? t0b + RBLK            \
+                                                    : seq_count;            \
+            UTYPE bm = 0;                                                   \
+            for (uint32_t i = t0b; i < endb; ++i)                           \
+                bm = u[i] > bm ? u[i] : bm;                                 \
+            if (bm == 0) {                                                  \
+                t0b = endb;                                                 \
+                continue;                                                   \
+            }                                                               \
+            for (uint32_t t = t0b; t < endb; ++t) {                         \
+                uint32_t v = u[t];                                          \
+                u[t] = 0;                                                   \
+                if (v >= 1) {                                               \
+                    out_tix[n_cand] = t;                                    \
+                    out_counts[n_cand++] = v;                               \
+                    ++hist[v];                                              \
+                    if (v > maxv) {                                         \
+                        nextv = maxv;                                       \
+                        maxv = v;                                           \
+                    }                                                       \
+                }                                                           \
+            }                                                               \
+            t0b = endb;                                                     \
+        }                                                                   \
+    }                                                                       \
+    if (subt) t_scan += RNOW() - rt0;                                       \
+    *maxv_io = maxv;                                                        \
+    *nextv_io = nextv;                                                      \
+    return n_cand;                                                          \
+}
+
+DEFINE_CC_RANK_CORE(u16, uint16_t)
+
 /* rank one query against the C-owned 3-tier index; returns candidate
  * count in cc->cand_tix/cand_cnt (SetTopBump + CountSortOrderDesc
  * order, bit-identical to usort_rank_c) */
@@ -936,148 +1096,20 @@ static uint32_t cc_rank(
         }
     }
     *n_uw_out = nuw;
-    static double t_walk, t_delta, t_scan, t_sort;
     static int subt = -1;
     if (subt < 0)
         subt = getenv("USEARCH_RANK_TIMING") != NULL;
-#define RNOW() ({ struct timespec ts; clock_gettime(CLOCK_MONOTONIC, &ts); \
-                  ts.tv_sec + 1e-9 * ts.tv_nsec; })
-    double rt0 = subt ? RNOW() : 0;
-    uint16_t *u = cc->u;
-    const int64_t *bs = cc->base_starts;
-    const int32_t *bp = cc->base_post;
-    const uint16_t *bp16 = cc->base_p16_ok ? cc->base_p16 : NULL;
-    const int64_t *ms = cc->mid_starts;
-    const int32_t *mp = cc->mid_post;
-    for (uint32_t k = 0; k < nuw; ++k) {
-        int64_t w = cc->uw[k];
-        if (k + 4 < nuw) {
-            int64_t wn = cc->uw[k + 4];
-            __builtin_prefetch(&bs[wn], 0, 1);
-            __builtin_prefetch(&ms[wn], 0, 1);
-        }
-        if (k + 2 < nuw) {
-            int64_t wn = cc->uw[k + 2];
-            if (bp16)
-                __builtin_prefetch(&bp16[bs[wn]], 0, 1);
-            else
-                __builtin_prefetch(&bp[bs[wn]], 0, 1);
-            __builtin_prefetch(&mp[ms[wn]], 0, 1);
-        }
-        if (bp16) {
-            for (int64_t p = bs[w]; p < bs[w + 1]; ++p)
-                ++u[bp16[p]];
-        } else {
-            for (int64_t p = bs[w]; p < bs[w + 1]; ++p)
-                ++u[bp[p]];
-        }
-        for (int64_t p = ms[w]; p < ms[w + 1]; ++p)
-            ++u[mp[p]];
-    }
-    if (subt) { t_walk += RNOW() - rt0; rt0 = RNOW(); }
-    /* raw tail: bitmap scan */
-    for (int64_t p = 0; p < cc->dn; ++p) {
-        int64_t w = cc->dw[p];
-        if (cc->seen[w >> 3] & (1u << (w & 7)))
-            ++u[cc->dt[p]];
-    }
-    for (uint32_t k = 0; k < nuw; ++k)
-        cc->seen[cc->uw[k] >> 3] = 0;
-    if (subt) { t_delta += RNOW() - rt0; rt0 = RNOW(); }
-
-    /* SetTopBump: index-order scan with fused clear, blocked so the
-     * common no-op block (block max below cur_min AND not exceeding the
-     * running max) is skipped after one vectorizable max-reduction.
-     * The scalar body is byte-identical to the unblocked scan, and a
-     * skipped block can neither emit nor move max_u_seen, so emission
-     * order and the bump schedule are exactly preserved.  Emissions
-     * also fill the count-sort histogram inline (hist is kept zeroed
-     * between calls; the sort phase re-zeroes what it touched). */
-    uint32_t n_cand = 0, max_u_seen = 0;
-    uint32_t *out_tix = cc->cand_tix, *out_counts = cc->cand_cnt;
-    uint32_t *hist = cc->hist;
     /* maxv/nextv track the count-sort's prefix-record NextValue while
      * emitting (saves a second pass over the candidate list) */
-    uint32_t maxv = 0, nextv = 0;
-    enum { RBLK = 64 };
-    if (bump_pct != 0) {
-        uint32_t cur_min = 1;
-        for (uint32_t t0b = 0; t0b < seq_count; ) {
-            uint32_t endb = t0b + RBLK <= seq_count ? t0b + RBLK
-                                                    : seq_count;
-            uint16_t bm = 0;
-            for (uint32_t i = t0b; i < endb; ++i)
-                bm = u[i] > bm ? u[i] : bm;
-            if (bm == 0) {
-                t0b = endb;
-                continue;
-            }
-            if (bm <= max_u_seen && bm < cur_min) {
-                memset(u + t0b, 0, (endb - t0b) * sizeof(uint16_t));
-                t0b = endb;
-                continue;
-            }
-            for (uint32_t t = t0b; t < endb; ++t) {
-                uint32_t v = u[t];
-                u[t] = 0;
-                if (v > max_u_seen) {
-                    if (v >= cur_min) {
-                        out_tix[n_cand] = t;
-                        out_counts[n_cand++] = v;
-                        ++hist[v];
-                        if (v > maxv) {
-                            nextv = maxv;
-                            maxv = v;
-                        }
-                        uint32_t nm =
-                            (uint32_t)((uint64_t)v * bump_pct / 100);
-                        if (cur_min < nm && nm < max_u_seen)
-                            cur_min = nm;
-                    }
-                    max_u_seen = v;
-                } else if (v >= cur_min) {
-                    out_tix[n_cand] = t;
-                    out_counts[n_cand++] = v;
-                    ++hist[v];
-                    if (v > maxv) {
-                        nextv = maxv;
-                        maxv = v;
-                    }
-                }
-            }
-            t0b = endb;
-        }
-    } else {
-        for (uint32_t t0b = 0; t0b < seq_count; ) {
-            uint32_t endb = t0b + RBLK <= seq_count ? t0b + RBLK
-                                                    : seq_count;
-            uint16_t bm = 0;
-            for (uint32_t i = t0b; i < endb; ++i)
-                bm = u[i] > bm ? u[i] : bm;
-            if (bm == 0) {
-                t0b = endb;
-                continue;
-            }
-            for (uint32_t t = t0b; t < endb; ++t) {
-                uint32_t v = u[t];
-                u[t] = 0;
-                if (v >= 1) {
-                    out_tix[n_cand] = t;
-                    out_counts[n_cand++] = v;
-                    ++hist[v];
-                    if (v > maxv) {
-                        nextv = maxv;
-                        maxv = v;
-                    }
-                }
-            }
-            t0b = endb;
-        }
-    }
-    if (subt) { t_scan += RNOW() - rt0; rt0 = RNOW();
-        if (getenv("USEARCH_RANK_PRINT"))
-            fprintf(stderr, "RANK walk=%.2f delta=%.2f scan=%.2f sort=%.2f\n",
-                    t_walk, t_delta, t_scan, t_sort); }
+    uint32_t n_cand, maxv = 0, nextv = 0;
+    n_cand = cc_rank_core_u16(cc, cc->u, nuw, seq_count, bump_pct,
+                              &maxv, &nextv, subt);
+    double rt0 = subt ? RNOW() : 0;
+    uint32_t *out_tix = cc->cand_tix, *out_counts = cc->cand_cnt;
+    uint32_t *hist = cc->hist;
+    if (subt && getenv("USEARCH_RANK_PRINT"))
+        fprintf(stderr, "RANK walk=%.2f delta=%.2f scan=%.2f sort=%.2f\n",
+                t_walk, t_delta, t_scan, t_sort);
     if (n_cand == 0)
         return 0;
     /* CountSortOrderDesc: stable desc with NextValue/2 cutoff
