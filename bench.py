@@ -266,6 +266,67 @@ def bench_sintax(ref, d):
     return 8000 / t_my, 8000 / t_ref, t_ref / t_my, parity
 
 
+def _gen_sintax_big(d):
+    """20k-target / 248nt taxonomy DB (past the 16384 auto-device
+    threshold) + 1500 queries: the regime where the device matmul boots
+    displace the host C argmax scan (O(boots x T) per strand)."""
+    import numpy as np
+    dbf = os.path.join(d, "sxb_db.fa")
+    qf = os.path.join(d, "sxb_q.fa")
+    if os.path.exists(dbf):
+        return dbf, qf
+    rng = np.random.default_rng(17)
+    conv = np.frombuffer(b"ACGT", np.uint8)
+    seqs = []
+    with open(dbf, "w") as f:
+        for i in range(20000):
+            s = conv[rng.integers(0, 4, 248)]
+            seqs.append(s)
+            f.write(f">r{i};tax=d:D{i % 5},p:P{i % 40},g:G{i % 400};\n"
+                    f"{s.tobytes().decode()}\n")
+    with open(qf, "w") as f:
+        for i in range(1500):
+            s = seqs[(i * 13) % len(seqs)].copy()
+            pos = rng.integers(0, len(s), 8)
+            s[pos] = conv[rng.integers(0, 4, 8)]
+            f.write(f">q{i}\n{s.tobytes().decode()}\n")
+    return dbf, qf
+
+
+def bench_sintax_device(ref, d):
+    """Device (MXU matmul boots) vs host-C SINTAX on a 20k-target DB,
+    interleaved legs, byte parity of -tabbedout at -randseed 1
+    (VERDICT r3 item 4).  Returns per-leg seconds + parity."""
+    dbf, qf = _gen_sintax_big(d)
+
+    def my_cmd(tag, extra_opts):
+        return ([os.path.join(HERE, "bin", "usearch"), "-sintax", qf,
+                 "-db", dbf, "-tabbedout", os.path.join(d, f"sx_{tag}.sin"),
+                 "-strand", "both", "-quiet", "-randseed", "1"]
+                + extra_opts)
+
+    rf = [ref, "-sintax", qf, "-db", dbf, "-tabbedout",
+          os.path.join(d, "sx_ref.sin"), "-strand", "both", "-quiet",
+          "-randseed", "1", "-threads", "1"]
+    legs = [("host", ["-no_sintax_device"]), ("device", ["-sintax_device"])]
+    _run(my_cmd("device", legs[1][1]))     # untimed warm (jit/compile)
+    times = {tag: [] for tag, _ in legs}
+    ref_times = []
+    for _ in range(2):
+        ref_times.append(_run(rf))
+        for tag, opts in legs:
+            times[tag].append(_run(my_cmd(tag, opts)))
+    ref_b = open(os.path.join(d, "sx_ref.sin"), "rb").read()
+    out = {"ref_s": round(min(ref_times), 3)}
+    for tag, _ in legs:
+        t = min(times[tag])
+        out[tag] = {
+            "s": round(t, 3), "vs_ref": round(min(ref_times) / t, 3),
+            "parity": open(os.path.join(d, f"sx_{tag}.sin"),
+                           "rb").read() == ref_b}
+    return out
+
+
 def _gen_longseq(d):
     """Long-sequence device-ablation workload, indel-free by
     construction so the whole DP volume is device-eligible.
@@ -707,6 +768,17 @@ def main():
             extra["device_rank"] = "failed: " + repr(e)[:300]
     else:
         extra["device_rank"] = "skipped: device unreachable: " + cause_dev
+
+    # device SINTAX boots vs host C on a 20k-target DB (VERDICT r4)
+    if ok_dev and ref is not None:
+        try:
+            extra["sintax_device"] = bench_sintax_device(ref, d)
+            if isinstance(extra["sintax_device"], dict):
+                _log_tpu_evidence("sintax_device", extra["sintax_device"])
+        except Exception as e:  # noqa: BLE001
+            extra["sintax_device"] = "failed: " + repr(e)[:300]
+    elif ref is not None:
+        extra["sintax_device"] = "skipped: device unreachable"
 
     # thread scaling (-threads 4 vs 1, both binaries; 1-core rig)
     if ref is not None:

@@ -396,7 +396,8 @@ def sintax(query_path: Optional[str]) -> None:
     from .sintax_device import SintaxDeviceClassifier
     if SintaxDeviceClassifier.usable(cls):
         want_dev = o.flag("sintax_device")
-        if not want_dev and index.seq_count >= 16384:
+        if (not want_dev and index.seq_count >= 16384
+                and not o.flag("no_sintax_device")):
             from ..commands import _device_healthy
             healthy, platform = _device_healthy()
             want_dev = healthy and platform in ("tpu", "axon")

@@ -82,6 +82,7 @@ class DeviceServerClient:
     def __init__(self, sock_path: str = SOCK, timeout: float = 900.0):
         self.sock_path = sock_path
         self.timeout = timeout
+        self.info: dict = {}   # last ping reply (backend, aligns_served)
 
     def _request(self, obj, timeout: Optional[float] = None):
         try:
@@ -101,7 +102,8 @@ class DeviceServerClient:
         return rep
 
     def ping(self, timeout: float = 2.0) -> dict:
-        return self._request({"op": "ping"}, timeout=timeout)
+        self.info = self._request({"op": "ping"}, timeout=timeout)
+        return self.info
 
     def shutdown(self) -> None:
         try:
@@ -131,6 +133,14 @@ class ServerDevice:
 
     def __init__(self, client: DeviceServerClient):
         self.client = client
+
+    @property
+    def server_warm(self) -> bool:
+        """True when the resident server has already served align
+        requests: its executables are loaded, so a new CLI process pays
+        no first-dispatch compile tax (the DevicePerfModel warm_tax is a
+        per-SERVER cost, not per-process)."""
+        return bool(self.client.info.get("aligns_served", 0))
 
 
 class ServerClassAligner:
@@ -294,6 +304,7 @@ def _serve(sock_path: str, idle_s: float) -> int:
     print(f"device_server: serving on {sock_path} "
           f"(pid {os.getpid()})", flush=True)
     last = time.monotonic()
+    served = 0
     try:
         while True:
             try:
@@ -311,7 +322,8 @@ def _serve(sock_path: str, idle_s: float) -> int:
                 if op == "ping":
                     _send_frame(conn, {"ok": True, "pid": os.getpid(),
                                        "backend": "interpret" if interpret
-                                       else jax.default_backend()})
+                                       else jax.default_backend(),
+                                       "aligns_served": served})
                 elif op == "shutdown":
                     _send_frame(conn, {"ok": True})
                     return 0
@@ -321,6 +333,7 @@ def _serve(sock_path: str, idle_s: float) -> int:
                         fa = aligner_for(req["ap"], req["cls_bits"])
                         scores, paths = fa.align(req["pairs"], req["band"],
                                                  nucleo=req["nucleo"])
+                        served += 1
                         _send_frame(conn, {"ok": True,
                                            "scores": np.asarray(scores),
                                            "paths": list(paths)})

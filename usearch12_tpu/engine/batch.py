@@ -400,6 +400,13 @@ class BatchEngine:
                         "auto").split(",")[0]
             if platform in ("axon", "tpu", "auto"):
                 self.perf = DevicePerfModel(platform)
+                if getattr(device, "server_warm", False):
+                    # resident kernel server with loaded executables:
+                    # the first-dispatch compile tax is a per-server
+                    # cost already paid, not a per-process one — without
+                    # this the warm_tax term vetoes the device on short
+                    # runs the server would serve in milliseconds
+                    self.perf.warm = True
 
     def _new_scratch(self) -> _Scratch:
         sc = _Scratch(self.lib, self.ah, self.ap.nucleo, self._sub_mx,
@@ -528,9 +535,30 @@ class BatchEngine:
             if self.dev_batch_min_cells is not None:
                 use_device = total_cells >= self.dev_batch_min_cells
             elif self.perf is not None:
+                disp_left = max(1, 2 * self._windows_left)
                 use_device = self.perf.device_wins(
-                    total_cells, up_bytes, dn_bytes,
-                    max(1, 2 * self._windows_left))
+                    total_cells, up_bytes, dn_bytes, disp_left)
+                if (not use_device and not self.perf.warm
+                        and self.perf.device_wins(total_cells, up_bytes,
+                                                  dn_bytes, 1 << 30)):
+                    # the veto came only from the first-dispatch tax —
+                    # which a warm resident kernel server has already
+                    # paid.  Finding out costs one unix ping (the
+                    # factory when the server is up), worth it for a
+                    # window this size.
+                    th = None
+                    with self._lock:
+                        th = self._factory_thread
+                        if (self.device is None and th is None
+                                and not self._factory_tried):
+                            self._factory_tried = True
+                            self.device = self._device_factory()
+                    if th is not None:
+                        th.join()
+                    if getattr(self.device, "server_warm", False):
+                        self.perf.warm = True
+                        use_device = self.perf.device_wins(
+                            total_cells, up_bytes, dn_bytes, disp_left)
                 if not use_device and self.perf.should_probe(total_cells):
                     # calibration probe: measure the device once rather
                     # than trust unvalidated constants (cold start or a
@@ -555,6 +583,9 @@ class BatchEngine:
                     self.device = self._device_factory()
             if th is not None:
                 th.join()
+            if (self.perf is not None
+                    and getattr(self.device, "server_warm", False)):
+                self.perf.warm = True
         if not use_device or self.device is None:
             t0 = time.perf_counter()
             out = self._align_holes_host(sc, jbuf, n_hole, aoff, boff,
@@ -698,6 +729,9 @@ class BatchEngine:
                 with self._lock:
                     self.device = dev
                     self._factory_tried = True
+                    if (self.perf is not None
+                            and getattr(dev, "server_warm", False)):
+                        self.perf.warm = True
 
             self._factory_thread = threading.Thread(target=work,
                                                     daemon=True)
