@@ -395,7 +395,8 @@ def sintax(query_path: Optional[str]) -> None:
     dev_cls = None
     from .sintax_device import SintaxDeviceClassifier
     if SintaxDeviceClassifier.usable(cls):
-        want_dev = o.flag("sintax_device")
+        forced = o.flag("sintax_device")
+        want_dev = forced
         if (not want_dev and index.seq_count >= 16384
                 and not o.flag("no_sintax_device")):
             from ..commands import _device_healthy
@@ -414,7 +415,16 @@ def sintax(query_path: Optional[str]) -> None:
                     "jax_persistent_cache_min_compile_time_secs", 0.5)
             except Exception:
                 pass
-            dev_cls = SintaxDeviceClassifier(cls)
+            # the incidence device_put can be up to 6 GiB: on the AUTO
+            # path a device OOM / backend init failure must fall back to
+            # the working host classifier, not kill the run (keep the
+            # hard failure only when -sintax_device was explicit)
+            try:
+                dev_cls = SintaxDeviceClassifier(cls)
+            except Exception:
+                if forced:
+                    raise
+                dev_cls = None
 
     # windowed native classify (one C call per window); falls back to the
     # per-query path when the native lib or plain postings are missing

@@ -138,8 +138,13 @@ class SintaxDeviceClassifier:
             wmask = (jnp.arange(uwmax, dtype=jnp.int32)[None, :]
                      < nuw[:, None])
             mq = jnp.where(wmask[:, :, None], mq, 0)
+            # int8 P feeds the MXU's int8 path; but one word can be
+            # sampled up to m times per boot, so a large -boot_subset
+            # (m > 127) would wrap int8 — fall back to int32 operands
+            # for such windows (rare; still a matmul, just not int8)
+            p_dt = jnp.int8 if mmax <= 127 else jnp.int32
             U = jax.lax.dot_general(
-                P.astype(jnp.int8), mq,
+                P.astype(p_dt), mq.astype(p_dt),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)          # (cq, B, T)
             top = jnp.max(U, axis=2)                       # (cq, B)

@@ -213,7 +213,14 @@ def _mesh():
             raise SystemExit(f"-mesh {spec}: expected DATAxDB, a device "
                              "count, or auto")
     else:
-        n = len(devs) if spec == "auto" else int(spec)
+        if spec == "auto":
+            n = len(devs)
+        else:
+            try:
+                n = int(spec)
+            except ValueError:
+                raise SystemExit(f"-mesh {spec}: expected DATAxDB, a "
+                                 "device count, or auto")
         n_db = 1
         for cand in (2, 4, 8):
             if n % cand == 0:

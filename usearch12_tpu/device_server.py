@@ -173,8 +173,16 @@ def get_client(spawn: bool = True,
     try:
         cli.ping()
         return cli
-    except DeviceServerError:
-        pass
+    except DeviceServerError as e:
+        # a timeout may just mean a (pre-threading) busy server —
+        # connection refused / missing socket means definitely dead.
+        # Retry a timeout once with patience before declaring death.
+        if "timed out" in repr(e):
+            try:
+                cli.ping(timeout=15.0)
+                return cli
+            except DeviceServerError:
+                pass
     if not spawn:
         return None
     os.makedirs(_DIR, mode=0o700, exist_ok=True)
@@ -291,6 +299,8 @@ def _serve(sock_path: str, idle_s: float) -> int:
             aligners[key] = fa
         return fa
 
+    import threading
+
     os.makedirs(os.path.dirname(sock_path), mode=0o700, exist_ok=True)
     try:
         os.unlink(sock_path)
@@ -301,58 +311,95 @@ def _serve(sock_path: str, idle_s: float) -> int:
     os.chmod(sock_path, 0o600)
     srv.listen(16)
     srv.settimeout(5.0)
+    # remember the inode of OUR socket so exit-time cleanup can't delete
+    # a successor server's freshly-bound socket at the same path
+    try:
+        my_ino = os.stat(sock_path).st_ino
+    except OSError:
+        my_ino = None
     print(f"device_server: serving on {sock_path} "
           f"(pid {os.getpid()})", flush=True)
-    last = time.monotonic()
-    served = 0
+    state = {"last": time.monotonic(), "served": 0, "busy": 0}
+    state_lock = threading.Lock()
+    align_lock = threading.Lock()   # one align on the device at a time
+    stop = threading.Event()
+
+    def handle(conn):
+        # Each connection gets its own thread so cheap ping/shutdown
+        # requests answer instantly while a multi-minute align is in
+        # flight — a blocked ping used to make clients declare the live
+        # server dead, unlink its socket, and spawn a duplicate
+        # accelerator-holding server (advisor r4, medium).
+        try:
+            conn.settimeout(60.0)
+            req = _recv_frame(conn)
+            op = req.get("op")
+            if op == "ping":
+                with state_lock:
+                    served, busy = state["served"], state["busy"]
+                _send_frame(conn, {"ok": True, "pid": os.getpid(),
+                                   "backend": "interpret" if interpret
+                                   else jax.default_backend(),
+                                   "aligns_served": served,
+                                   "busy_aligns": busy})
+            elif op == "shutdown":
+                _send_frame(conn, {"ok": True})
+                stop.set()
+            elif op == "align":
+                conn.settimeout(1800.0)
+                with state_lock:
+                    state["busy"] += 1
+                try:
+                    with align_lock:
+                        fa = aligner_for(req["ap"], req["cls_bits"])
+                        scores, paths = fa.align(req["pairs"],
+                                                 req["band"],
+                                                 nucleo=req["nucleo"])
+                    with state_lock:
+                        state["served"] += 1
+                    _send_frame(conn, {"ok": True,
+                                       "scores": np.asarray(scores),
+                                       "paths": list(paths)})
+                except Exception as e:  # noqa: BLE001 — reply, don't die
+                    _send_frame(conn, {"ok": False,
+                                       "error": repr(e)[:500]})
+                finally:
+                    with state_lock:
+                        state["busy"] -= 1
+            else:
+                _send_frame(conn, {"ok": False,
+                                   "error": f"unknown op {op!r}"})
+        except Exception as e:  # noqa: BLE001 — bad frame, next conn
+            print(f"device_server: request failed: {e!r}", flush=True)
+        finally:
+            with state_lock:
+                state["last"] = time.monotonic()
+            try:
+                conn.close()
+            except OSError:
+                pass
+
     try:
-        while True:
+        while not stop.is_set():
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
-                if time.monotonic() - last > idle_s:
+                with state_lock:
+                    idle = (time.monotonic() - state["last"] > idle_s
+                            and state["busy"] == 0)
+                if idle:
                     print("device_server: idle, exiting", flush=True)
                     return 0
                 continue
-            last = time.monotonic()
-            try:
-                conn.settimeout(60.0)
-                req = _recv_frame(conn)
-                op = req.get("op")
-                if op == "ping":
-                    _send_frame(conn, {"ok": True, "pid": os.getpid(),
-                                       "backend": "interpret" if interpret
-                                       else jax.default_backend(),
-                                       "aligns_served": served})
-                elif op == "shutdown":
-                    _send_frame(conn, {"ok": True})
-                    return 0
-                elif op == "align":
-                    conn.settimeout(1800.0)
-                    try:
-                        fa = aligner_for(req["ap"], req["cls_bits"])
-                        scores, paths = fa.align(req["pairs"], req["band"],
-                                                 nucleo=req["nucleo"])
-                        served += 1
-                        _send_frame(conn, {"ok": True,
-                                           "scores": np.asarray(scores),
-                                           "paths": list(paths)})
-                    except Exception as e:  # noqa: BLE001 — reply, don't die
-                        _send_frame(conn, {"ok": False,
-                                           "error": repr(e)[:500]})
-                else:
-                    _send_frame(conn, {"ok": False,
-                                       "error": f"unknown op {op!r}"})
-            except Exception as e:  # noqa: BLE001 — bad frame, next conn
-                print(f"device_server: request failed: {e!r}", flush=True)
-            finally:
-                try:
-                    conn.close()
-                except OSError:
-                    pass
+            with state_lock:
+                state["last"] = time.monotonic()
+            threading.Thread(target=handle, args=(conn,),
+                             daemon=True).start()
+        return 0
     finally:
         try:
-            os.unlink(sock_path)
+            if my_ino is None or os.stat(sock_path).st_ino == my_ino:
+                os.unlink(sock_path)
         except OSError:
             pass
 

@@ -52,15 +52,18 @@ def _line() -> str:
 
 def _paint_loop() -> None:
     while not _stop.wait(0.2):
+        # write under _lock: a line composed just before done() clears
+        # _active must not land after done()'s final summary line
+        # (writes are sub-millisecond; contention is negligible)
         with _lock:
             if not _active:
                 continue
             msg = _line()
-        try:
-            sys.stderr.write(msg)
-            sys.stderr.flush()
-        except Exception:
-            return
+            try:
+                sys.stderr.write(msg)
+                sys.stderr.flush()
+            except Exception:
+                return
 
 
 def start(label: str) -> None:
@@ -99,8 +102,8 @@ def done(summary: str = "") -> None:
         return
     with _lock:
         _active = False
-    if summary:
-        sys.stderr.write(f"\r{_label} 100.0% {summary}\n")
-    else:
-        sys.stderr.write(f"\r{_label} 100.0%\n")
-    sys.stderr.flush()
+        if summary:
+            sys.stderr.write(f"\r{_label} 100.0% {summary}\n")
+        else:
+            sys.stderr.write(f"\r{_label} 100.0%\n")
+        sys.stderr.flush()
