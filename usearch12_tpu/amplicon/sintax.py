@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import os
+
 import numpy as np
 
 from ..config import options
@@ -457,16 +459,33 @@ def sintax(query_path: Optional[str]) -> None:
             win_labels.clear()
             win_seqs.clear()
 
+        n_classified = 0
         for label, seq, _q in read_fastx(query_path, stream=True):
             if len(seq) == 0:
                 continue
             win_labels.append(label)
             win_seqs.append(seq)
+            n_classified += 1
             if len(win_seqs) >= W:
                 flush()
         flush()
         if f:
             f.close()
+        stats_path = os.environ.get("USEARCH_DEVICE_STATS")
+        if stats_path:
+            # same provenance channel the engine uses (engine/batch.py):
+            # lets the bench prove the AUTO device path actually served
+            # the classification, no forcing flags
+            import json
+            try:
+                with open(stats_path, "a") as sf:
+                    sf.write(json.dumps({
+                        "cmd": "sintax",
+                        "device": dev_cls is not None,
+                        "queries": n_classified,
+                        "targets": index.seq_count}) + "\n")
+            except OSError:
+                pass
         return
 
     for label, seq, _q in read_fastx(query_path, stream=True):

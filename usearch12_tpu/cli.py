@@ -32,7 +32,7 @@ _FLAG_OPTS_NO_VALUE = {
     "no_progress", "version",
     "use_device", "use_cpu_oracle", "notrunclabels", "orf_plusonly",
     "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
-    "sintax_device",
+    "no_device_rank", "sintax_device", "no_sintax_device",
     "ignore_label_mismatches", "fastq_forceq", "fastq_noguess", "keepgaps",
 }
 

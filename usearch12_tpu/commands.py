@@ -353,10 +353,10 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
         # ranker's dense SetTop scan is O(T) per query); forced with
         # -device_rank, auto above 200k targets when the device is up
         rank_override = None
-        if not eng.index.params.hashed and \
-                (o.flag("device_rank")
-                 or (eng.index.seq_count >= 200000
-                     and _engine_device() is not None)):
+        if not eng.index.params.hashed and not o.flag("no_device_rank") \
+                and (o.flag("device_rank")
+                     or (eng.index.seq_count >= 200000
+                         and _engine_device() is not None)):
             from .ops.csr_rank import CSRDeviceRanker, make_engine_override
             term_k = eng.max_accepts + eng.max_rejects
             cr = CSRDeviceRanker(eng.index, topk=max(64, term_k))

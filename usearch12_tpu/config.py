@@ -109,6 +109,7 @@ _FLAG_OPTS = [
     "maxskew", "tov", "log_objmgr_stats", "log_touched_opts",
     "no_progress", "use_device", "use_cpu_oracle",
     "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
+    "no_device_rank",
     "sintax_device", "no_sintax_device",
     "orf_plusonly",
     "ignore_label_mismatches", "notrunclabels", "fastq_forceq",

@@ -386,7 +386,7 @@ class BatchEngine:
         self.perf = None
         self._windows_left = 1
         self.dev_stats = {"dispatches": 0, "device_cells": 0,
-                          "host_cells": 0}
+                          "host_cells": 0, "rank_device_jobs": 0}
         if device is not None or device_factory is not None:
             self.dev_min_cells = int(o.str("dev_min_cells")) \
                 if o.filled("dev_min_cells") else 2048
@@ -893,6 +893,7 @@ class BatchEngine:
         n_jobs = len(j_off) - 1
         if rank_override is not None:
             cand, cnts, out_n = rank_override(jbuf, j_off)
+            self.dev_stats["rank_device_jobs"] += n_jobs
         else:
             cand, cnts, out_n = self._rank_jobs(jbuf, j_off, sc)
         job_state = np.zeros((n_jobs, 3), np.int32)
