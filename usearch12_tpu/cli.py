@@ -30,7 +30,7 @@ _FLAG_OPTS_NO_VALUE = {
     "interleaved", "uc_hitsonly", "trunclabels",
     "maxskew", "tov", "log_objmgr_stats", "log_touched_opts",
     "no_progress", "version",
-    "use_device", "use_cpu_oracle", "notrunclabels", "orf_plusonly",
+    "use_cpu_oracle", "notrunclabels", "orf_plusonly",
     "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
     "no_device_rank", "sintax_device", "no_sintax_device",
     "ignore_label_mismatches", "fastq_forceq", "fastq_noguess", "keepgaps",

@@ -341,9 +341,6 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
             fast_emit = Blast6Emitter(f_b6, db, o.flag("output_no_hits"))
         mesh_search_file(query_path, db, mesh, on_query_done,
                          fast_emit=fast_emit, index=db_index)
-    elif o.flag("use_device"):
-        from .parallel.batch_search import batch_search_file
-        batch_search_file("usearch_global", query_path, db, on_query_done)
     elif engine_eligible("usearch_global", db.get_is_nucleo(), xlat) \
             and not (db_index is not None and db_index.params.hashed) \
             and not o.flag("use_serial_driver"):

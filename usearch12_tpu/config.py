@@ -107,7 +107,7 @@ _FLAG_OPTS = [
     "sizeout", "fastq_eeout", "fastq_nostagger",
     "interleaved", "uc_hitsonly", "trunclabels",
     "maxskew", "tov", "log_objmgr_stats", "log_touched_opts",
-    "no_progress", "use_device", "use_cpu_oracle",
+    "no_progress", "use_cpu_oracle",
     "engine_device", "no_engine_device", "use_serial_driver", "device_rank",
     "no_device_rank",
     "sintax_device", "no_sintax_device",

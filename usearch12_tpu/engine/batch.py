@@ -375,9 +375,6 @@ class BatchEngine:
         self._factory_thread = None
         self._class_devices = {}
         self._class_fused = {}
-        # kernel variant: resolved lazily at the first device dispatch
-        # (needs self.device.interpret); see _resolve_i16 / _drop_i16
-        self._use_i16 = None
         self.dev_min_cells = 1 << 62
         # batch dispatch gate: explicit -dev_batch_cells forces a static
         # threshold; default is the adaptive DevicePerfModel prediction
@@ -673,25 +670,6 @@ class BatchEngine:
                     for k, h in enumerate(idx):
                         paths[h] = wb[woff[k]:woff[k + 1]]
                     continue
-                except Exception as e:
-                    # only the int16 kernel-variant compile failure is
-                    # recoverable here (fall back to f32); anything else
-                    # (transient tunnel error, OOM, data bug) must
-                    # propagate instead of silently demoting the kernel
-                    msg = repr(e)
-                    compile_fail = ("Mosaic" in msg or "mosaic" in msg
-                                    or "legalize" in msg
-                                    or "tpu_compile_helper" in msg)
-                    if not self._use_i16 or not compile_fail:
-                        raise
-                    sys.stderr.write(
-                        "usearch12_tpu: int16 wavefront kernel failed to "
-                        "compile on this target (%s); falling back to the "
-                        "f32 kernel\n" % msg[:200])
-                    self._drop_i16()
-                    fa = self._class_fused_aligner(int(c))
-                    _scores, ps = fa.align(sub_pairs, self.ah.band_radius,
-                                           nucleo=self.ap.nucleo)
                 for k, h in enumerate(idx):
                     paths[h] = ps[k].encode("ascii")
             if srv_failed:
@@ -766,21 +744,6 @@ class BatchEngine:
     # 253 needlessly sent bw=254 holes to the host kernel)
     BW_DEV_MAX = 2 * (128 - 2) + 2
 
-    def _resolve_i16(self) -> bool:
-        """Pick the wavefront kernel variant once per engine.  Mosaic on
-        TPU v5e cannot lower the int16 kernel (no sub-32-bit vector
-        compare or shift), and a doomed compile attempt costs a tunnel
-        round-trip — so on real hardware default to the f32 kernel and
-        let USEARCH_WAVE16=1 opt newer targets in; interpret mode (CPU
-        test tier) keeps exercising the int16 path."""
-        if self._use_i16 is None:
-            if os.environ.get("USEARCH_WAVE16"):
-                self._use_i16 = os.environ["USEARCH_WAVE16"] != "0"
-            else:
-                self._use_i16 = bool(self.device is not None
-                                     and self.device.interpret)
-        return self._use_i16
-
     def _class_fused_aligner(self, cls_bits: int):
         """Fused letters-in/ops-out aligner for a terminal-penalty class
         (uploads raw letters, packs + DPs + tracebacks on device)."""
@@ -792,9 +755,6 @@ class BatchEngine:
                 from ..device_server import ServerClassAligner
                 fa = ServerClassAligner(self.device.client, self.ap,
                                         cls_bits)
-            elif self._resolve_i16():
-                from ..ops.wavefront_nw16 import FusedWave16Aligner as F
-                fa = F(self._class_device(cls_bits))
             else:
                 from ..ops.wavefront_nw import FusedWaveAligner as F
                 fa = F(self._class_device(cls_bits))
@@ -803,13 +763,10 @@ class BatchEngine:
 
     def _class_device(self, cls_bits: int):
         """Wavefront device with the hole's terminal-penalty class
-        (ops/batch_align.py _class_device semantics)."""
+        (terminal-gap penalties vary per hole position)."""
         dev = self._class_devices.get(cls_bits)
         if dev is None:
-            if self._resolve_i16():
-                from ..ops.wavefront_nw16 import WavefrontNW16Device as D
-            else:
-                from ..ops.wavefront_nw import WavefrontNWDevice as D
+            from ..ops.wavefront_nw import WavefrontNWDevice as D
             local_ap = self.ap.hole_params(
                 bool(cls_bits & 1), bool(cls_bits & 2), bool(cls_bits & 4),
                 bool(cls_bits & 8))
@@ -824,16 +781,6 @@ class BatchEngine:
                     steps_quantum=512)
             self._class_devices[cls_bits] = dev
         return dev
-
-    def _drop_i16(self):
-        """Fall back to the f32 wavefront kernel: Mosaic on TPU v5e has
-        no sub-32-bit vector compare ("Target does not support this
-        comparison"), so the int16 variant only runs in interpret mode
-        there; newer targets compile it.  Clears the per-class caches so
-        the next dispatch rebuilds f32 aligners."""
-        self._use_i16 = False
-        self._class_fused = {}
-        self._class_devices = {}
 
     def _finish_round(self, sc, jbuf, j_off, pair_j, pair_t, status,
                       pair_seg_off, hole_paths, hole_off, job_state):

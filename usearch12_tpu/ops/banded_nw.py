@@ -1,5 +1,15 @@
 """Pallas TPU kernel: batched banded affine-gap global NW with traceback.
 
+STATUS: device ORACLE + shared helpers, not a shipped dispatch tier.
+The shipped DP path is ops/wavefront_nw.py (anti-diagonal lane packing,
+~10x this kernel's throughput); this module remains as (a) the home of
+the shared constants/packing helpers the wavefront kernels import
+(_letters, NEG, TB_*, OP_*, decode_packed_ops) and (b) a simpler
+row-sweep device kernel (BandedNWDevice) cross-checked against the host
+oracle in tests/test_pallas_nw.py — the same role the reference's CMP
+compile flag and ChainBrute play (src/xdropfwdmem.cpp:51-70,
+src/chainer.h:54).
+
 Cell semantics match the reference banded kernel exactly (see
 align/oracle.py for the documented spec; reference
 src/viterbifastbandmem.cpp:12-253).  TPU-first design:

@@ -436,8 +436,7 @@ def search_file(cmd: str, query_path: str, db: SeqDB,
     # is consumed only by fastx_truncate, src/fastxtruncate.cpp)
     from .. import progress
     n_threads = requested_thread_count()
-    if n_threads > 1 and not xlat and not ctx.local \
-            and not options().flag("use_device"):
+    if n_threads > 1 and not xlat and not ctx.local:
         _search_file_threaded(ctx, cmd, query_path, db, on_query_done,
                               strand_both, n_threads)
         return ctx
