@@ -80,8 +80,41 @@ print(json.dumps({"n": N, "search_q_per_s": round(n_q / t_search, 1),
                       "all_gather_bytes":
                           round(ov.get("all_gather_bytes", 0) / w),
                       "psum_bytes": round(ov.get("psum_bytes", 0) / w)},
-                  "windows": ov.get("windows", 0)}))
+                  "windows": ov.get("windows", 0),
+                  "dims": st.get("dims")}))
 '''
+
+
+def project_2host(row):
+    """Analytic 2-host efficiency from the measured per-window
+    collective bytes (SURVEY §6 target: >=0.8 scaling efficiency at 2
+    hosts).  Model: 2 hosts x 1 chip, db axis split across hosts so the
+    per-window all_gather/psum carries cross DCN (assumed 100 Gb/s
+    effective per direction = 12.5 GB/s); per-chip compute is the rank
+    matmul share Q(B,V) @ W(V, T/2) int8 on the MXU at a conservative
+    50%% of the v5e 394 TOPS int8 peak.  Collective bytes per window are
+    O(n_db*B*K) — independent of DB size T — so efficiency grows with
+    T; reported at the measured shape and at a production 1M-target DB.
+    """
+    ov, dims = row.get("overhead_per_window"), row.get("dims")
+    if not (isinstance(ov, dict) and isinstance(dims, dict)):
+        return None
+    dcn_bw = 12.5e9
+    mxu = 0.5 * 394e12
+    coll_bytes = ov.get("all_gather_bytes", 0) + ov.get("psum_bytes", 0)
+    t_dcn = coll_bytes / dcn_bw
+    B = 256  # child window size
+
+    def eff(t_pad):
+        t_comp = 2.0 * B * dims["v"] * (t_pad / 2) / mxu
+        return round(t_comp / (t_comp + t_dcn), 4)
+
+    return {"model": "t_comp/(t_comp+t_dcn); DCN 12.5 GB/s, MXU 50% of "
+                     "394 TOPS int8, db axis split 2 hosts",
+            "collective_bytes_per_window": coll_bytes,
+            "efficiency_at_measured_db": eff(dims["t_pad"]),
+            "efficiency_at_1M_target_db": eff(1_000_000),
+            "target": ">=0.8 (SURVEY §6 / BASELINE.md 2-host)"}
 
 
 def run(round_no=None):
@@ -106,6 +139,11 @@ def run(round_no=None):
             out["devices"][str(n)] = "failed: " + r.stderr.strip()[-300:]
             continue
         out["devices"][str(n)] = json.loads(r.stdout.strip().splitlines()[-1])
+    two = out["devices"].get("2")
+    if isinstance(two, dict):
+        proj = project_2host(two)
+        if proj is not None:
+            out["two_host_projection"] = proj
     base = out["devices"].get("1")
     if isinstance(base, dict):
         for n in ("2", "4", "8"):

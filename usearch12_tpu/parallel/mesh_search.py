@@ -290,4 +290,7 @@ def mesh_search_file(query_path: str, db: SeqDB, mesh,
     eng.run_file(query_path, on_query_done, window=window,
                  fast_emit=fast_emit, rank_override=rank_override)
     stats["overhead"] = dict(ranker.overhead)
+    stats["dims"] = {"v": ranker.index.params.slot_count,
+                     "t_pad": ranker.t_pad,
+                     "n_db": mesh.shape[ranker.db_axis]}
     return stats
