@@ -651,7 +651,8 @@ import jax
 import jax.numpy as jnp
 from usearch12_tpu.scoring import AlnParams, nuc_mx
 from usearch12_tpu.ops.wavefront_nw import (WavefrontNWDevice, pack_wave,
-                                            pack_ins, _compiled)
+                                            pack_ins, _compiled,
+                                            _chunk_flags)
 ap = AlnParams(nucleo=True, subst_mx=nuc_mx(1.0, -2.0))
 ap.init4(-10.0, -1.0, -0.5, -0.5)
 dev = WavefrontNWDevice(ap, pb=64, chunk=128)
@@ -688,7 +689,8 @@ for n_pairs in (2048, 8192, 65536):
             jnp.asarray(padr(batch.ib, -10**6)), jnp.asarray(padr(batch.jb, -10**6)),
             jnp.asarray(padr(batch.umax_e, -1)), jnp.asarray(padr(batch.umax_o, -1)),
             jnp.asarray(padr(batch.a_init, 4)), jnp.asarray(padr(batch.b_init, 4)),
-            jnp.asarray(pack_ins(padr(batch.ins, 4))), jnp.asarray(dev.gp))
+            jnp.asarray(pack_ins(padr(batch.ins, 4))), jnp.asarray(dev.gp),
+            jnp.asarray(_chunk_flags(batch, dev.pb, R + pad, dev.chunk)))
     out32[str(n_pairs)] = round(cells / time_fn(fn, args, n_pairs) / 1e9, 2)
 
 # utilization vs per-chip VPU peak: the banded-DP recurrence costs

@@ -167,3 +167,94 @@ def test_fused_wave_matches_oracle():
         s_o, p_o = banded_nw_main_diag(a, b, 16, ap)
         assert np.float32(s_o) == np.float32(scores[k])
         assert p_o == paths[k]
+
+
+def test_interior_bounds_conservative():
+    """Brute-force check of the closed-form interior range: for every t
+    in [t_lo, t_hi] and every in-band lane u, no special-case condition
+    the interior substep skips can fire (terminal rows/cols, DPM[0][0],
+    Drow[LB] update at u < SW, last-row capture, out-of-rectangle cell).
+    """
+    from usearch12_tpu.ops.wavefront_nw import (_interior_bounds,
+                                                slot_width)
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        la = int(rng.integers(3, 120))
+        lb = int(rng.integers(max(3, la - 20), la + 20))
+        radius = int(rng.integers(2, 20))
+        from usearch12_tpu.align.oracle import band_diag_range
+        d0, d1 = band_diag_range(la, lb, radius)
+        bw = d1 - d0 + 1
+        SW = slot_width(bw)
+        rho0 = (la - d0) % 2
+        t_lo, t_hi = _interior_bounds(
+            np.array([la]), np.array([lb]), np.array([d0]),
+            np.array([bw]), rho0, SW)
+        t_lo, t_hi = int(t_lo[0]), int(t_hi[0])
+        i0 = (la - d0 - rho0) // 2
+        for t in range(max(t_lo, 0), t_hi + 1):
+            rho = (rho0 + t) % 2
+            r = (t + rho0 - rho) // 2
+            s = t - r
+            umax = (bw - 1 - rho) // 2
+            for u in range(0, umax + 1):
+                i = i0 + r - u
+                j = -i0 + s + u
+                assert 1 <= i <= la - 2, (la, lb, d0, bw, t, u)
+                assert 1 <= j <= lb - 1, (la, lb, d0, bw, t, u)
+            # Drow[LB] update lane (j == lb) must sit at u >= SW
+            for u in range(0, SW):
+                i = i0 + r - u
+                j = -i0 + s + u
+                assert not (j == lb and 0 <= i < la), \
+                    (la, lb, d0, bw, t, u)
+
+
+def test_interior_flags_bit_exact():
+    """Interior-specialized chunks produce bit-identical outputs to the
+    generic path: run the compiled kernel once with the computed flags
+    (must contain interior chunks) and once with flags forced to all
+    generic, and compare every output word."""
+    import jax.numpy as jnp
+    from usearch12_tpu.ops.wavefront_nw import (WavefrontNWDevice,
+                                                pack_wave, pack_ins,
+                                                _chunk_flags, _compiled)
+    from usearch12_tpu.align.oracle import band_diag_range
+    ap = make_ap()
+    rng = np.random.default_rng(23)
+    pairs = rand_pairs(rng, 12, lmin=150, lmax=240)
+    # pack_wave wants one (la - dlo) parity per batch
+    pairs = [p for p in pairs
+             if (len(p[0]) - band_diag_range(len(p[0]), len(p[1]),
+                                             16)[0]) % 2 == 0][:6]
+    assert len(pairs) >= 3
+    dev = WavefrontNWDevice(ap, pb=8)
+    batch = pack_wave(pairs, True, 16, dev.chunk)
+    R = batch.nrows
+    pad = (-R) % dev.pb
+
+    def padr(x, fill):
+        if pad == 0:
+            return x
+        return np.concatenate(
+            [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    flags = _chunk_flags(batch, dev.pb, R + pad, dev.chunk)
+    assert flags.sum() > 0, "fixture produced no interior chunks"
+    assert (flags == 0).any(), "fixture produced no generic chunks"
+    fn = _compiled(batch.steps, dev.chunk, dev.pb, batch.rho0, batch.sw,
+                   dev.match, dev.mismatch, dev.interpret)
+    args = (jnp.asarray(padr(batch.la_b, 1)),
+            jnp.asarray(padr(batch.lb_b, 1)),
+            jnp.asarray(padr(batch.ib, -10**6)),
+            jnp.asarray(padr(batch.jb, -10**6)),
+            jnp.asarray(padr(batch.umax_e, -1)),
+            jnp.asarray(padr(batch.umax_o, -1)),
+            jnp.asarray(padr(batch.a_init, 4)),
+            jnp.asarray(padr(batch.b_init, 4)),
+            jnp.asarray(pack_ins(padr(batch.ins, 4))),
+            jnp.asarray(dev.gp))
+    fast = fn(*args, jnp.asarray(flags))
+    slow = fn(*args, jnp.asarray(np.zeros_like(flags)))
+    for name, a, b in zip(("tb", "mle", "mlo", "dlb"), fast, slow):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name

@@ -73,6 +73,7 @@ class WaveBatch:
     a_init: np.ndarray    # (nrows, 128) int32 letter classes at t=0
     b_init: np.ndarray
     ins: np.ndarray       # (nrows, steps, 128) int8 insert tiles
+    t_int: np.ndarray     # (nrows, 2) interior [t_lo, t_hi] per row
 
 
 def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
@@ -174,14 +175,72 @@ def pack_wave(pairs, nucleo: bool, band_radius: int, chunk: int = 32,
     for arr in (umax_e, umax_o):
         arr[:, dead] = -1
 
+    t_lo_p, t_hi_p = _interior_bounds(
+        la.astype(np.int64), lb.astype(np.int64), dlo.astype(np.int64),
+        bw.astype(np.int64), rho0, SW)
+    spad = nrows * GPV - P
+    tl = np.concatenate([t_lo_p, np.zeros(spad, np.int64)])
+    th = np.concatenate([t_hi_p, np.full(spad, 1 << 30, np.int64)])
+    t_int = np.stack([tl.reshape(nrows, GPV).max(1),
+                      th.reshape(nrows, GPV).min(1)], axis=1)
+
     return WaveBatch(rho0=rho0, sw=SW, gpv=GPV, n_pairs=P, nrows=nrows,
                      steps=steps,
                      la=la, lb=lb, dlo=dlo, bw=bw, la_b=la_b, lb_b=lb_b,
                      ib=ib, jb=jb, umax_e=umax_e, umax_o=umax_o,
-                     a_init=a_init, b_init=b_init, ins=ins)
+                     a_init=a_init, b_init=b_init, ins=ins, t_int=t_int)
 
 
 # ---------------------------------------------------------------------------
+
+def _interior_bounds(la, lb, dlo, bw, rho0: int, SW: int, xp=np):
+    """Closed-form per-pair interior step range [t_lo, t_hi].
+
+    A step t is "interior" when, for every in-band lane u <= umax, the
+    cell (i, j) is strictly inside [1, la-2] x [1, lb-1] of the DP
+    rectangle and no special-case select can fire: no terminal-gap row
+    or column (i == 0 / j == 0 left opens), no DPM[0][0] boundary, no
+    Drow[LB] update (j == lb rides at lane u >= SW, impossible), no
+    last-row capture (i == la-1), and the dlb freeze is inert (dlb is
+    still uniformly NEG: its first update happens after t_hi).  The
+    kernel's interior substep exploits this to skip those selects and to
+    drop dlb from the odd-step lane roll — see _make_kernel.
+
+    With r(t) = #odd-parity steps and s(t) = t - r(t):
+      r in [umax - i0 + 1, la - 2 - i0], s in [i0 + 1, lb + i0 - SW]
+    mapped to t via r = floor/ceil(t/2) by batch parity rho0.  Works
+    for numpy (host pack) and jax.numpy (fused device pack) via xp.
+    """
+    i0 = (la - dlo - rho0) // 2
+    umax = (bw - 1) // 2
+    r_lo = xp.maximum(umax - i0 + 1, 0)
+    s_lo = i0 + 1
+    r_hi = la - 2 - i0
+    s_hi = lb + i0 - SW
+    t_lo = xp.maximum(xp.maximum(2 * r_lo - rho0,
+                                 2 * s_lo - (1 - rho0)), 1)
+    t_hi = xp.minimum(2 * r_hi + (1 - rho0), 2 * s_hi + rho0)
+    return t_lo, t_hi
+
+
+def _chunk_flags(batch: "WaveBatch", pb: int, r_pad: int,
+                 chunk: int) -> np.ndarray:
+    """Per (row-block, chunk) interior flags (int32 0/1) for the kernel's
+    SMEM predicate: chunk cc is interior iff [cc*chunk, (cc+1)*chunk) is
+    inside every row's interior range.  Pure-padding rows are
+    unconstrained (their umax = -1 masks every lane either way)."""
+    n_cc = batch.steps // chunk
+    pad = r_pad - batch.nrows
+    tlo = np.concatenate([batch.t_int[:, 0],
+                          np.zeros(pad, np.int64)])
+    thi = np.concatenate([batch.t_int[:, 1],
+                          np.full(pad, 1 << 30, np.int64)])
+    g_lo = tlo.reshape(-1, pb).max(1)
+    g_hi = thi.reshape(-1, pb).min(1)
+    t0s = np.arange(n_cc, dtype=np.int64) * chunk
+    return ((t0s[None, :] >= g_lo[:, None])
+            & (t0s[None, :] + chunk - 1 <= g_hi[:, None])).astype(np.int32)
+
 
 def pack_ins(ins_i8: np.ndarray) -> np.ndarray:
     """Pack the (nrows, steps, 128) int8 insert tiles 4 steps per int32
@@ -206,7 +265,7 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
     nwrites = chunk // 8
 
     def kernel(la_ref, lb_ref, ib_ref, jb_ref, ume_ref, umo_ref,
-               ai_ref, bi_ref, ins_ref, gp_ref,
+               ai_ref, bi_ref, ins_ref, gp_ref, flag_ref,
                tb_ref, mle_ref, mlo_ref, dlb_out_ref,
                m1_s, m2_s, d_s, i_s, dlb_s, aw_s, bw_s, mle_s, mlo_s):
         cc = pl.program_id(1)
@@ -257,33 +316,53 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
         def roll_l(x):
             return pltpu.roll(x, LANES - 1, 1)   # y[L] = x[L+1]
 
-        def substep(t_off, rho, carry, bits_acc):
+        def substep(t_off, rho, carry, bits_acc, interior):
             """One anti-diagonal step t = t0 + t_off (rho static).  All
             same-direction lane shifts (d/dlb/b-window on odd steps,
             i/a-window on even) ride ONE stacked roll — rolls are the
             dominant cost on the VPU.  Sequence windows are carried as
-            f32 (letter classes 0..5, exact)."""
+            f32 (letter classes 0..5, exact).
+
+            With interior=True (statically, for chunks the host proved
+            interior via _interior_bounds/_chunk_flags) the step skips
+            everything that cannot fire there: i/j recovery and the
+            dynamic validity mask (the static in-band lane mask
+            suffices), the DPM[0][0] boundary, terminal-gap open/ext
+            selects (scalar gap params), the whole Drow[LB] column
+            (dlb is uniformly NEG throughout the interior, so it also
+            drops out of the odd-step roll), the dlb freeze, and the
+            last-row mle/mlo captures.  Outputs are bit-identical: each
+            skipped select is provably the identity on interior steps."""
             (m1, m2, d_buf, i_buf, dlb, a_win, b_win, mle, mlo) = carry
             t = t0 + t_off
             # r(t) = (t + rho0 - rho(t))/2 exactly (numerator always even)
             r = (t + (rho0 - rho)) // 2
             s = t - r
 
-            delta_r = 1 - rho   # rho(t-1) = 1 - rho(t)
             ins_word = ins_ref[:, pl.ds((t_off // 4) * LANES, LANES)]
             ins_tile = ((ins_word >> (8 * (t_off % 4))) & 0xFF).astype(f32)
             m_in = m2
             if rho == 1:
-                packed = jnp.concatenate([d_buf, dlb, b_win], axis=0)
-                rolled = roll_l(packed)
-                d_in = jnp.where(edge_hi, neg, rolled[0:pb])
-                dlb_sh = jnp.where(edge_hi, neg, rolled[pb:2 * pb])
-                # dlb freezes at its final lane once t > la-1+lb
-                dlb_prev = jnp.where(t <= la_b + lb_b - 1, dlb_sh, dlb)
-                b_new = jnp.where(edge_hi, ins_tile, rolled[2 * pb:3 * pb])
-                if t_off == 0:
-                    b_new = jnp.where(cc > 0, b_new, b_win)
-                b_win = b_new
+                if interior:
+                    packed = jnp.concatenate([d_buf, b_win], axis=0)
+                    rolled = roll_l(packed)
+                    d_in = jnp.where(edge_hi, neg, rolled[0:pb])
+                    dlb_prev = dlb
+                    b_win = jnp.where(edge_hi, ins_tile,
+                                      rolled[pb:2 * pb])
+                else:
+                    packed = jnp.concatenate([d_buf, dlb, b_win], axis=0)
+                    rolled = roll_l(packed)
+                    d_in = jnp.where(edge_hi, neg, rolled[0:pb])
+                    dlb_sh = jnp.where(edge_hi, neg, rolled[pb:2 * pb])
+                    # dlb freezes at its final lane once t > la-1+lb
+                    dlb_prev = jnp.where(t <= la_b + lb_b - 1, dlb_sh,
+                                         dlb)
+                    b_new = jnp.where(edge_hi, ins_tile,
+                                      rolled[2 * pb:3 * pb])
+                    if t_off == 0:
+                        b_new = jnp.where(cc > 0, b_new, b_win)
+                    b_win = b_new
                 i_prev = i_buf
                 # ume belongs to rho == rho0 steps (pack_wave defines
                 # umax_e relative to the batch parity, not absolute rho);
@@ -299,18 +378,24 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
                 dlb_prev = dlb
                 d_in = d_buf
                 a_new = jnp.where(edge_lo, ins_tile, rolled[pb:2 * pb])
-                if t_off == 0:
+                if t_off == 0 and not interior:
                     a_new = jnp.where(cc > 0, a_new, a_win)
                 a_win = a_new
                 umax = ume if rho0 == 0 else umo
 
-            i_vec = ib + r
-            j_vec = jb + s
-            valid = ((i_vec >= 0) & (i_vec < la_b) & (j_vec >= 0)
-                     & (j_vec < lb_b) & (slot_u <= umax))
+            if interior:
+                # static in-band lane mask; every i/j bound and special
+                # row/col is provably clear of the interior range
+                valid = slot_u <= umax
+            else:
+                i_vec = ib + r
+                j_vec = jb + s
+                valid = ((i_vec >= 0) & (i_vec < la_b) & (j_vec >= 0)
+                         & (j_vec < lb_b) & (slot_u <= umax))
 
-            # DPM[0][0] = 0 boundary (only ever true at t == 0)
-            m_in = jnp.where((i_vec == 0) & (j_vec == 0), f32(0), m_in)
+                # DPM[0][0] = 0 boundary (only ever true at t == 0)
+                m_in = jnp.where((i_vec == 0) & (j_vec == 0), f32(0),
+                                 m_in)
 
             aw = a_win
             bw = b_win
@@ -318,10 +403,14 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
                             jnp.where(aw == bw, f32(match), f32(mismatch)),
                             f32(0))
 
-            open_a = jnp.where(i_vec == 0, g_l_open_a, g_open_a)
-            ext_a = jnp.where(i_vec == 0, g_l_ext_a, g_ext_a)
-            open_b = jnp.where(j_vec == 0, g_l_open_b, g_open_b)
-            ext_b = jnp.where(j_vec == 0, g_l_ext_b, g_ext_b)
+            if interior:
+                open_a, ext_a = g_open_a, g_ext_a
+                open_b, ext_b = g_open_b, g_ext_b
+            else:
+                open_a = jnp.where(i_vec == 0, g_l_open_a, g_open_a)
+                ext_a = jnp.where(i_vec == 0, g_l_ext_a, g_ext_a)
+                open_b = jnp.where(j_vec == 0, g_l_open_b, g_open_b)
+                ext_b = jnp.where(j_vec == 0, g_l_ext_b, g_ext_b)
 
             # MATCH (priority M >= D >= I)
             xm = m_in
@@ -343,46 +432,71 @@ def _make_kernel(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             take_iopen = mi >= ie
             i_out = jnp.where(valid, jnp.where(take_iopen, mi, ie), neg)
 
-            # Drow[LB] cell (i_lb = t - lb, j = lb) rides at its own lane
-            upd = ((j_vec == lb_b) & (i_vec >= 0) & (i_vec < la_b)
-                   & (slot_u < SW))
-            md_lb = m_in + g_r_open_b
-            de_lb = dlb_prev + g_r_ext_b
-            take_lb = md_lb >= de_lb
-            dlb_new = jnp.where(upd, jnp.where(take_lb, md_lb, de_lb),
-                                dlb_prev)
+            if interior:
+                dlb_new = dlb_prev
+            else:
+                # Drow[LB] cell (i_lb = t - lb, j = lb) rides at its own
+                # lane
+                upd = ((j_vec == lb_b) & (i_vec >= 0) & (i_vec < la_b)
+                       & (slot_u < SW))
+                md_lb = m_in + g_r_open_b
+                de_lb = dlb_prev + g_r_ext_b
+                take_lb = md_lb >= de_lb
+                dlb_new = jnp.where(upd, jnp.where(take_lb, md_lb, de_lb),
+                                    dlb_prev)
 
             bits = jnp.where(take_d, TB_DM, 0)
             bits = jnp.where(take_i, TB_IM, bits)
             bits = bits + jnp.where(take_open, TB_MD, 0)
             bits = bits + jnp.where(take_iopen, TB_MI, 0)
             bits = jnp.where(valid, bits, 0)
-            bits = jnp.where(upd, jnp.where(take_lb, TB_MD, 0), bits)
+            if not interior:
+                bits = jnp.where(upd, jnp.where(take_lb, TB_MD, 0), bits)
             bits_acc = bits_acc | (bits << (4 * (t_off % 8)))
 
-            is_last = i_vec == la_b - 1
-            if rho == rho0:   # even-parity t
-                mle = jnp.where(is_last, m_out, mle)
-            else:
-                mlo = jnp.where(is_last, m_out, mlo)
+            if not interior:
+                is_last = i_vec == la_b - 1
+                if rho == rho0:   # even-parity t
+                    mle = jnp.where(is_last, m_out, mle)
+                else:
+                    mlo = jnp.where(is_last, m_out, mlo)
 
             carry = (m_out, m1, d_out, i_out, dlb_new, a_win, b_win,
                      mle, mlo)
             return carry, bits_acc
 
-        carry = (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :],
-                 dlb_s[:, :], aw_s[:, :], bw_s[:, :],
-                 mle_s[:, :], mlo_s[:, :])
-        for w in range(nwrites):
-            bits_acc = jnp.zeros((pb, LANES), jnp.int32)
-            for k in range(8):
-                t_off = w * 8 + k
-                rho = (rho0 + t_off) % 2   # chunk is even-sized
-                carry, bits_acc = substep(t_off, rho, carry, bits_acc)
-            tb_ref[:, pl.ds(w * LANES, LANES)] = bits_acc
+        def chunk_body(interior):
+            carry = (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :],
+                     dlb_s[:, :], aw_s[:, :], bw_s[:, :],
+                     mle_s[:, :], mlo_s[:, :])
+            for w in range(nwrites):
+                bits_acc = jnp.zeros((pb, LANES), jnp.int32)
+                for k in range(8):
+                    t_off = w * 8 + k
+                    rho = (rho0 + t_off) % 2   # chunk is even-sized
+                    carry, bits_acc = substep(t_off, rho, carry,
+                                              bits_acc, interior)
+                tb_ref[:, pl.ds(w * LANES, LANES)] = bits_acc
 
-        (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :], dlb_s[:, :],
-         aw_s[:, :], bw_s[:, :], mle_s[:, :], mlo_s[:, :]) = carry
+            (m1_s[:, :], m2_s[:, :], d_s[:, :], i_s[:, :]) = carry[0:4]
+            aw_s[:, :] = carry[5]
+            bw_s[:, :] = carry[6]
+            if not interior:
+                dlb_s[:, :] = carry[4]
+                mle_s[:, :] = carry[7]
+                mlo_s[:, :] = carry[8]
+
+        # whole (row-blocks, chunks) flag table lives in SMEM (Mosaic
+        # rejects sub-(8,128) blocked specs); pick this step's scalar
+        flag = flag_ref[pl.program_id(0), cc]
+
+        @pl.when(flag != 0)
+        def _interior_chunk():
+            chunk_body(True)
+
+        @pl.when(flag == 0)
+        def _generic_chunk():
+            chunk_body(False)
 
         @pl.when(cc == n_cc - 1)
         def _emit():
@@ -406,13 +520,15 @@ def _make_run(steps: int, chunk: int, pb: int, rho0: int, SW: int,
     n_cc = steps // chunk
     nwrites = chunk // 8
 
-    def run(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp):
+    def run(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp, flags):
         R = la_b.shape[0]
         grid = (R // pb, n_cc)
         row_spec = pl.BlockSpec((pb, LANES), lambda g, c: (g, 0))
         in_specs = [row_spec] * 8 + [
             pl.BlockSpec((pb, (chunk // 4) * LANES), lambda g, c: (g, c)),
             pl.BlockSpec((1, 16), lambda g, c: (0, 0)),
+            pl.BlockSpec((R // pb, n_cc), lambda g, c: (0, 0),
+                         memory_space=pltpu.SMEM),
         ]
         out_shape = (
             jax.ShapeDtypeStruct((R, n_cc * nwrites * LANES), jnp.int32),
@@ -429,7 +545,7 @@ def _make_run(steps: int, chunk: int, pb: int, rho0: int, SW: int,
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, scratch_shapes=scratch,
             interpret=interpret,
-        )(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp)
+        )(la_b, lb_b, ib, jb, ume, umo, a_init, b_init, ins, gp, flags)
 
     return run
 
@@ -479,6 +595,7 @@ class WavefrontNWDevice:
         fn = _compiled(batch.steps, self.chunk, self.pb, batch.rho0,
                        batch.sw, self.match, self.mismatch, self.interpret)
         ins = pack_ins(padr(batch.ins, 4))
+        flags = _chunk_flags(batch, self.pb, R + pad, self.chunk)
         outs = fn(jnp.asarray(padr(batch.la_b, 1)),
                   jnp.asarray(padr(batch.lb_b, 1)),
                   jnp.asarray(padr(batch.ib, -10**6)),
@@ -487,7 +604,8 @@ class WavefrontNWDevice:
                   jnp.asarray(padr(batch.umax_o, -1)),
                   jnp.asarray(padr(batch.a_init, 4)),
                   jnp.asarray(padr(batch.b_init, 4)),
-                  jnp.asarray(ins), jnp.asarray(self.gp))
+                  jnp.asarray(ins), jnp.asarray(self.gp),
+                  jnp.asarray(flags))
         tb, mle, mlo, dlb = (np.asarray(o) for o in outs)
         tb = tb.reshape(tb.shape[0], -1, LANES)
         return tb[:R], mle[:R], mlo[:R], dlb[:R]
@@ -515,9 +633,10 @@ class WavefrontNWDevice:
         spec = P(axis)
         sharded = shard_map_norep(
             lambda *a: fn(*a), mesh=mesh,
-            in_specs=(spec,) * 9 + (P(),),
+            in_specs=(spec,) * 9 + (P(), spec),
             out_specs=(spec,) * 4)
         ins = pack_ins(padr(batch.ins, 4))
+        flags = _chunk_flags(batch, self.pb, R + pad, self.chunk)
         outs = sharded(jnp.asarray(padr(batch.la_b, 1)),
                        jnp.asarray(padr(batch.lb_b, 1)),
                        jnp.asarray(padr(batch.ib, -10**6)),
@@ -526,7 +645,8 @@ class WavefrontNWDevice:
                        jnp.asarray(padr(batch.umax_o, -1)),
                        jnp.asarray(padr(batch.a_init, 4)),
                        jnp.asarray(padr(batch.b_init, 4)),
-                       jnp.asarray(ins), jnp.asarray(self.gp))
+                       jnp.asarray(ins), jnp.asarray(self.gp),
+                       jnp.asarray(flags))
         tb, mle, mlo, dlb = (np.asarray(o) for o in outs)
         tb = tb.reshape(tb.shape[0], -1, LANES)
         return tb[:R], mle[:R], mlo[:R], dlb[:R]
@@ -884,14 +1004,17 @@ def trace_batch_device(dev: WavefrontNWDevice, batch: WaveBatch, tb, mle,
 
 
 def _pack_jax_builder(P: int, amax: int, bmax: int, steps: int, SW: int,
-                      gpv: int, rho0: int):
-    """Returns a traced fn (a_let, b_let, la, lb, dlo, bw) -> 9 kernel
-    input tiles, bit-identical to pack_wave + pack_ins + the pb padding
-    (dummy rows hold la=lb=1 mini-pairs instead of fill constants —
-    equally inert)."""
+                      gpv: int, rho0: int, chunk: int, pb: int):
+    """Returns a traced fn (a_let, b_let, la, lb, dlo, bw) -> 10 kernel
+    input tiles (incl. the per-(row-block, chunk) interior flags),
+    bit-identical to pack_wave + pack_ins + the pb padding (dummy rows
+    hold la=lb=1 mini-pairs instead of fill constants — equally inert;
+    their interior range is empty, so dummy-holding blocks take the
+    generic path)."""
     import jax.numpy as jnp
 
     nrows = P // gpv
+    n_cc = steps // chunk
     lanes_pad = LANES - gpv * SW
 
     # static step tables (identical to pack_wave's r_t/s_t)
@@ -970,10 +1093,18 @@ def _pack_jax_builder(P: int, amax: int, bmax: int, steps: int, SW: int,
             pad = jnp.full((nrows, C, lanes_pad), W_MID, jnp.int32)
             w = jnp.concatenate([w, pad], axis=2)
         ins = w.reshape(nrows, C * LANES)
+
+        t_lo, t_hi = _interior_bounds(la, lb, dlo, bw, rho0, SW, xp=jnp)
+        g_lo = t_lo.reshape(nrows // pb, pb * gpv).max(1)
+        g_hi = t_hi.reshape(nrows // pb, pb * gpv).min(1)
+        t0s = jnp.arange(n_cc, dtype=jnp.int32) * chunk
+        flags = ((t0s[None, :] >= g_lo[:, None])
+                 & (t0s[None, :] + chunk - 1 <= g_hi[:, None])
+                 ).astype(jnp.int32)
         return (rows(la_s, 1), rows(lb_s, 1),
                 rows(ib_s, -10**6), rows(jb_s, -10**6),
                 rows(ume_s, -1), rows(umo_s, -1),
-                rows(a_init_s, 4), rows(b_init_s, 4), ins)
+                rows(a_init_s, 4), rows(b_init_s, 4), ins, flags)
 
     return pack
 
@@ -992,14 +1123,14 @@ def _fused_compiled(P: int, amax: int, bmax: int, steps: int, chunk: int,
     # ~15x (the pallas call fused with a 500-step loop) for zero
     # transfer benefit — intermediates never leave the device either way
     pack_j = jax.jit(_pack_jax_builder(P, amax, bmax, steps, SW, gpv,
-                                       rho0))
+                                       rho0, chunk, pb))
     kern_j = _compiled(steps, chunk, pb, rho0, SW, match, mismatch,
                        interpret)
     tb_j = _traceback_compiled_wave(n_words, gpv, SW, rho0, tsteps, jmax)
 
     def fused(a_let, b_let, la, lb, dlo, bw, gp):
         tiles = pack_j(a_let, b_let, la, lb, dlo, bw)
-        tb, mle, mlo, dlb = kern_j(*tiles, gp)
+        tb, mle, mlo, dlb = kern_j(*tiles[:9], gp, tiles[9])
         tb3 = tb.reshape(tb.shape[0], n_words, LANES)
         return tb_j(tb3, mle, mlo, dlb, la, lb, dlo, bw, gp)
 

@@ -396,7 +396,7 @@ def fused_chase_compiled(P: int, amax: int, bmax: int, steps: int,
     n_words = steps // 8
     jmax = ((bmax + 1 + 127) // 128) * 128
     pack_j = jax.jit(_pack_jax_builder(P, amax, bmax, steps, SW, gpv,
-                                       rho0))
+                                       rho0, chunk, pb))
     kern_j = _compiled(steps, chunk, pb, rho0, SW, match, mismatch,
                        interpret)
     trace_j = _trace_stage_compiled(n_words, gpv, SW, rho0, steps, jmax,
@@ -408,7 +408,7 @@ def fused_chase_compiled(P: int, amax: int, bmax: int, steps: int,
 
     def fused(a_let, b_let, la, lb, dlo, bw, gp):
         tiles = pack_j(a_let, b_let, la, lb, dlo, bw)
-        tb, mle, mlo, dlb = kern_j(*tiles, gp)
+        tb, mle, mlo, dlb = kern_j(*tiles[:9], gp, tiles[9])
         return trace_j(tb, mle, mlo, dlb, la, lb, dlo, bw, gp)
 
     return fused
