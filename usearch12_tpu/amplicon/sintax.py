@@ -405,22 +405,13 @@ def sintax(query_path: Optional[str]) -> None:
             healthy, platform = _device_healthy()
             want_dev = healthy and platform in ("tpu", "axon")
         if want_dev:
-            from ..device import ensure_device_runtime
-            ensure_device_runtime()
-            try:
-                import jax
-                jax.config.update("jax_compilation_cache_dir",
-                                  "/tmp/usearch_jax_cache_tpu")
-                jax.config.update(
-                    "jax_persistent_cache_min_entry_size_bytes", 0)
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 0.5)
-            except Exception:
-                pass
-            # the incidence device_put can be up to 6 GiB: on the AUTO
-            # path a device OOM / backend init failure must fall back to
-            # the working host classifier, not kill the run (keep the
-            # hard failure only when -sintax_device was explicit)
+            # construction prefers the resident device server (no jax
+            # in this process); the in-process fallback does its own
+            # runtime bootstrap.  On the AUTO path any failure (device
+            # OOM on the up-to-6-GiB incidence, backend init, server
+            # crash) must fall back to the working host classifier, not
+            # kill the run (hard failure only when -sintax_device was
+            # explicit)
             try:
                 dev_cls = SintaxDeviceClassifier(cls)
             except Exception:

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import os
+
 import numpy as np
 
 from ..config import options
@@ -43,70 +45,74 @@ from .sintax import SintaxClassifier, _next_rand
 M32 = 0xFFFFFFFF
 
 
-class SintaxDeviceClassifier:
-    """Drop-in classify_window provider running boots on the device."""
+class BootEngine:
+    """Device-resident SINTAX boot state: the (V, T) word-incidence
+    matrix plus the compiled per-chunk boot matmul fns.
 
-    # dense incidence memory gate: V * T int8
-    MAX_INCIDENCE_BYTES = 6 << 30
+    The incidence is built ON DEVICE from the CSR postings (sizes +
+    postings, ~nnz*4 bytes) instead of device_put-ing the dense int8
+    matrix: over the tunneled backend the dense (V, T) upload is the
+    dominant per-process cost (1.3 GB for a 20k x 8-mer DB vs ~19 MB of
+    CSR), and inside the resident device server it is paid exactly once
+    per DB.  Host-side dense build + device_put remains as fallback if
+    the scatter-add fails to lower."""
 
-    def __init__(self, cls: SintaxClassifier, chunk_q: int = 64) -> None:
+    def __init__(self, v: int, t: int, sizes: np.ndarray,
+                 postings: np.ndarray, boots: int) -> None:
         import jax
         import jax.numpy as jnp
-        self.cls = cls
-        self.index = cls.index
-        self.chunk_q = chunk_q
-        index = self.index
-        index._flatten()
-        v = index.params.slot_count
-        t = index.seq_count
         self.t = t
-        mat = np.zeros((v, t), dtype=np.int8)
-        if t:
-            words = np.repeat(np.arange(v), index.sizes)
-            np.add.at(mat, (words, index.postings), 1)
-        self._w = jax.device_put(jnp.asarray(mat))
+        self.B = boots
+        nnz = int(sizes.sum())
+        if t and nnz:
+            try:
+                def build(sizes_d, posts_d):
+                    words = jnp.repeat(
+                        jnp.arange(v, dtype=jnp.int32), sizes_d,
+                        total_repeat_length=nnz)
+                    mat = jnp.zeros((v, t), jnp.int8)
+                    return mat.at[words, posts_d].add(jnp.int8(1))
+
+                self._w = jax.jit(build)(
+                    jnp.asarray(sizes.astype(np.int32)),
+                    jnp.asarray(postings.astype(np.int32)))
+                self._w.block_until_ready()
+            except Exception:
+                mat = np.zeros((v, t), dtype=np.int8)
+                words = np.repeat(np.arange(v), sizes)
+                np.add.at(mat, (words, postings), 1)
+                self._w = jax.device_put(jnp.asarray(mat))
+        else:
+            self._w = jax.device_put(jnp.zeros((v, max(t, 1)), jnp.int8))
         self._fns = {}
-        self._stream = None
-        self._stream_len = 0
 
-    @classmethod
-    def usable(cls, sc: SintaxClassifier) -> bool:
-        o = options()
-        index = sc.index
-        if o.flag("self") or index.params.hashed:
-            return False
-        index._flatten()
-        if index._postings is None:
-            return False
-        v = index.params.slot_count
-        return v * max(index.seq_count, 1) <= cls.MAX_INCIDENCE_BYTES
+    def fn(self, cq: int, uwmax: int, mmax: int, int8_ok: bool):
+        key = (cq, uwmax, mmax, int8_ok)
+        f = self._fns.get(key)
+        if f is None:
+            f = self._build(cq, uwmax, mmax, int8_ok)
+            self._fns[key] = f
+        return f
 
-    def _lcg_stream(self, n: int) -> np.ndarray:
-        """First n draws of the per-query boot LCG (seeded at -randseed;
-        identical for every query)."""
-        if self._stream is None or self._stream_len < n:
-            r = self.cls.randseed
-            out = np.empty(n, dtype=np.uint32)
-            for k in range(n):
-                r = _next_rand(r)
-                out[k] = r
-            self._stream = out
-            self._stream_len = n
-        return self._stream[:n]
+    def run_chunk(self, words, nuw, m, stream, rr):
+        """(cq, uwmax) words -> (winners, tops) numpy, one jit call.
+        The stream length defines the (pow2-bucketed) mmax geometry;
+        the int8 MXU path is keyed on the TRUE per-chunk max m (a
+        bucket boundary must not force the int32 fallback)."""
+        import jax.numpy as jnp
+        int8_ok = int(np.asarray(m).max(initial=0)) <= 127
+        f = self.fn(words.shape[0], words.shape[1],
+                    int(stream.shape[0] // self.B), int8_ok)
+        w_d, t_d = f(jnp.asarray(words), jnp.asarray(nuw),
+                     jnp.asarray(m), jnp.asarray(stream),
+                     jnp.asarray(rr.astype(np.int32)), self._w)
+        return np.asarray(w_d), np.asarray(t_d)
 
-    def _fn(self, cq: int, uwmax: int, mmax: int):
-        key = (cq, uwmax, mmax)
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = self._build(cq, uwmax, mmax)
-            self._fns[key] = fn
-        return fn
-
-    def _build(self, cq: int, uwmax: int, mmax: int):
+    def _build(self, cq: int, uwmax: int, mmax: int, int8_ok: bool):
         import jax
         import jax.numpy as jnp
 
-        B = self.cls.boots
+        B = self.B
         T = self.t
 
         def step(words, nuw, m_arr, stream, rr, w_mat):
@@ -142,7 +148,7 @@ class SintaxDeviceClassifier:
             # sampled up to m times per boot, so a large -boot_subset
             # (m > 127) would wrap int8 — fall back to int32 operands
             # for such windows (rare; still a matmul, just not int8)
-            p_dt = jnp.int8 if mmax <= 127 else jnp.int32
+            p_dt = jnp.int8 if int8_ok else jnp.int32
             U = jax.lax.dot_general(
                 P.astype(p_dt), mq.astype(p_dt),
                 (((2,), (1,)), ((0,), (0,))),
@@ -160,10 +166,133 @@ class SintaxDeviceClassifier:
 
         return jax.jit(step)
 
+
+class SintaxDeviceClassifier:
+    """Drop-in classify_window provider running boots on the device.
+
+    Prefers the resident device server (device_server.py): the server
+    holds the incidence matrix + compiled fns across CLI processes, so
+    a warm run pays only unix-socket round trips (~100 KB per 64-query
+    chunk) instead of per-process backend init + incidence upload.
+    Falls back to an in-process BootEngine when no server is available
+    (or the running server predates the sintax ops)."""
+
+    # dense incidence memory gate: V * T int8
+    MAX_INCIDENCE_BYTES = 6 << 30
+
+    def __init__(self, cls: SintaxClassifier, chunk_q: int = 64,
+                 use_server: bool = True) -> None:
+        self.cls = cls
+        self.index = cls.index
+        self.chunk_q = chunk_q
+        index = self.index
+        index._flatten()
+        self._v = index.params.slot_count
+        self.t = index.seq_count
+        self._srv = None
+        self._engine = None
+        self._sig = None
+        # server only on real-accelerator platforms: a cpu/interpret
+        # test env must never spawn the accelerator-holding daemon
+        platform = (os.environ.get("JAX_PLATFORMS", "")
+                    or "auto").split(",")[0]
+        if use_server and platform in ("axon", "tpu", "auto"):
+            try:
+                from ..device_server import get_client
+                cli = get_client(spawn=True)
+                if cli is not None:
+                    self._srv = cli
+                    self._sig = self._db_sig()
+            except Exception:
+                self._srv = None
+        if self._srv is None:
+            self._make_local_engine()
+        self._stream = None
+        self._stream_len = 0
+
+    def _db_sig(self):
+        """Identity of the loaded DB for server-side incidence caching:
+        file path+mtime+size when known, else a content hash of the
+        postings."""
+        o = options()
+        path = o.str("db") if o.filled("db") else None
+        base = (self._v, self.t, int(self.cls.boots))
+        if path and os.path.exists(path):
+            st = os.stat(path)
+            return ("path", os.path.abspath(path), int(st.st_mtime_ns),
+                    st.st_size) + base
+        import hashlib
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(self.index.sizes))
+        h.update(np.ascontiguousarray(self.index.postings))
+        return ("hash", h.hexdigest()) + base
+
+    def _make_local_engine(self):
+        from ..device import ensure_device_runtime
+        ensure_device_runtime()
+        try:
+            import jax
+            platform = (os.environ.get("JAX_PLATFORMS", "")
+                        or "tpu").split(",")[0]
+            jax.config.update("jax_compilation_cache_dir",
+                              f"/tmp/usearch_jax_cache_{platform}")
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+        index = self.index
+        self._engine = BootEngine(self._v, self.t,
+                                  np.asarray(index.sizes),
+                                  np.asarray(index.postings),
+                                  int(self.cls.boots))
+
+    def _run_chunk(self, words, nuw, m, stream, rr):
+        if self._srv is not None:
+            try:
+                r = self._srv.sintax_boots(
+                    self._sig, words, nuw, m, stream, rr,
+                    loader=lambda: (self._v, self.t,
+                                    np.asarray(self.index.sizes),
+                                    np.asarray(self.index.postings),
+                                    int(self.cls.boots)))
+                return r
+            except Exception:
+                # server gone or too old: build locally once, keep going
+                self._srv = None
+                if self._engine is None:
+                    self._make_local_engine()
+        return self._engine.run_chunk(words, nuw, m, stream, rr)
+
+    @classmethod
+    def usable(cls, sc: SintaxClassifier) -> bool:
+        o = options()
+        index = sc.index
+        if o.flag("self") or index.params.hashed:
+            return False
+        index._flatten()
+        if index._postings is None:
+            return False
+        v = index.params.slot_count
+        return v * max(index.seq_count, 1) <= cls.MAX_INCIDENCE_BYTES
+
+    def _lcg_stream(self, n: int) -> np.ndarray:
+        """First n draws of the per-query boot LCG (seeded at -randseed;
+        identical for every query)."""
+        if self._stream is None or self._stream_len < n:
+            r = self.cls.randseed
+            out = np.empty(n, dtype=np.uint32)
+            for k in range(n):
+                r = _next_rand(r)
+                out[k] = r
+            self._stream = out
+            self._stream_len = n
+        return self._stream[:n]
+
     def classify_window(self, seqs: List[np.ndarray], both: bool):
         """Same contract as SintaxClassifier.classify_window; None is
         never returned (caller checked usable())."""
-        import jax.numpy as jnp
         from ..alpha import revcomp
         cls = self.cls
         params = self.index.params
@@ -194,7 +323,12 @@ class SintaxDeviceClassifier:
         tops = np.zeros((nj, B), np.int32)
         if nj:
             m_all = np.array([j[3] for j in jobs], np.int32)
-            mmax = int(m_all.max())
+            # pow2-bucket the stream length so per-window jitter in
+            # max(m) does not mint fresh compile geometries (each costs
+            # ~30-60 s over the tunneled backend)
+            mmax = 8
+            while mmax < int(m_all.max()):
+                mmax *= 2
             stream = self._lcg_stream(B * mmax).astype(np.uint32)
             # tie-break draws: B per job, consumed in job order — the
             # exact order the host per-strand classify would use
@@ -209,7 +343,6 @@ class SintaxDeviceClassifier:
             uwmax_n = max(int(max(len(j[2]) for j in jobs)), 8)
             uwmax = 1 << int(np.ceil(np.log2(uwmax_n)))
             cq = self.chunk_q
-            sd = jnp.asarray(stream)
             for lo in range(0, nj, cq):
                 hi = min(lo + cq, nj)
                 c = hi - lo
@@ -223,13 +356,10 @@ class SintaxDeviceClassifier:
                     nuw_a[k] = len(uw)
                     m_a[k] = jobs[lo + k][3]
                     rr_a[k] = rr[lo + k]
-                fn = self._fn(cq, uwmax, int(m_all.max()))
-                w_d, t_d = fn(jnp.asarray(words), jnp.asarray(nuw_a),
-                              jnp.asarray(m_a), sd,
-                              jnp.asarray(rr_a.astype(np.int32)),
-                              self._w)
-                winners[lo:hi] = np.asarray(w_d)[:c]
-                tops[lo:hi] = np.asarray(t_d)[:c]
+                w_np, t_np = self._run_chunk(words, nuw_a, m_a, stream,
+                                             rr_a)
+                winners[lo:hi] = w_np[:c]
+                tops[lo:hi] = t_np[:c]
 
         # host tally + strand vote (identical to the numpy fallback in
         # SintaxClassifier.classify / the driver's vote)

@@ -354,10 +354,35 @@ def cmd_usearch_global(query_path: Optional[str]) -> None:
                 and (o.flag("device_rank")
                      or (eng.index.seq_count >= 200000
                          and _engine_device() is not None)):
-            from .ops.csr_rank import CSRDeviceRanker, make_engine_override
+            from .ops.csr_rank import (CSRDeviceRanker, CSRServerRanker,
+                                       make_engine_override)
             term_k = eng.max_accepts + eng.max_rejects
-            cr = CSRDeviceRanker(eng.index, topk=max(64, term_k))
-            rank_override = make_engine_override(cr, eng)
+            try:
+                import os
+                dev = _engine_device()
+                if getattr(dev, "is_server", False):
+                    # resident server holds the CSR arrays + compiled
+                    # rank fns across CLI runs (the per-process tunnel
+                    # compile is ~300 s; a warm server answers in ms)
+                    dbp = o.str("db")
+                    st = os.stat(dbp)
+                    sig = ("csr", os.path.abspath(dbp),
+                           int(st.st_mtime_ns), st.st_size)
+                    cr = CSRServerRanker(eng.index, dev.client, sig,
+                                         topk=max(64, term_k))
+                else:
+                    # in-process ranker: this process may never have
+                    # registered the PJRT plugin (ServerDevice path
+                    # skips it), so bootstrap before any jax init
+                    from .device import ensure_device_runtime
+                    ensure_device_runtime()
+                    cr = CSRDeviceRanker(eng.index,
+                                         topk=max(64, term_k))
+                rank_override = make_engine_override(cr, eng)
+            except Exception:
+                if o.flag("device_rank"):
+                    raise   # explicit request: fail loudly
+                rank_override = None   # auto path: host C ranker
         only_b6 = (f_b6 is not None and dbhit is None
                    and not any((f_aln, f_uc, f_m, f_nm, f_fp, f_user,
                                 f_qseg, f_tseg, f_trim)))

@@ -121,6 +121,51 @@ class DeviceServerClient:
                                        for a, b in pairs]})
         return rep["scores"], rep["paths"]
 
+    def csr_rank(self, sig, qw, wmax: int, cap: int, loader=None):
+        """One CSR rank chunk on the server-resident postings for
+        `sig`; `loader()` supplies (v, t, starts, sizes, postings,
+        topk, bump) for a one-time csr_load on cache miss."""
+        req = {"op": "csr_rank", "sig": tuple(sig),
+               "qw": np.ascontiguousarray(qw),
+               "wmax": int(wmax), "cap": int(cap)}
+        rep = self._request(req)
+        if rep.get("need_load"):
+            if loader is None:
+                raise DeviceServerError("server needs csr_load")
+            v, t, starts, sizes, postings, topk, bump = loader()
+            self._request({"op": "csr_load", "sig": tuple(sig),
+                           "v": int(v), "t": int(t),
+                           "starts": np.ascontiguousarray(starts),
+                           "sizes": np.ascontiguousarray(sizes),
+                           "postings": np.ascontiguousarray(postings),
+                           "topk": int(topk), "bump": int(bump)})
+            rep = self._request(req)
+        return rep["cnts"], rep["tgts"], rep["nextv"]
+
+    def sintax_boots(self, sig, words, nuw, m, stream, rr, loader=None):
+        """One SINTAX boot chunk on the server-resident incidence for
+        `sig`.  On a cache miss the server replies need_load and
+        `loader()` supplies (v, t, sizes, postings, boots) for a one-
+        time sintax_load (~CSR-sized) before retrying."""
+        req = {"op": "sintax_boots", "sig": tuple(sig),
+               "words": np.ascontiguousarray(words),
+               "nuw": np.ascontiguousarray(nuw),
+               "m": np.ascontiguousarray(m),
+               "stream": np.ascontiguousarray(stream),
+               "rr": np.ascontiguousarray(rr)}
+        rep = self._request(req)
+        if rep.get("need_load"):
+            if loader is None:
+                raise DeviceServerError("server needs sintax_load")
+            v, t, sizes, postings, boots = loader()
+            self._request({"op": "sintax_load", "sig": tuple(sig),
+                           "v": int(v), "t": int(t),
+                           "sizes": np.ascontiguousarray(sizes),
+                           "postings": np.ascontiguousarray(postings),
+                           "boots": int(boots)})
+            rep = self._request(req)
+        return rep["winners"], rep["tops"]
+
 
 class ServerDevice:
     """Stands in for WavefrontNWDevice in BatchEngine when a resident
@@ -277,6 +322,15 @@ def _serve(sock_path: str, idle_s: float) -> int:
     from .ops.wavefront_nw import FusedWaveAligner, WavefrontNWDevice
 
     aligners = {}
+    # SINTAX boot engines keyed by DB signature: the (V, T) incidence
+    # matrix stays device-resident across CLI processes (the per-process
+    # upload/build is the dominant cost of the device SINTAX path).
+    # Bounded: one DB switch drops the previous engine.
+    sintax_engines = {}
+    SINTAX_MAX = 2
+    # CSR rank engines keyed by DB signature (same residency rationale)
+    csr_engines = {}
+    CSR_MAX = 2
 
     def aligner_for(ap, cls_bits: int):
         key = (float(ap.open_a), float(ap.open_b), float(ap.ext_a),
@@ -334,6 +388,9 @@ def _serve(sock_path: str, idle_s: float) -> int:
             conn.settimeout(60.0)
             req = _recv_frame(conn)
             op = req.get("op")
+            if op not in ("ping",):
+                print(f"device_server: {op} begin", flush=True)
+                _t_op = time.monotonic()
             if op == "ping":
                 with state_lock:
                     served, busy = state["served"], state["busy"]
@@ -366,9 +423,97 @@ def _serve(sock_path: str, idle_s: float) -> int:
                 finally:
                     with state_lock:
                         state["busy"] -= 1
+            elif op == "csr_load":
+                conn.settimeout(1800.0)
+                with state_lock:
+                    state["busy"] += 1
+                try:
+                    from .ops.csr_rank import CSRDeviceRanker
+                    with align_lock:
+                        if req["sig"] not in csr_engines:
+                            while len(csr_engines) >= CSR_MAX:
+                                csr_engines.pop(next(iter(csr_engines)))
+                            csr_engines[req["sig"]] = \
+                                CSRDeviceRanker.from_arrays(
+                                    req["v"], req["t"], req["starts"],
+                                    req["sizes"], req["postings"],
+                                    req["topk"], req["bump"])
+                    _send_frame(conn, {"ok": True})
+                except Exception as e:  # noqa: BLE001
+                    _send_frame(conn, {"ok": False,
+                                       "error": repr(e)[:500]})
+            elif op == "csr_rank":
+                conn.settimeout(1800.0)
+                eng = csr_engines.get(req["sig"])
+                if eng is None:
+                    _send_frame(conn, {"ok": True, "need_load": True})
+                else:
+                    with state_lock:
+                        state["busy"] += 1
+                    try:
+                        with align_lock:
+                            c, t, n = eng.run_chunk_device(
+                                req["qw"], req["wmax"], req["cap"])
+                        with state_lock:
+                            state["served"] += 1
+                        _send_frame(conn, {"ok": True, "cnts": c,
+                                           "tgts": t, "nextv": n})
+                    except Exception as e:  # noqa: BLE001
+                        _send_frame(conn, {"ok": False,
+                                           "error": repr(e)[:500]})
+                    finally:
+                        with state_lock:
+                            state["busy"] -= 1
+            elif op == "sintax_load":
+                conn.settimeout(1800.0)
+                with state_lock:
+                    state["busy"] += 1
+                try:
+                    from .amplicon.sintax_device import BootEngine
+                    with align_lock:
+                        if req["sig"] not in sintax_engines:
+                            while len(sintax_engines) >= SINTAX_MAX:
+                                sintax_engines.pop(
+                                    next(iter(sintax_engines)))
+                            sintax_engines[req["sig"]] = BootEngine(
+                                req["v"], req["t"], req["sizes"],
+                                req["postings"], req["boots"])
+                    _send_frame(conn, {"ok": True})
+                except Exception as e:  # noqa: BLE001
+                    _send_frame(conn, {"ok": False,
+                                       "error": repr(e)[:500]})
+                finally:
+                    with state_lock:
+                        state["busy"] -= 1
+            elif op == "sintax_boots":
+                conn.settimeout(1800.0)
+                eng = sintax_engines.get(req["sig"])
+                if eng is None:
+                    _send_frame(conn, {"ok": True, "need_load": True})
+                else:
+                    with state_lock:
+                        state["busy"] += 1
+                    try:
+                        with align_lock:
+                            w, t = eng.run_chunk(
+                                req["words"], req["nuw"], req["m"],
+                                req["stream"], req["rr"])
+                        with state_lock:
+                            state["served"] += 1
+                        _send_frame(conn, {"ok": True, "winners": w,
+                                           "tops": t})
+                    except Exception as e:  # noqa: BLE001
+                        _send_frame(conn, {"ok": False,
+                                           "error": repr(e)[:500]})
+                    finally:
+                        with state_lock:
+                            state["busy"] -= 1
             else:
                 _send_frame(conn, {"ok": False,
                                    "error": f"unknown op {op!r}"})
+            if op not in ("ping",):
+                print(f"device_server: {op} done "
+                      f"{time.monotonic() - _t_op:.1f}s", flush=True)
         except Exception as e:  # noqa: BLE001 — bad frame, next conn
             print(f"device_server: request failed: {e!r}", flush=True)
         finally:
