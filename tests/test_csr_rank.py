@@ -82,3 +82,39 @@ def test_csr_rank_engine_blast6(ranked_db):
             em2 = Blast6Emitter(f, db, False)
             eng2.run_file(q_fa, lambda *a: None, fast_emit=em2.emit)
         assert open(f"{d}/csr.b6").read() == open(f"{d}/host.b6").read()
+
+
+def test_csr_rank_over_cap_host_fallback(ranked_db, monkeypatch):
+    """Queries whose posting total exceeds CAP_MAX must come back flagged
+    uncertain (zero device counts) and the engine override must replace
+    them with the exact host ranking."""
+    db_fa, q_fa = ranked_db
+    parse_argv(["-usearch_global", q_fa, "-db", db_fa, "-id", "0.9",
+                "-strand", "plus", "-quiet"])
+    from usearch12_tpu.io.seqdb import SeqDB
+    from usearch12_tpu.io.fastx import read_fastx
+    from usearch12_tpu.index.udb import UDBIndex
+    from usearch12_tpu.ops.csr_rank import (CSRDeviceRanker,
+                                            make_engine_override)
+    from usearch12_tpu.engine.batch import BatchEngine
+    db = SeqDB.from_fastx(db_fa)
+    db.mask()
+    index = UDBIndex.from_seqdb(db)
+    # force every query over the ceiling
+    monkeypatch.setattr(CSRDeviceRanker, "CAP_MAX", 4)
+    cr = CSRDeviceRanker(index, topk=64, chunk_b=64)
+    recs = list(read_fastx(q_fa, stream=True))[:8]
+    jbuf = np.ascontiguousarray(np.concatenate([s for _l, s, _q in recs]))
+    j_off = np.zeros(len(recs) + 1, np.int64)
+    np.cumsum([len(s) for _l, s, _q in recs], out=j_off[1:])
+    cand, cnts, out_n, unc = cr.rank_window(jbuf, j_off)
+    assert unc.all() and (out_n == 0).all()
+    eng = BatchEngine("usearch_global", db, index=index)
+    override = make_engine_override(cr, eng)
+    o_cand, o_cnts, o_out_n = override(jbuf, j_off)
+    h_cand, h_cnts, h_out_n = eng._rank_jobs(jbuf, j_off)
+    assert np.array_equal(o_out_n, h_out_n)
+    for i in range(len(recs)):
+        n = int(h_out_n[i])
+        assert np.array_equal(o_cand[i][:n],
+                              h_cand[i][:n].astype(o_cand.dtype)), i
