@@ -103,13 +103,16 @@ class CSRDeviceRanker:
         return fn
 
     def _build(self, wmax: int, cap: int):
-        """Three SEPARATELY-jitted stages chained through device-resident
-        intermediates (hits -> dense counts -> ratchet/top-K).  One
-        fused jit of the whole pipeline explodes XLA/Mosaic compile time
-        from ~25 s to >40 min at cap = 2^18 (operand chains fused into
-        the fori_loop body and the top_k comparator network — same
-        lesson as wavefront_nw._fused_compiled); the intermediates never
-        leave the device either way."""
+        """Micro-jitted stages chained through device-resident
+        intermediates (hits -> dense counts -> prefix scans -> NextValue
+        -> packed top-K).  At this width (TP = 2^18 lanes) the TPU
+        compiler explodes (seconds -> tens of minutes) whenever an
+        associative_scan or sort/top_k shares one jit module with ANY
+        consumer or producer — optimization_barrier does not help, only
+        module separation does (measured: scan 10 s, nextv 1 s, packed
+        top_k 8 s in isolation; any pairing >400 s).  Same family of
+        lesson as wavefront_nw._fused_compiled.  Intermediates never
+        leave the device; per-chunk dispatch overhead is ~ms."""
         import jax
         import jax.numpy as jnp
 
@@ -123,22 +126,46 @@ class CSRDeviceRanker:
         hi_bins = TP // 128
         CH = min(256, cap)   # hit-stream slice per histogram matmul
 
+        CH2 = min(2048, cap)   # positions per idx-matvec slice
+
         def stage_hits(qw, starts, sizes, postings):
             # qw: (B, wmax) int32 word ids (pad = V+... the empty row)
+            #
+            # Flat posting index per stream position WITHOUT per-element
+            # gathers (TPU element-gathers ran ~13 ns each; the original
+            # searchsorted + take_along chain spent 2.7 s per chunk on
+            # them).  Telescoping: with base[w] = starts[qw[w]] -
+            # seg_lo[w],
+            #   idx[p] = base[0] + p + sum_w [p >= seg_off[w]] *
+            #            (base[w+1] - base[w])
+            # — the sum is a (cap, wmax) step-indicator contracted with
+            # the per-word base deltas in int32 on the VPU (deltas reach
+            # tens of millions, past f32's exact-integer range), sliced
+            # over positions.  Only the unavoidable postings gather
+            # remains per-element.
             B = qw.shape[0]
             seg_sizes = sizes[qw]                        # (B, wmax)
             seg_off = jnp.cumsum(seg_sizes, axis=1)      # inclusive
             seg_lo = seg_off - seg_sizes                 # exclusive
             total = seg_off[:, -1]                       # (B,)
+            starts_q = starts[qw]                        # (B, wmax)
+            base = starts_q - seg_lo                     # (B, wmax)
+            delta = jnp.concatenate(
+                [base[:, 1:] - base[:, :-1],
+                 jnp.zeros((B, 1), base.dtype)], axis=1)  # (B, wmax)
+            def body(i, acc):
+                p = (i * CH2
+                     + jnp.arange(CH2, dtype=jnp.int32))  # (CH2,)
+                ind = (p[None, :, None]
+                       >= seg_off[:, None, :]).astype(jnp.int32)
+                corr = jnp.sum(ind * delta[:, None, :],
+                               axis=2)                    # (B, CH2)
+                idx = base[:, 0:1] + p[None, :] + corr
+                return jax.lax.dynamic_update_slice(acc, idx, (0, i * CH2))
+
+            idx = jax.lax.fori_loop(
+                0, cap // CH2, body, jnp.zeros((B, cap), jnp.int32))
             pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
-            # which word segment does flat position j fall into?
-            seg = jax.vmap(
-                lambda off, p: jnp.searchsorted(off, p, side="right")
-            )(seg_off, pos.repeat(B, axis=0))            # (B, cap)
-            seg = jnp.minimum(seg, wmax - 1)
-            within = pos - jnp.take_along_axis(seg_lo, seg, axis=1)
-            word = jnp.take_along_axis(qw, seg, axis=1)
-            idx = starts[word] + within
             hits = postings[jnp.clip(idx, 0, postings.shape[0] - 1)]
             # padding -> TP-1 (top bin, zeroed out of the dense counts)
             return jnp.where(pos < total[:, None], hits, TP - 1)
@@ -173,38 +200,37 @@ class CSRDeviceRanker:
             tgrid = jnp.arange(TP, dtype=jnp.int32)[None, :]
             return jnp.where(tgrid < T, count, 0)
 
-        def stage_rank(count):
-            B = count.shape[0]
-            tgrid = jnp.arange(TP, dtype=jnp.int32)[None, :]
-            # exact SetTopBump over ascending target order (zero-count
-            # positions neither record nor are kept: cur_min >= 1)
-            if bump != 0:
-                inc = jax.lax.associative_scan(jnp.maximum, count,
-                                               axis=1)
-                pm = jnp.concatenate(
-                    [jnp.zeros((B, 1), count.dtype), inc[:, :-1]],
-                    axis=1)
-                record = count > pm
-                nm = (count * bump) // 100
-                contrib = jnp.where(record & (nm < pm), nm, 0)
-                cm = jax.lax.associative_scan(jnp.maximum, contrib,
-                                              axis=1)
-                cur_min = jnp.maximum(
-                    jnp.concatenate([jnp.zeros((B, 1), count.dtype),
-                                     cm[:, :-1]], axis=1), 1)
-                kept = jnp.where(count >= cur_min, count, 0)
-            else:
-                pm = jnp.concatenate(
-                    [jnp.zeros((B, 1), count.dtype),
-                     jax.lax.associative_scan(jnp.maximum, count,
-                                              axis=1)[:, :-1]], axis=1)
-                kept = count
+        def stage_scan(count):
+            # prefix max of count in ascending-target order (exclusive)
+            inc = jax.lax.associative_scan(jnp.maximum, count, axis=1)
+            return jnp.concatenate(
+                [jnp.zeros((count.shape[0], 1), count.dtype),
+                 inc[:, :-1]], axis=1)
+
+        def stage_contrib(count, pm):
+            # SetTopBump record contributions (elementwise)
+            record = count > pm
+            nm = (count * bump) // 100
+            return jnp.where(record & (nm < pm), nm, 0)
+
+        def stage_kept(count, cm):
+            cur_min = jnp.maximum(
+                jnp.concatenate([jnp.zeros((count.shape[0], 1),
+                                           count.dtype),
+                                 cm[:, :-1]], axis=1), 1)
+            return jnp.where(count >= cur_min, count, 0)
+
+        def stage_nextv(count, pm):
             # NextValue: prefix max (pm) at the first global max
             maxv = jnp.max(count, axis=1)
             first_max = jnp.argmax(count == maxv[:, None], axis=1)
             nextv = jnp.take_along_axis(pm, first_max[:, None],
                                         axis=1)[:, 0]
-            nextv = jnp.where(maxv > 0, nextv, 0)
+            return jnp.where(maxv > 0, nextv, 0)
+
+        def stage_topk(kept):
+            B = kept.shape[0]
+            tgrid = jnp.arange(TP, dtype=jnp.int32)[None, :]
             # top-K by (count desc, target asc): packed single-key
             # top_k over the dense count row.  The barrier keeps the
             # packing arithmetic out of the top_k comparator network
@@ -222,14 +248,31 @@ class CSRDeviceRanker:
                     dimension=1, num_keys=2)
                 nc, nt = -ncs[:, :K], nts[:, :K]
             nt = jnp.where(nc > 0, nt, T)
-            return nc, nt, nextv
+            return nc, nt
 
+        # every block is its OWN jit: on this backend the TPU
+        # compiler explodes (seconds -> tens of minutes) whenever an
+        # associative_scan or sort/top_k shares a module with any
+        # consumer/producer at this width, barriers notwithstanding
         j_hits = jax.jit(stage_hits)
         j_hist = jax.jit(stage_hist)
-        j_rank = jax.jit(stage_rank)
+        j_scan = jax.jit(stage_scan)
+        j_contrib = jax.jit(stage_contrib)
+        j_kept = jax.jit(stage_kept)
+        j_nextv = jax.jit(stage_nextv)
+        j_topk = jax.jit(stage_topk)
 
         def step(qw, starts, sizes, postings):
-            return j_rank(j_hist(j_hits(qw, starts, sizes, postings)))
+            count = j_hist(j_hits(qw, starts, sizes, postings))
+            pm = j_scan(count)
+            if bump != 0:
+                cm = j_scan(j_contrib(count, pm))
+                kept = j_kept(count, cm)
+            else:
+                kept = count
+            nextv = j_nextv(count, pm)
+            nc, nt = j_topk(kept)
+            return nc, nt, nextv
 
         return step
 
