@@ -449,9 +449,10 @@ def _server_probe():
 
 
 def _gen_sintax_big(d):
-    """20k-target / 248 nt taxonomy DB (past the 16384 auto-device
+    """60k-target / 248 nt taxonomy DB (past the 40000 auto-device
     threshold) + 1500 queries: the regime where the device matmul boots
-    displace the host C argmax scan (O(boots x T) per strand)."""
+    (served by the resident device server) displace the host C argmax
+    scan (O(boots x T) per strand)."""
     import numpy as np
     dbf = os.path.join(d, "sxb_db.fa")
     qf = os.path.join(d, "sxb_q.fa")
@@ -461,7 +462,7 @@ def _gen_sintax_big(d):
     conv = np.frombuffer(b"ACGT", np.uint8)
     seqs = []
     with open(dbf, "w") as f:
-        for i in range(20000):
+        for i in range(60000):
             s = conv[rng.integers(0, 4, 248)]
             seqs.append(s)
             f.write(f">r{i};tax=d:D{i % 5},p:P{i % 40},g:G{i % 400};\n"
@@ -476,8 +477,8 @@ def _gen_sintax_big(d):
 
 
 def bench_sintax_device(ref, d):
-    """AUTO-mode device SINTAX vs host-forced SINTAX on a 20k-target DB
-    (auto threshold 16384), interleaved legs, byte parity of -tabbedout
+    """AUTO-mode device SINTAX vs host-forced SINTAX on a 60k-target DB
+    (auto threshold 40000), interleaved legs, byte parity of -tabbedout
     at -randseed 1.  The auto leg runs with NO forcing flags; device
     participation is proven by the USEARCH_DEVICE_STATS record the
     classifier writes (VERDICT r5 item 2)."""

@@ -399,11 +399,25 @@ def sintax(query_path: Optional[str]) -> None:
     if SintaxDeviceClassifier.usable(cls):
         forced = o.flag("sintax_device")
         want_dev = forced
-        if (not want_dev and index.seq_count >= 16384
+        # auto threshold 40000: measured on the 60k/248nt A/B the
+        # device (via the resident server) wins ~1.2x; at 20k the host
+        # C classifier is still faster than the driver+dispatch
+        # overhead (TPU_EVIDENCE.jsonl sintax_device entries)
+        if (not want_dev and index.seq_count >= 40000
                 and not o.flag("no_sintax_device")):
-            from ..commands import _device_healthy
-            healthy, platform = _device_healthy()
-            want_dev = healthy and platform in ("tpu", "axon")
+            # a live resident server answers in ms and implies a
+            # healthy accelerator — the subprocess probe costs seconds
+            # of fixed latency per CLI run, so only probe when no
+            # server is up
+            try:
+                from ..device_server import get_client
+                want_dev = get_client(spawn=False) is not None
+            except Exception:
+                want_dev = False
+            if not want_dev:
+                from ..commands import _device_healthy
+                healthy, platform = _device_healthy()
+                want_dev = healthy and platform in ("tpu", "axon")
         if want_dev:
             # construction prefers the resident device server (no jax
             # in this process); the in-process fallback does its own

@@ -180,7 +180,7 @@ class SintaxDeviceClassifier:
     # dense incidence memory gate: V * T int8
     MAX_INCIDENCE_BYTES = 6 << 30
 
-    def __init__(self, cls: SintaxClassifier, chunk_q: int = 64,
+    def __init__(self, cls: SintaxClassifier, chunk_q: int = 128,
                  use_server: bool = True) -> None:
         self.cls = cls
         self.index = cls.index

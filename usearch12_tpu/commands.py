@@ -123,6 +123,18 @@ def _engine_device():
     if o.flag("no_engine_device"):
         return None
     interpret = False
+    # a LIVE resident server answers a ping in ms and already holds the
+    # accelerator — connecting to it needs neither the subprocess
+    # health probe (seconds of fixed latency per CLI run) nor any
+    # in-process jax
+    if not o.flag("engine_device"):
+        try:
+            from .device_server import ServerDevice, get_client
+            cli = get_client(spawn=False)
+            if cli is not None:
+                return ServerDevice(cli)
+        except Exception:
+            pass
     # health probe FIRST (killable subprocess): in-process jax.devices()
     # on a wedged tunnel hangs un-interruptibly, so it must only run
     # after the probe says the backend answers
