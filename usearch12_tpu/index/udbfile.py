@@ -132,13 +132,32 @@ def read_udb(path: str):
         seq_buf = np.fromfile(f, dtype=np.uint8, count=int(s_seq_bytes))
 
     db = SeqDB()
-    pos = 0
-    for i in range(s_seq_count):
-        off = int(label_offsets[i])
-        label = _cstr(label_buf[off:])
-        L = int(seq_lengths[i])
-        db.add(label, seq_buf[pos:pos + L].copy())
-        pos += L
+    # labels: one decode + split over the whole buffer (the per-record
+    # `label_buf[off:]` slice-then-split is O(total_bytes) PER label —
+    # 41 s on a 220k-seq .udb).  Valid only when the offsets are exactly
+    # the consecutive C-string layout the reference writes
+    # (src/seqdbio.cpp); any mismatch falls back to the per-label path.
+    labels = None
+    if s_seq_count > 0 and s_label_bytes > 0 and label_buf[-1:] == b"\0":
+        parts = label_buf.decode("latin1").split("\0")
+        if len(parts) == s_seq_count + 1 and not parts[-1]:
+            lens = np.fromiter((len(p) for p in parts[:-1]), np.int64,
+                               s_seq_count)
+            offs = np.zeros(s_seq_count, np.int64)
+            np.cumsum(lens[:-1] + 1, out=offs[1:])
+            if np.array_equal(offs, label_offsets.astype(np.int64)):
+                labels = parts[:-1]
+    if labels is None:
+        labels = [_cstr(label_buf[int(label_offsets[i]):])
+                  for i in range(s_seq_count)]
+    db.labels = labels
+    # seqs: consecutive zero-copy views over the one mmap'able buffer
+    seq_off = np.zeros(s_seq_count + 1, dtype=np.int64)
+    np.cumsum(seq_lengths.astype(np.int64), out=seq_off[1:])
+    db.seqs = [seq_buf[seq_off[i]:seq_off[i + 1]]
+               for i in range(s_seq_count)]
+    db._bulk_buf = seq_buf
+    db._bulk_off = seq_off
     db.set_is_nucleo(nucleo)
 
     idx = UDBIndex(params)
