@@ -408,6 +408,15 @@ class BatchEngine:
     def _new_scratch(self) -> _Scratch:
         sc = _Scratch(self.lib, self.ah, self.ap.nucleo, self._sub_mx,
                       self._ctl_aln)
+        if self.min_id >= 0.0:
+            # arm UDBSearchBig semantics (stepped words, first-touch tie
+            # order) for ranks above -big targets
+            from ..config import options
+            o = options()
+            self.lib.rank_scratch_set_big(
+                sc.rs, float(self.min_id), 1 if self.ap.nucleo else 0,
+                o.uns("stepwords"), getattr(self.index, "db_step", 1),
+                o.uns("big"))
         self._scratches.append(sc)
         return sc
 

@@ -165,6 +165,7 @@ class UDBIndex:
     def __init__(self, params: UDBParams) -> None:
         self.params = params
         self.seq_count = 0
+        self.db_step = 1    # m_DBStep from a loaded .udb header
         # pending (word, seq_index) pairs not yet merged into the CSR view
         self._pending_words: List[np.ndarray] = []
         self._pending_tix: List[np.ndarray] = []

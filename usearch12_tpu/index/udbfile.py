@@ -161,6 +161,7 @@ def read_udb(path: str):
     db.set_is_nucleo(nucleo)
 
     idx = UDBIndex(params)
+    idx.db_step = int(db_step) if db_step else 1
     idx.seq_count = s_seq_count
     starts = np.zeros(slot_count + 1, dtype=np.int64)
     np.cumsum(sizes.astype(np.int64), out=starts[1:])

@@ -145,6 +145,10 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p]
         lib.rank_scratch_create.restype = ctypes.c_void_p
         lib.rank_scratch_destroy.argtypes = [ctypes.c_void_p]
+        lib.rank_scratch_set_big.restype = None
+        lib.rank_scratch_set_big.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32]
         lib.usort_rank_c.restype = ctypes.c_int64
         lib.usort_rank_c.argtypes = [
             ctypes.c_void_p,                          # scratch
@@ -431,6 +435,19 @@ class NativeRanker:
         table[IS_LOWER] = 0xFF    # masked (lowercase) letters are bad
         self._table = np.ascontiguousarray(table)
         self._scratch = lib.rank_scratch_create()
+        # arm big-DB mode (src/udbusortedsearcher.cpp:41-57): above
+        # -big targets, mode-0 ranks switch to UDBSearchBig semantics
+        # (stepped query words, first-touch tie order, no bump)
+        try:
+            from ..config import options
+            o = options()
+            if o.filled("id"):
+                lib.rank_scratch_set_big(
+                    self._scratch, float(o.flt("id")),
+                    1 if p.is_nucleo else 0, o.uns("stepwords"),
+                    getattr(index, "db_step", 1), o.uns("big"))
+        except Exception:
+            pass
         self._out_tix = np.zeros(0, dtype=np.uint32)
         self._out_counts = np.zeros(0, dtype=np.uint32)
         self._ZI64 = np.zeros(0, dtype=np.int64)

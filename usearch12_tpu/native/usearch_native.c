@@ -1706,11 +1706,81 @@ typedef struct {
     uint32_t hist_cap;
     uint32_t *stage_tix;  /* placement staging (n_emit copied back) */
     uint32_t *stage_cnt;
+    /* big-DB mode (usearch12 src/udbusortedsearcherbig.cpp): armed by
+     * rank_scratch_set_big; mode-0 ranks switch semantics when
+     * seq_count > big_threshold (OPT_big, default 100000) */
+    int big_set;
+    float big_min_fract_id;   /* OPT_id as float (m_MinFractId) */
+    int big_is_nucleo;
+    uint32_t big_stepwords;   /* OPT_stepwords (default 8) */
+    uint32_t big_db_step;     /* UDBParams m_DBStep (default 1) */
+    uint32_t big_threshold;   /* OPT_big */
 } RankScratch;
 
 RankScratch *rank_scratch_create(void)
 {
-    return (RankScratch *)calloc(1, sizeof(RankScratch));
+    RankScratch *s = (RankScratch *)calloc(1, sizeof(RankScratch));
+    s->big_threshold = 100000;
+    return s;
+}
+
+void rank_scratch_set_big(RankScratch *s, float min_fract_id,
+                          int is_nucleo, uint32_t stepwords,
+                          uint32_t db_step, uint32_t threshold)
+{
+    s->big_set = 1;
+    s->big_min_fract_id = min_fract_id;
+    s->big_is_nucleo = is_nucleo;
+    s->big_stepwords = stepwords;
+    s->big_db_step = db_step ? db_step : 1;
+    s->big_threshold = threshold;
+}
+
+/* GetMinWordCount (src/wordparams.cpp:60-167): CD-HIT minimum shared
+ * unique word count for a given fractional identity. */
+static const double MIN_WORD_FRACT_AMINO[50] = {
+    0.00, 0.00, 0.00, 0.00, 0.01, 0.01, 0.01, 0.02, 0.02, 0.02,
+    0.03, 0.04, 0.04, 0.05, 0.06, 0.06, 0.08, 0.08, 0.10, 0.10,
+    0.11, 0.14, 0.14, 0.14, 0.17, 0.17, 0.18, 0.20, 0.21, 0.21,
+    0.27, 0.28, 0.31, 0.34, 0.36, 0.41, 0.43, 0.45, 0.48, 0.54,
+    0.55, 0.56, 0.64, 0.69, 0.73, 0.75, 0.80, 0.85, 0.90, 0.95,
+};
+
+static uint32_t get_min_word_count(uint32_t nuw, double fract_id,
+                                   uint32_t word_ones, int is_nucleo)
+{
+    if (is_nucleo) {
+        /* GetMinWordCount2 (src/wordparams.cpp:152-162) */
+        double wf = 1.0 - (1.0 - fract_id) * word_ones;
+        if (wf < 0.0)
+            return 1;
+        wf *= nuw;
+        if (wf < 1.0)
+            return 1;
+        return (uint32_t)wf;
+    }
+    if (fract_id < 0.5)
+        return 0;
+    unsigned i = (unsigned)((fract_id - 0.5) * 100);
+    if (i >= 50)
+        i = 49;
+    return (uint32_t)(MIN_WORD_FRACT_AMINO[i] * nuw);
+}
+
+/* GetWordCountingParams (src/wordparams.cpp:168-193): query-word step
+ * for big-DB ranking.  MinU is computed by the reference but unused by
+ * UDBSearchBig, so only Step is returned here. */
+static uint32_t big_query_step(const RankScratch *s, uint32_t nuw,
+                               uint32_t word_ones)
+{
+    uint32_t nuw_eff = nuw / s->big_db_step;
+    uint32_t thresh = get_min_word_count(
+        nuw_eff, (double)s->big_min_fract_id, word_ones,
+        s->big_is_nucleo);
+    if (s->big_stepwords == 0)
+        return 1;
+    uint32_t step = thresh / s->big_stepwords;
+    return step ? step : 1;
 }
 
 void rank_scratch_destroy(RankScratch *s)
@@ -1874,6 +1944,129 @@ int64_t usort_rank_c(
             }
         }
     }
+    /* -- big-DB mode (src/udbusortedsearcher.cpp:41-57 latch +
+     * src/udbusortedsearcherbig.cpp UDBSearchBig): above OPT_big
+     * targets the reference switches semantics entirely — every
+     * big_query_step'th unique query word is counted, there is NO
+     * SetTopBump, candidates keep FIRST-TOUCH order for ties, and
+     * CountSortSubsetDesc truncates below NextValue/2 where NextValue
+     * carries the traversal-order running-max quirk. -- */
+    if (mode == 0 && s->big_set && seq_count > s->big_threshold) {
+        uint32_t step = big_query_step(s, nuw, wlen);
+        uint32_t *u = s->u;
+        int32_t *touched = s->touched;
+        uint32_t nt = 0;
+        for (uint32_t k = 0; k < nuw; k += step) {
+            int64_t w = s->uw[k];
+            if (has_csr == 2) {
+                const uint16_t *p16 = (const uint16_t *)postings;
+                if (k + 4 * step < nuw)
+                    __builtin_prefetch(&starts[s->uw[k + 4 * step]], 0, 1);
+                if (k + 2 * step < nuw)
+                    __builtin_prefetch(&p16[starts[s->uw[k + 2 * step]]],
+                                       0, 1);
+                int64_t lo = starts[w], hi = starts[w + 1];
+                for (int64_t p = lo; p < hi; ++p) {
+                    uint32_t t = p16[p];
+                    if (t < seq_count) {
+                        if (u[t]++ == 0) touched[nt++] = (int32_t)t;
+                    }
+                }
+            } else if (has_csr) {
+                if (k + 4 * step < nuw)
+                    __builtin_prefetch(&starts[s->uw[k + 4 * step]], 0, 1);
+                if (k + 2 * step < nuw)
+                    __builtin_prefetch(&postings[starts[s->uw[k + 2 * step]]],
+                                       0, 1);
+                int64_t lo = starts[w], hi = starts[w + 1];
+                for (int64_t p = lo; p < hi; ++p) {
+                    int32_t t = postings[p];
+                    if ((uint32_t)t < seq_count) {
+                        if (u[t]++ == 0) touched[nt++] = t;
+                    }
+                }
+            }
+            if (n_sorted) {
+                int64_t lo = lower_bound64(sw, n_sorted, w);
+                int64_t hi = lower_bound64(sw, n_sorted, w + 1);
+                for (int64_t p = lo; p < hi; ++p) {
+                    int32_t t = st[p];
+                    if ((uint32_t)t < seq_count) {
+                        if (u[t]++ == 0) touched[nt++] = t;
+                    }
+                }
+            }
+        }
+        if (n_pending) {
+            /* pending tier: membership against the STEPPED word subset */
+            for (uint32_t k = 0; k < nuw; ++k)
+                s->seen[s->uw[k] >> 3] = 0;
+            for (uint32_t k = 0; k < nuw; k += step) {
+                int64_t w = s->uw[k];
+                s->seen[w >> 3] |= (uint8_t)(1u << (w & 7));
+            }
+            for (int64_t p = 0; p < n_pending; ++p) {
+                int64_t w = pw[p];
+                if (s->seen[w >> 3] & (1u << (w & 7))) {
+                    int32_t t = pt[p];
+                    if ((uint32_t)t < seq_count) {
+                        if (u[t]++ == 0) touched[nt++] = t;
+                    }
+                }
+            }
+            for (uint32_t k = 0; k < nuw; k += step)
+                s->seen[s->uw[k] >> 3] = 0;
+        } else {
+            for (uint32_t k = 0; k < nuw; ++k)
+                s->seen[s->uw[k] >> 3] = 0;
+        }
+        if (nt == 0)
+            return 0;
+        /* CountSortSubsetDesc (src/countsort.cpp:110-192) */
+        uint32_t maxv = 0, nextv = 0;
+        uint32_t *hist = s->hist;
+        for (uint32_t i = 0; i < nt; ++i) {
+            uint32_t v = u[touched[i]];
+            if (v > maxv) { nextv = maxv; maxv = v; }
+        }
+        uint32_t minv = nextv / 2;
+        for (uint32_t i = 0; i < nt; ++i) {
+            uint32_t v = u[touched[i]];
+            if (v >= minv)
+                ++hist[v];
+        }
+        uint32_t c_star = minv;
+        uint32_t n_emit = 0;
+        for (int64_t v = maxv; v >= (int64_t)minv; --v) {
+            n_emit += hist[v];
+            c_star = (uint32_t)v;
+            if (max_emit > 0 && n_emit >= (uint32_t)max_emit)
+                break;
+        }
+        uint32_t off = 0;
+        for (int64_t v = maxv; v >= (int64_t)c_star; --v) {
+            uint32_t c = hist[v];
+            hist[v] = off;
+            off += c;
+        }
+        n_emit = off;
+        uint32_t *stix = s->stage_tix, *scnt = s->stage_cnt;
+        for (uint32_t i = 0; i < nt; ++i) {
+            uint32_t t = (uint32_t)touched[i];
+            uint32_t v = u[t];
+            if (v < c_star) continue;
+            uint32_t pos = hist[v]++;
+            stix[pos] = t;
+            scnt[pos] = v;
+        }
+        memcpy(out_tix, stix, n_emit * sizeof(uint32_t));
+        memcpy(out_counts, scnt, n_emit * sizeof(uint32_t));
+        memset(hist, 0, (maxv + 1) * sizeof(uint32_t));
+        for (uint32_t i = 0; i < nt; ++i)
+            u[touched[i]] = 0;
+        return (int64_t)n_emit;
+    }
+
     /* -- SetU: scatter-add over the three posting tiers --
      * Small DBs skip the touched-list bookkeeping: the U array is
      * cleared during the SetTop scan instead (dense_clear), which

@@ -87,6 +87,39 @@ def quick_sort_order_desc(values: np.ndarray) -> np.ndarray:
     return np.argsort(-values.astype(np.int64), kind="stable").astype(np.int64)
 
 
+# CD-HIT minimum-word-fraction table (src/wordparams.cpp:60-112)
+_AMINO_FRACT = [
+    0.00, 0.00, 0.00, 0.00, 0.01, 0.01, 0.01, 0.02, 0.02, 0.02,
+    0.03, 0.04, 0.04, 0.05, 0.06, 0.06, 0.08, 0.08, 0.10, 0.10,
+    0.11, 0.14, 0.14, 0.14, 0.17, 0.17, 0.18, 0.20, 0.21, 0.21,
+    0.27, 0.28, 0.31, 0.34, 0.36, 0.41, 0.43, 0.45, 0.48, 0.54,
+    0.55, 0.56, 0.64, 0.69, 0.73, 0.75, 0.80, 0.85, 0.90, 0.95,
+]
+
+
+def big_query_step(nuw: int, fract_id: float, word_ones: int,
+                   is_nucleo: bool, stepwords: int, db_step: int) -> int:
+    """GetWordCountingParams' Step (src/wordparams.cpp:168-193; MinU is
+    computed by the reference but unused by UDBSearchBig)."""
+    nuw_eff = nuw // max(db_step, 1)
+    f = float(np.float32(fract_id))    # m_MinFractId is a float
+    if is_nucleo:
+        wf = 1.0 - (1.0 - f) * word_ones
+        if wf < 0.0:
+            thresh = 1
+        else:
+            wf *= nuw_eff
+            thresh = 1 if wf < 1.0 else int(wf)
+    elif f < 0.5:
+        thresh = 0
+    else:
+        i = min(int((f - 0.5) * 100), 49)
+        thresh = int(_AMINO_FRACT[i] * nuw_eff)
+    if stepwords == 0:
+        return 1
+    return max(thresh // stepwords, 1)
+
+
 class USortedRanker:
     """SetTargetOrder: query words -> ranked candidate target list."""
 
@@ -106,10 +139,17 @@ class USortedRanker:
         """Returns (ordered_target_indexes, their word counts)."""
         o = options()
         bump = o.uns("bump")
-        if self._native is not None and not o.flag("quicksort"):
+        big = (o.filled("id")
+               and self.index.seq_count > o.uns("big"))
+        if self._native is not None and not (o.flag("quicksort")
+                                             and not big):
+            # big mode ignores -quicksort (UDBSearchBig always
+            # CountSortSubsetDesc's); the scratch is armed in __init__
             return self._native.rank(query_seq, bump, 0)
         params = self.index.params
         uw = params.unique_words(query_seq)
+        if big:
+            return self._rank_big_py(uw)
         u = self.index.count_u(uw)
         if bump != 0:
             top_u, top_tix = set_top_bump(u, 1, bump)
@@ -120,6 +160,41 @@ class USortedRanker:
         else:
             order = count_sort_order_desc(top_u)
         return top_tix[order], top_u[order]
+
+    def _rank_big_py(self, uw: np.ndarray):
+        """UDBSearchBig (src/udbusortedsearcherbig.cpp:31-142), numpy:
+        stepped query words, count desc with FIRST-TOUCH tie order,
+        truncation below NextValue/2 with the traversal-order NextValue
+        quirk (src/countsort.cpp:110-192)."""
+        o = options()
+        ix = self.index
+        params = ix.params
+        step = big_query_step(len(uw), o.flt("id"), params.word_length,
+                              params.is_nucleo, o.uns("stepwords"),
+                              getattr(ix, "db_step", 1))
+        ix._flatten()
+        starts, post = ix._starts, ix._postings
+        sel = uw[::step].tolist()
+        rows = [post[starts[w]:starts[w + 1]] for w in sel]
+        stream = (np.concatenate(rows) if rows
+                  else np.empty(0, np.int32))
+        stream = stream[(stream >= 0) & (stream < ix.seq_count)]
+        if len(stream) == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.uint32))
+        counts = np.bincount(stream, minlength=ix.seq_count)
+        # first-touch order of targets = order of first occurrence
+        ft_t, ft_idx = np.unique(stream, return_index=True)
+        order_ft = ft_t[np.argsort(ft_idx, kind="stable")]
+        vals = counts[order_ft].astype(np.int64)
+        run_max = np.maximum.accumulate(
+            np.concatenate(([0], vals[:-1])))
+        raises = np.nonzero(vals > run_max)[0]
+        nextv = int(run_max[raises[-1]]) if len(raises) else 0
+        minv = nextv // 2
+        keep = vals >= minv
+        kt, kv = order_ft[keep], vals[keep]
+        o2 = np.argsort(-kv, kind="stable")
+        return kt[o2].astype(np.int64), kv[o2].astype(np.uint32)
 
     def get_u_ranked(self, query_seq: np.ndarray, self_delete: bool = False,
                      query_label: str = "", labels=None):
